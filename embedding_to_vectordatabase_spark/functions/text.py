@@ -1,0 +1,86 @@
+"""Text scalar functions — all native Column expressions (whole-stage
+codegen; no Python in the hot path).
+
+Reference parity:
+- clean_title        util/clean_data.py:3-9
+- reformat_doc       util/clean_data.py:11-26 + embed_to_milvus.py:91
+- derive_file_name   load_data/json_batch_reader.py:67-74
+- word_count         load_data/hdfs_batch_reader.py:112
+- cast_sparse_keys   util/clean_data.py:28-40 (batch-poisoning semantics
+                     replaced by row-level null-routing; SURVEY §7)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# chars to KEEP: CJK unified ideographs, ASCII letters, digits
+_CLEAN_TITLE_STRIP = r"[^一-龥a-zA-Z0-9]"
+CLEAN_TITLE_MAX = 50
+
+# reformat defaults (util/clean_data.py:16-25)
+DEFAULT_TITLE = "无标题"
+DEFAULT_TIME = "无时间"
+DEFAULT_CONTENT = "无内容"
+DEFAULT_SOURCE = "无来源"
+
+
+def clean_title(title: Column) -> Column:
+    """Strip everything but CJK/ASCII-alnum, truncate to 50 chars,
+    fall back to 'untitled' when nothing survives."""
+    stripped = F.regexp_replace(F.trim(title), _CLEAN_TITLE_STRIP, "")
+    cut = F.substring(stripped, 1, CLEAN_TITLE_MAX)
+    return F.when(
+        title.isNull() | (F.length(cut) == 0), F.lit("untitled")
+    ).otherwise(cut)
+
+
+def reformat_doc(
+    title: Column, pub_time: Column, source: Column, content: Column
+) -> Column:
+    """'[标题]:{t}\\n[时间]:{p}\\n[来源]:{s}\\n\\n{content}' with the
+    reference's per-field defaults for missing values."""
+    return F.format_string(
+        "[标题]:%s\n[时间]:%s\n[来源]:%s\n\n%s",
+        F.coalesce(title, F.lit(DEFAULT_TITLE)),
+        F.coalesce(pub_time, F.lit(DEFAULT_TIME)),
+        F.coalesce(source, F.lit(DEFAULT_SOURCE)),
+        F.coalesce(content, F.lit(DEFAULT_CONTENT)),
+    )
+
+
+def derive_file_name(title: Column, row_no: Column, ext: str = ".pdf") -> Column:
+    """file_name = clean_title(title) + '_' + global_row_no + ext."""
+    return F.concat(
+        clean_title(title), F.lit("_"), row_no.cast("string"), F.lit(ext)
+    )
+
+
+def word_count(content: Column) -> Column:
+    return F.length(content)
+
+
+def swap_extension(path: Column, old: str = r"\.pdf$", new: str = ".txt") -> Column:
+    """HDFS reader's .pdf→.txt swap (load_data/hdfs_batch_reader.py:99-102)."""
+    return F.regexp_replace(path, old, new)
+
+
+def cast_sparse_keys(m: Column) -> Column:
+    """map<string,float> → map<int,float>; a non-castable key nulls the
+    ROW (try_cast), not the whole batch — divergence from the
+    reference's batch-poisoning documented in SURVEY §7."""
+    bad = F.exists(
+        F.map_keys(m), lambda k: k.try_cast("int").isNull()
+    )
+    return F.when(m.isNull() | bad, F.lit(None)).otherwise(
+        F.transform_keys(m, lambda k, v: k.cast("int"))
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )

@@ -1,0 +1,99 @@
+"""Vector similarity scalar functions — native higher-order-function
+expressions (JVM-side, codegen'd; no UDF).
+
+Reference parity:
+- dense IP  metric      vector_database/milvus_connector.py:65-69 (FLAT/IP)
+- sparse IP metric      vector_database/milvus_connector.py:71-74
+- L2 fallback           vector_database/milvus_connector.py:168-169
+- rerank fusion weights baai_m3_simple_server/m3_server.py:17,41-49
+
+All math accumulates in DOUBLE regardless of storage type (float32
+arrays) so results are engine-portable and scale-stable; sums are
+sequential left-to-right, matching columnar engines' list kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RERANK_W_COLBERT = 0.4
+RERANK_W_SPARSE = 0.2
+RERANK_W_DENSE = 0.4
+
+
+def dense_ip(a: Column, b: Column) -> Column:
+    """Inner product of two array<numeric> columns (double out)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dense_l2(a: Column, b: Column) -> Column:
+    """Euclidean distance (the reference's default L2 search params)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def dense_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def dense_cosine(a: Column, b: Column) -> Column:
+    return dense_ip(a, b) / (dense_norm(a) * dense_norm(b))
+
+
+def sparse_ip(q: Column, d: Column) -> Column:
+    """Inner product of two map<int,float> sparse vectors.
+
+    Per-row form for bounded fan-out; corpus-scale sparse top-k should
+    use the inverted relational form instead (operators.search
+    .sparse_topk_inverted) — that IS the reference's
+    SPARSE_INVERTED_INDEX expressed relationally."""
+    return F.aggregate(
+        F.map_keys(q),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.coalesce(
+            q[k].cast("double") * d[k].cast("double"), F.lit(0.0)
+        ),
+    )
+
+
+def rerank_fusion(colbert: Column, sparse: Column, dense: Column) -> Column:
+    """0.4*colbert + 0.2*sparse + 0.4*dense."""
+    return (
+        F.lit(RERANK_W_COLBERT) * colbert.cast("double")
+        + F.lit(RERANK_W_SPARSE) * sparse.cast("double")
+        + F.lit(RERANK_W_DENSE) * dense.cast("double")
+    )
+
+
+def sign_bucket(a: Column, bits: int = 8) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket id from the signs of
+    the first ``bits`` components — the cheap coarse quantizer for the
+    bucketed ANN path (operators.search.ann_topk_bucketed)."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(a, i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out

@@ -1,0 +1,250 @@
+"""Document chunking operators (reference T1/T2).
+
+Reference parity:
+- recursive character splitter: splite_text/lang_chain_splitter.py:7-30
+  (separators, chunk_size 3200 / 1024 default, overlap 100,
+  keep_separator=False), consumed at embed_to_milvus.py:92-98 where
+  block_id = enumerate(blocks).
+- semantic splitter: splite_text/semantic_splitter.py:11-49.
+
+Spark design:
+- ``chunk_fixed``      — pure native expressions (sequence + transform +
+  posexplode): zero Python, whole-stage codegen, the scale path.
+- ``chunk_recursive``  — separator-aware re-implementation of the
+  recursive splitter as an Arrow-batched pandas UDF returning
+  array<string>, then posexplode. Python only touches the string, all
+  fan-out bookkeeping (block_id, carried columns) stays native.
+- ``chunk_semantic``   — distance-breakpoint splitter over sentence
+  embeddings; composition of the sentence regex split, an embedder,
+  and a native running-sum segmenter.
+
+At 100 TB: chunking is map-only (no shuffle); posexplode multiplies
+rows in place, and downstream ops see the same partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# separator priority (splite_text/lang_chain_splitter.py:17)
+SEPARATORS = [
+    "<row>", "</row>", "<Cell>", "</Cell>",
+    "\n", "。", "，", "；", "！", "？", " ",
+]
+DEFAULT_CHUNK_SIZE = 1024  # code default; prod config uses 3200
+DEFAULT_OVERLAP = 100
+SENTENCE_SPLIT_REGEX = r"(?<=[。.!?！？； ])\s*"
+
+
+def fixed_chunk_array(
+    text: Column, chunk_size: int, overlap: int
+) -> Column:
+    """array<string> of fixed-size windows with ``overlap`` chars of
+    lookback; stride = chunk_size - overlap. Pure native expr."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    n = F.when(F.length(text) <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((F.length(text) - F.lit(chunk_size)) / F.lit(stride)) + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n.cast("int") - 1),
+        lambda i: F.substring(text, i * stride + 1, chunk_size),
+    )
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "content",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """1 doc -> N overlapping windows; empty docs yield 0 rows
+    (reference drops empty-block docs, embed_to_milvus.py:93,101-103).
+    Output: carried columns + (block_id long, chunk string)."""
+    carried = [c for c in df.columns if c != text_col]
+    return (
+        df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0)
+        .select(
+            *carried,
+            F.posexplode(
+                fixed_chunk_array(F.col(text_col), chunk_size, overlap)
+            ).alias("block_id", "chunk"),
+        )
+        .withColumn("block_id", F.col("block_id").cast("long"))
+    )
+
+
+def _split_recursive(text: str, separators: list[str], chunk_size: int) -> list[str]:
+    """Split by the first present separator (separator stays attached
+    to the preceding piece so content is preserved); recurse into
+    oversized pieces with the remaining separators."""
+    sep = None
+    rest: list[str] = []
+    for i, s in enumerate(separators):
+        if s == "":
+            sep = s
+            rest = []
+            break
+        if s in text:
+            sep = s
+            rest = separators[i + 1 :]
+            break
+    if sep == "" or sep is None:
+        # character-level fallback: hard-wrap
+        return [text[i : i + chunk_size] for i in range(0, len(text), chunk_size)]
+    parts = text.split(sep)
+    splits = [p + sep for p in parts[:-1]] + [parts[-1]]
+    splits = [p for p in splits if p]
+    out: list[str] = []
+    for piece in splits:
+        if len(piece) <= chunk_size:
+            out.append(piece)
+        else:
+            out.extend(_split_recursive(piece, rest + [""], chunk_size))
+    return out
+
+
+def _merge_splits(splits: list[str], chunk_size: int, overlap: int) -> list[str]:
+    """Greedy re-merge of small pieces into chunks <= chunk_size,
+    carrying <= ``overlap`` trailing chars into the next chunk."""
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_len = 0
+    for piece in splits:
+        if cur and cur_len + len(piece) > chunk_size:
+            chunks.append("".join(cur))
+            # keep a tail of pieces within the overlap budget
+            tail: list[str] = []
+            tail_len = 0
+            for p in reversed(cur):
+                if (
+                    tail_len + len(p) > overlap
+                    or tail_len + len(p) + len(piece) > chunk_size
+                ):
+                    break
+                tail.insert(0, p)
+                tail_len += len(p)
+            cur, cur_len = tail, tail_len
+        cur.append(piece)
+        cur_len += len(piece)
+    if cur:
+        chunks.append("".join(cur))
+    return [c for c in (c.strip() for c in chunks) if c]
+
+
+def split_text_recursive(
+    text: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    separators: list[str] | None = None,
+) -> list[str]:
+    """Plain-Python recursive splitter (tested standalone)."""
+    if not text:
+        return []
+    pieces = _split_recursive(text, list(separators or SEPARATORS), chunk_size)
+    return _merge_splits(pieces, chunk_size, overlap)
+
+
+def chunk_recursive(
+    df: DataFrame,
+    text_col: str = "content",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """Separator-aware recursive chunking; Arrow-batched pandas UDF for
+    the string work, native posexplode for the fan-out."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _split(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: split_text_recursive(t or "", chunk_size, overlap)
+        )
+
+    carried = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*carried, _split(F.col(text_col)).alias("_blocks"))
+        .filter(F.size("_blocks") > 0)
+        .select(
+            *carried,
+            F.posexplode("_blocks").alias("block_id", "chunk"),
+        )
+        .withColumn("block_id", F.col("block_id").cast("long"))
+    )
+
+
+def split_sentences(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """doc -> (sentence_id, sentence) using the reference's sentence
+    regex (splite_text/semantic_splitter.py:20)."""
+    carried = [c for c in df.columns if c != text_col]
+    return (
+        df.select(
+            *carried,
+            F.posexplode(
+                F.filter(
+                    F.split(F.col(text_col), SENTENCE_SPLIT_REGEX),
+                    lambda s: F.length(F.trim(s)) > 0,
+                )
+            ).alias("sentence_id", "sentence"),
+        )
+        .withColumn("sentence_id", F.col("sentence_id").cast("long"))
+    )
+
+
+def chunk_semantic(
+    sentences_with_dist: DataFrame,
+    doc_col: str = "doc_id",
+    dist_col: str = "dist",
+    sentence_col: str = "sentence",
+    order_col: str = "sentence_id",
+    threshold_type: str = "percentile",
+    threshold_amount: float = 0.95,
+) -> DataFrame:
+    """Semantic chunking given consecutive-sentence embedding distances.
+
+    Breakpoint where dist > per-doc threshold (percentile /
+    standard_deviation / interquartile — splite_text/semantic_splitter
+    .py:22-39); segment id = running count of breakpoints; chunk =
+    concat of the segment's sentences. All native (window + groupBy).
+    """
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy(doc_col)
+    d = F.col(dist_col)
+    if threshold_type == "percentile":
+        thr = F.expr(
+            f"percentile({dist_col}, {threshold_amount})"
+        ).over(w_doc)
+    elif threshold_type == "standard_deviation":
+        thr = (
+            F.avg(d).over(w_doc)
+            + F.lit(threshold_amount) * F.stddev(d).over(w_doc)
+        )
+    elif threshold_type == "interquartile":
+        iqr = F.expr(f"percentile({dist_col}, 0.75)").over(w_doc) - F.expr(
+            f"percentile({dist_col}, 0.25)"
+        ).over(w_doc)
+        thr = F.avg(d).over(w_doc) + F.lit(threshold_amount) * iqr
+    else:
+        raise ValueError(f"unknown threshold_type {threshold_type!r}")
+
+    w_ord = W.partitionBy(doc_col).orderBy(order_col)
+    seg = F.sum(
+        F.when(d > thr, F.lit(1)).otherwise(F.lit(0))
+    ).over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    return (
+        sentences_with_dist.withColumn(
+            "segment_id", F.coalesce(seg, F.lit(0)).cast("long")
+        )
+        .groupBy(doc_col, "segment_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(
+                    F.collect_list(F.struct(order_col, sentence_col))
+                ).getField(sentence_col)
+            ).alias("chunk")
+        )
+    )

@@ -1,0 +1,360 @@
+"""Deduplication operators — the training-data-pipeline extensions
+(BASELINE.json north star; beyond the reference's J2 anti-join).
+
+Five dedup families, each a pure DataFrame op:
+- exact          md5(normalized text) groupBy — one shuffle on the hash
+- ngram_jaccard  word n-gram shingles → inverted-index self-join →
+                 intersection/union — the exact-similarity baseline
+- minhash_lsh    shingle → minhash signatures (xxhash64 per permutation,
+                 native exprs) → band buckets → candidate join → verify
+- simhash        64-bit simhash from shingle hashes, hamming-distance
+                 candidates via band equality
+- embedding      cosine near-dup over a vector column, label-blocked
+
+Scale notes (100 TB): all-pairs similarity is never materialized; every
+family reduces to equi-joins on content-derived keys (hash / band /
+bucket), so the only shuffles are on those keys. Skewed shingles (stop
+phrases) are the classic hot key — ``ngram_pairs`` drops shingles above
+``max_doc_freq`` (standard df-pruning) which bounds per-key fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import dense_cosine
+
+
+def normalize_text(c):
+    """Lowercase, collapse whitespace — the canonical form hashing uses."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs: one row per
+    duplicated hash with the member count and the keeper (min id).
+    Output: (content_hash, n_dups, keep_id)."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one doc per normalized-content hash (the min id) —
+    the dedup you run before anything expensive."""
+    w = Window.partitionBy(
+        F.md5(normalize_text(F.col(text_col)))
+    ).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_ngrams(text, n: int = 3):
+    """array<string> of word n-gram shingles (native exprs)."""
+    words = F.split(normalize_text(text), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i + 1, n)
+        ),
+    )
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) distinct posting rows; docs shorter than n
+    words contribute their whole text as one shingle."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Inverted-index plan: postings self-join on shingle gives
+    per-pair intersection counts; per-doc shingle counts give the
+    union by inclusion-exclusion. Never materializes all pairs —
+    only pairs sharing >= 1 shingle. Output:
+    (doc_a, doc_b, jaccard double) with doc_a < doc_b.
+    """
+    postings = shingle_postings(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        df_counts = postings.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        )
+        postings = (
+            postings.join(df_counts, "shingle")
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("__nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_perm]) — minhash over word n-gram
+    shingles. Permutation h_i(s) = xxhash64(s, seed=i); min per doc.
+    All native exprs (xxhash64 + groupBy min) — no Python."""
+    postings = shingle_postings(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_perm)
+    ]
+    sig = postings.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (bands × r rows),
+    bucket-join on (band, band-hash), then verify candidates with the
+    estimated Jaccard = fraction of matching signature positions.
+
+    Output: (doc_a, doc_b, est_jaccard double). The band join is the
+    only shuffle over candidates; with r = num_perm/bands the collision
+    probability follows the standard S-curve (1-(1-s^r)^b).
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * r + j + 1)
+                                for j in range(r)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("__sa"),
+            F.col("b.sig").alias("__sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_id, simhash long): per shingle take xxhash64, each bit
+    votes +1/-1, sign of the vote sum per bit position. Native exprs:
+    explode → per-bit conditional sums → bit reassembly."""
+    postings = shingle_postings(df, text_col, id_col, n)
+    h = F.xxhash64(F.col("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = postings.groupBy("doc_id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.col(f"__v{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by banding the 64-bit hash into ``bands``
+    16-bit blocks (pigeonhole: any pair within hamming distance
+    bands-1 shares at least one exact block); verify with bit_count.
+    Output: (doc_a, doc_b, hamming int)."""
+    sig = simhash_signatures(df, text_col, id_col, n)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.block")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "block"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    ``block_col`` (e.g. a cluster/label/LSH bucket) turns the all-pairs
+    crossJoin into an equi-join — mandatory at scale; pass None only
+    for small corpora. Output: (doc_a, doc_b, cosine double)."""
+    left = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("__va"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    right = df.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("__vb"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    joined = (
+        left.join(right, "__blk") if block_col else left.crossJoin(right)
+    )
+    return (
+        joined.filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                dense_cosine(F.col("__va"), F.col("__vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""End-to-end ingest pipeline (reference query lifecycle §3.1,
+embed_to_milvus.py:50-145 — the whole threaded dataflow as ONE lazy
+Spark plan).
+
+  docs → file_name (W1/S4) → registry broadcast join (J1, + warn side
+  output) → anti-join vs ingested snapshot (J2, idempotency) → format
+  (P3) → chunk (T1) → embed (V1/V2) → placeholders (P8) → canonical
+  CHUNK schema → rotating parquet sink (K1)
+
+The reference's 8 processing threads + 4 upload threads +
+condition-variable backpressure (embed_to_milvus.py:185-201) are
+Spark's task scheduler; its per-batch try/except poison-pill
+(embed_to_milvus.py:135-145) becomes row-level routing: unmatched
+docs come back as a side output instead of being logged and dropped.
+
+Shuffle inventory at scale: ONE narrow plan — the registry join is
+broadcast, chunking/embedding are map-only; the only wide op is the
+optional deterministic row numbering (disabled when ``docs`` already
+carries unique ids).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import reformat_doc
+from ..operators.chunking import (
+    DEFAULT_CHUNK_SIZE,
+    DEFAULT_OVERLAP,
+    chunk_recursive,
+)
+from ..operators.embedding import embed_text
+from ..operators.joins import anti_join_ingested, registry_lookup
+from ..sources.corpus import with_file_name, with_row_numbers
+
+
+@dataclass
+class IngestConfig:
+    chunk_size: int = DEFAULT_CHUNK_SIZE
+    overlap: int = DEFAULT_OVERLAP
+    client_kind: str = "mock"
+    dense_dim: int = 1024
+    placeholders: dict = field(
+        default_factory=lambda: {
+            # P8 constants (embed_to_milvus.py:111-121)
+            "qa_id": 0,
+            "question": "",
+            "answer": "",
+            "flag": "0",
+        }
+    )
+
+
+CANONICAL_ORDER = [
+    "qa_id", "question", "answer", "file_id", "block_id",
+    "file_name", "content", "dense_embedding", "sparse_embedding",
+    "source", "flag",
+]
+
+
+def ingest(
+    docs: DataFrame,
+    registry: DataFrame,
+    ingested: DataFrame | None = None,
+    config: IngestConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (chunks, unmatched_docs).
+
+    ``chunks`` carries the canonical 12-field CHUNK schema minus the
+    sink-assigned ``id``; ``unmatched_docs`` is the J1 warn side
+    output (docs with no registry entry).
+    """
+    cfg = config or IngestConfig()
+
+    numbered = with_row_numbers(docs, order_by=["title", "content"])
+    named = with_file_name(numbered)
+
+    matched, unmatched = registry_lookup(named, registry)
+    if ingested is not None:
+        matched = anti_join_ingested(matched, ingested, "file_id")
+
+    formatted = matched.withColumn(
+        "text",
+        reformat_doc(
+            F.col("title"), F.col("pub_time"), F.col("source"), F.col("content")
+        ),
+    ).select("file_id", "file_name", "source", "text")
+
+    chunks = chunk_recursive(
+        formatted, "text", cfg.chunk_size, cfg.overlap
+    ).withColumnRenamed("chunk", "content")
+
+    embedded = embed_text(
+        chunks, "content", cfg.client_kind, cfg.dense_dim, hybrid=True
+    )
+
+    ph = cfg.placeholders
+    final = embedded.select(
+        F.lit(ph["qa_id"]).cast("long").alias("qa_id"),
+        F.lit(ph["question"]).alias("question"),
+        F.lit(ph["answer"]).alias("answer"),
+        F.col("file_id").cast("long"),
+        F.col("block_id").cast("long"),
+        "file_name",
+        "content",
+        "dense_embedding",
+        "sparse_embedding",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.lit(ph["flag"]).alias("flag"),
+    ).select(*CANONICAL_ORDER)
+
+    return final, unmatched

@@ -1,0 +1,125 @@
+"""Structured Streaming wrapper of the ingest plan (reference ST1-ST5).
+
+Mapping from the reference's hand-rolled threading:
+- backpressure (≤10 pending files, embed_to_milvus.py:42-48)
+    → ``maxFilesPerTrigger``
+- resume offset (config.json:37 ``start``) + metadata WAL
+    → checkpointLocation (offsets + commit log are built in)
+- at-least-once handoff + idempotent sink (ST3)
+    → ``foreachBatch`` keyed by batchId; J2 anti-join keeps re-runs
+      idempotent at doc granularity
+- drain protocol (is_processing_complete, ST5)
+    → ``Trigger.AvailableNow`` + ``awaitTermination``
+
+Also: event-stream analytics the reference never had — watermarked
+tumbling-window aggregation over the ``events`` table shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import DOC_SCHEMA
+
+
+def stream_ingest_jsonl(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    registry: DataFrame,
+    batch_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source streaming ingest: each micro-batch runs the batch
+    ingest plan via foreachBatch and appends parquet idempotently."""
+    from ..plans.ingest import IngestConfig, ingest
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_fn is not None:
+            out = batch_fn(batch_df, registry)
+        else:
+            out, _ = ingest(batch_df, registry, config=IngestConfig())
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type; works on
+    both a stream (late data dropped past the watermark) and a static
+    frame (watermark is a no-op) — used by the oracle check in batch
+    mode and by the streaming test in stream mode."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    user's previous event exceeds ``gap_minutes``. Window(lag)+cumsum —
+    the standard relational form (streaming uses session_window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    new_sess = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col).cast("long")).over(w)
+        > gap_s
+    )
+    return (
+        events.withColumn(
+            "__new", F.when(new_sess, 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .drop("__new")
+    )
