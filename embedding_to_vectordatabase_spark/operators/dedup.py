@@ -31,9 +31,15 @@ def normalize_text(c):
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dups: int = 2,
+) -> DataFrame:
     """Groups of byte-identical (post-normalization) docs: one row per
-    duplicated hash with the member count and the keeper (min id).
+    hash with the member count and the keeper (min id); ``min_dups=1``
+    returns the full hash inventory.
     Output: (content_hash, n_dups, keep_id)."""
     return (
         df.select(
@@ -45,7 +51,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.count("*").alias("n_dups"),
             F.min(id_col).alias("keep_id"),
         )
-        .filter(F.col("n_dups") > 1)
+        .filter(F.col("n_dups") >= min_dups)
     )
 
 

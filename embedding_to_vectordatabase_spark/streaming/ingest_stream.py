@@ -105,11 +105,13 @@ def sessionize(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    # microsecond-exact gap (no float/truncation ambiguity at the
+    # threshold boundary — engine-portable)
+    gap_us = gap_minutes * 60 * 1_000_000
     new_sess = (
-        F.col(ts_col).cast("long")
-        - F.lag(F.col(ts_col).cast("long")).over(w)
-        > gap_s
+        F.unix_micros(F.col(ts_col))
+        - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+        > gap_us
     )
     return (
         events.withColumn(
