@@ -88,12 +88,49 @@ def rerank_fusion(colbert: Column, sparse: Column, dense: Column) -> Column:
 
 
 def sign_bucket(a: Column, bits: int = 8) -> Column:
-    """Axis-aligned random-hyperplane LSH bucket id from the signs of
-    the first ``bits`` components — the cheap coarse quantizer for the
-    bucketed ANN path (operators.search.ann_topk_bucketed)."""
+    """Axis-aligned bucket id from the signs of the first ``bits``
+    components. Cheap but weak for real embeddings (leading dims are
+    correlated → skewed buckets, poor recall — VERDICT r1). Kept for
+    oracle-checkable tests; production ANN uses ``hyperplane_bucket``
+    (seeded random Gaussian hyperplanes)."""
     out = F.lit(0)
     for i in range(bits):
         out = out + F.when(
             F.element_at(a, i + 1).cast("double") > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return out
+
+
+def random_hyperplanes(
+    bits: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for sign-LSH — generated on the
+    driver, embedded as literals / broadcast into tasks. The classic
+    random-projection LSH family (cosine-preserving), replacing the
+    axis-aligned quantizer."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def hyperplane_bucket(a: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign pattern of the vector against each hyperplane
+    (native HOF exprs — JVM-side; fine for small ``bits``). For wide
+    fan-in the vectorized numpy path in operators.search is faster."""
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        out = out + F.when(dense_ip(a, plane) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def multiprobe_buckets(bucket: Column, bits: int) -> Column:
+    """array<int> of the bucket plus its ``bits`` hamming-1 neighbors —
+    the query-side multi-probe set that recovers recall lost to
+    near-boundary vectors without touching the corpus side."""
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    )

@@ -78,62 +78,88 @@ def chunk_fixed(
     )
 
 
-def _split_recursive(text: str, separators: list[str], chunk_size: int) -> list[str]:
-    """Split by the first present separator (separator stays attached
-    to the preceding piece so content is preserved); recurse into
-    oversized pieces with the remaining separators."""
-    sep = None
-    rest: list[str] = []
+def _join_docs(docs: list[str], sep: str) -> str | None:
+    text = sep.join(docs).strip()
+    return text if text else None
+
+
+def _merge_splits(
+    splits: list[str], sep: str, chunk_size: int, overlap: int
+) -> list[str]:
+    """Greedy re-merge of small pieces into chunks <= chunk_size
+    (separator length counted), carrying <= ``overlap`` chars of
+    trailing pieces into the next chunk — RecursiveCharacterTextSplitter
+    merge semantics (keep_separator=False: pieces rejoin WITH the
+    separator, strip_whitespace on emit)."""
+    sep_len = len(sep)
+    docs: list[str] = []
+    current: list[str] = []
+    total = 0
+    for d in splits:
+        length = len(d)
+        if total + length + (sep_len if current else 0) > chunk_size:
+            if current:
+                doc = _join_docs(current, sep)
+                if doc is not None:
+                    docs.append(doc)
+                while total > overlap or (
+                    total + length + (sep_len if current else 0) > chunk_size
+                    and total > 0
+                ):
+                    total -= len(current[0]) + (
+                        sep_len if len(current) > 1 else 0
+                    )
+                    current.pop(0)
+        current.append(d)
+        total += length + (sep_len if len(current) > 1 else 0)
+    doc = _join_docs(current, sep)
+    if doc is not None:
+        docs.append(doc)
+    return docs
+
+
+def _split_recursive(
+    text: str, separators: list[str], chunk_size: int, overlap: int
+) -> list[str]:
+    """Recursive split: take the first separator present in the text,
+    split (separator DROPPED — keep_separator=False), merge runs of
+    small pieces, recurse into oversized pieces with the remaining
+    separators; character-level fallback when none remain."""
+    final_chunks: list[str] = []
+    separator = separators[-1]
+    new_separators: list[str] = []
     for i, s in enumerate(separators):
         if s == "":
-            sep = s
-            rest = []
+            separator = s
             break
         if s in text:
-            sep = s
-            rest = separators[i + 1 :]
+            separator = s
+            new_separators = separators[i + 1 :]
             break
-    if sep == "" or sep is None:
-        # character-level fallback: hard-wrap
-        return [text[i : i + chunk_size] for i in range(0, len(text), chunk_size)]
-    parts = text.split(sep)
-    splits = [p + sep for p in parts[:-1]] + [parts[-1]]
-    splits = [p for p in splits if p]
-    out: list[str] = []
-    for piece in splits:
-        if len(piece) <= chunk_size:
-            out.append(piece)
+    splits = [
+        s for s in (text.split(separator) if separator else list(text)) if s
+    ]
+    good: list[str] = []
+    for s in splits:
+        if len(s) < chunk_size:
+            good.append(s)
         else:
-            out.extend(_split_recursive(piece, rest + [""], chunk_size))
-    return out
-
-
-def _merge_splits(splits: list[str], chunk_size: int, overlap: int) -> list[str]:
-    """Greedy re-merge of small pieces into chunks <= chunk_size,
-    carrying <= ``overlap`` trailing chars into the next chunk."""
-    chunks: list[str] = []
-    cur: list[str] = []
-    cur_len = 0
-    for piece in splits:
-        if cur and cur_len + len(piece) > chunk_size:
-            chunks.append("".join(cur))
-            # keep a tail of pieces within the overlap budget
-            tail: list[str] = []
-            tail_len = 0
-            for p in reversed(cur):
-                if (
-                    tail_len + len(p) > overlap
-                    or tail_len + len(p) + len(piece) > chunk_size
-                ):
-                    break
-                tail.insert(0, p)
-                tail_len += len(p)
-            cur, cur_len = tail, tail_len
-        cur.append(piece)
-        cur_len += len(piece)
-    if cur:
-        chunks.append("".join(cur))
-    return [c for c in (c.strip() for c in chunks) if c]
+            if good:
+                final_chunks.extend(
+                    _merge_splits(good, separator, chunk_size, overlap)
+                )
+                good = []
+            if not new_separators:
+                final_chunks.append(s)
+            else:
+                final_chunks.extend(
+                    _split_recursive(s, new_separators, chunk_size, overlap)
+                )
+    if good:
+        final_chunks.extend(
+            _merge_splits(good, separator, chunk_size, overlap)
+        )
+    return final_chunks
 
 
 def split_text_recursive(
@@ -142,11 +168,17 @@ def split_text_recursive(
     overlap: int = DEFAULT_OVERLAP,
     separators: list[str] | None = None,
 ) -> list[str]:
-    """Plain-Python recursive splitter (tested standalone)."""
+    """Plain-Python recursive splitter, matching the reference's
+    RecursiveCharacterTextSplitter(keep_separator=False) split/merge
+    semantics (splite_text/lang_chain_splitter.py:7-30): separators
+    are dropped on split, runs of small pieces are rejoined with the
+    separator under the chunk_size budget, and up to ``overlap``
+    trailing chars carry into the next chunk."""
     if not text:
         return []
-    pieces = _split_recursive(text, list(separators or SEPARATORS), chunk_size)
-    return _merge_splits(pieces, chunk_size, overlap)
+    return _split_recursive(
+        text, list(separators or SEPARATORS), chunk_size, overlap
+    )
 
 
 def chunk_recursive(
@@ -247,4 +279,53 @@ def chunk_semantic(
                 ).getField(sentence_col)
             ).alias("chunk")
         )
+    )
+
+
+def semantic_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    client_kind: str = "mock",
+    dim: int = 64,
+    threshold_type: str = "percentile",
+    threshold_amount: float = 0.95,
+) -> DataFrame:
+    """T2 end-to-end: sentence split → embed each sentence → cosine
+    distance between CONSECUTIVE sentences (dist on row i = distance
+    to sentence i+1, i.e. "break after i"; last sentence has no
+    forward distance) → per-doc threshold → segment concat. Mirrors
+    splite_text/semantic_splitter.py:11-49 with the embedding service
+    swapped for the pluggable client (mock in tests).
+
+    Map-only except the per-doc Windows/groupBy — one shuffle on
+    doc_id. Output: (doc_col, segment_id, chunk).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import dense_cosine
+    from .embedding import embed_text
+
+    sents = split_sentences(
+        df.select(doc_col, text_col), text_col
+    )
+    emb = embed_text(
+        sents, "sentence", client_kind, dim, hybrid=False
+    )
+    w = W.partitionBy(doc_col).orderBy("sentence_id")
+    nxt = F.lead("dense_embedding").over(w)
+    with_dist = emb.withColumn(
+        "dist",
+        F.when(
+            nxt.isNull(), F.lit(None).cast("double")
+        ).otherwise(1.0 - dense_cosine(F.col("dense_embedding"), nxt)),
+    ).drop("dense_embedding")
+    return chunk_semantic(
+        with_dist,
+        doc_col=doc_col,
+        dist_col="dist",
+        sentence_col="sentence",
+        order_col="sentence_id",
+        threshold_type=threshold_type,
+        threshold_amount=threshold_amount,
     )

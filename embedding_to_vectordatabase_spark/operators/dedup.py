@@ -20,15 +20,37 @@ phrases) are the classic hot key — ``ngram_pairs`` drops shingles above
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dense_cosine
+
+# df-pruning cap: shingles appearing in more docs than this are stop
+# phrases — dropping them bounds the inverted-index self-join fan-out
+# (the quadratic-per-hot-key failure mode at scale).
+DEFAULT_MAX_DOC_FREQ = 1000
 
 
 def normalize_text(c):
     """Lowercase, collapse whitespace — the canonical form hashing uses."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _hash64(col: Column, seed: int | None = None, hash_fn: str = "xxhash64") -> Column:
+    """Seeded 64-bit-ish hash of a string column.
+
+    - ``xxhash64``: native long hash — the fast production path.
+    - ``md5``: hex-string hash (seed folded into the input) — slower
+      but portable across engines, so duckdb-oracle checks can
+      reproduce signatures bit-for-bit. min/equality semantics are all
+      the minhash machinery needs, and hex strings order well.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5":
+        src = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
+        return F.md5(src)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use xxhash64|md5")
 
 
 def exact_duplicates(
@@ -102,7 +124,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
@@ -111,6 +133,11 @@ def ngram_jaccard_pairs(
     union by inclusion-exclusion. Never materializes all pairs —
     only pairs sharing >= 1 shingle. Output:
     (doc_a, doc_b, jaccard double) with doc_a < doc_b.
+
+    ``max_doc_freq`` prunes stop-phrase shingles (df-pruning) so no
+    single shingle key explodes the self-join; pass None only for
+    tiny corpora. Sizes are computed on the pruned posting set, so
+    the score is the exact Jaccard over the surviving shingle space.
     """
     postings = shingle_postings(df, text_col, id_col, n)
     if max_doc_freq is not None:
@@ -163,13 +190,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig array<long>[num_perm]) — minhash over word n-gram
-    shingles. Permutation h_i(s) = xxhash64(s, seed=i); min per doc.
-    All native exprs (xxhash64 + groupBy min) — no Python."""
+    """(doc_id, sig array[num_perm]) — minhash over word n-gram
+    shingles. Permutation h_i(s) = hash(s, seed=i); min per doc.
+    All native exprs (hash + groupBy min) — no Python. With
+    ``hash_fn='md5'`` the signature is engine-portable hex strings
+    (duckdb-oracle checkable); default xxhash64 longs are the fast
+    path."""
     postings = shingle_postings(df, text_col, id_col, n)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
+        F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"__h{i}")
         for i in range(num_perm)
     ]
     sig = postings.groupBy("doc_id").agg(*mins)
@@ -187,6 +218,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature (bands × r rows),
     bucket-join on (band, band-hash), then verify candidates with the
@@ -199,7 +231,13 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm, hash_fn)
+
+    def _band_bucket(b: int) -> Column:
+        elems = [F.element_at("sig", b * r + j + 1) for j in range(r)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *elems))
+        return F.xxhash64(*elems)
 
     banded = sig.select(
         "doc_id",
@@ -209,12 +247,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * r + j + 1)
-                                for j in range(r)
-                            ]
-                        ).alias("bucket"),
+                        _band_bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -256,12 +289,26 @@ def simhash_signatures(
     id_col: str = "doc_id",
     n: int = 2,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, simhash long): per shingle take xxhash64, each bit
+    """(doc_id, simhash long): per shingle take a 64-bit hash, each bit
     votes +1/-1, sign of the vote sum per bit position. Native exprs:
-    explode → per-bit conditional sums → bit reassembly."""
+    explode → per-bit conditional sums → bit reassembly.
+
+    Bit 63 is assembled with shiftleft so it lands in the long's sign
+    bit (the fingerprint is an opaque 64-bit pattern — a negative
+    value is fine; ``F.lit(2**63)`` would overflow LongType).
+    ``hash_fn='md5'`` derives the shingle hash from the first 15 hex
+    chars of md5 (60 usable bits) so a duckdb oracle can reproduce it;
+    bits must be <= 60 in that mode."""
+    if bits > 64 or (hash_fn == "md5" and bits > 60):
+        raise ValueError("bits must be <= 64 (<= 60 for md5 hash_fn)")
     postings = shingle_postings(df, text_col, id_col, n)
-    h = F.xxhash64(F.col("shingle"))
+    if hash_fn == "md5":
+        # conv(hex, 16, 10) == duckdb CAST('0x'||hex AS BIGINT): portable
+        h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("shingle"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -272,7 +319,8 @@ def simhash_signatures(
     out = F.lit(0).cast("long")
     for i in range(bits):
         out = out + F.when(
-            F.col(f"__v{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")
+            F.col(f"__v{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", out.alias("simhash"))
 
@@ -284,15 +332,19 @@ def simhash_pairs(
     n: int = 2,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidate generation by banding the 64-bit hash into ``bands``
-    16-bit blocks (pigeonhole: any pair within hamming distance
-    bands-1 shares at least one exact block); verify with bit_count.
-    Output: (doc_a, doc_b, hamming int)."""
-    sig = simhash_signatures(df, text_col, id_col, n)
-    width = 64 // bands
+    Candidate generation by banding the ``bits``-bit hash into
+    ``bands`` equal blocks (pigeonhole: any pair within hamming
+    distance bands-1 shares at least one exact block); verify with
+    bit_count. Output: (doc_a, doc_b, hamming int)."""
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    sig = simhash_signatures(df, text_col, id_col, n, bits, hash_fn)
+    width = bits // bands
     mask = (1 << width) - 1
     banded = sig.select(
         "doc_id",
@@ -334,12 +386,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.95,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
-    ``block_col`` (e.g. a cluster/label/LSH bucket) turns the all-pairs
-    crossJoin into an equi-join — mandatory at scale; pass None only
-    for small corpora. Output: (doc_a, doc_b, cosine double)."""
+    ``block_col`` (e.g. a cluster/label/LSH bucket — see
+    functions.vector.hyperplane_bucket) turns the all-pairs crossJoin
+    into an equi-join and is REQUIRED: an unblocked run is quadratic
+    in the corpus. Tiny-corpus tests may opt in to the cartesian form
+    explicitly with ``allow_full_cross=True``.
+    Output: (doc_a, doc_b, cosine double)."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_dup_pairs requires block_col (all-pairs "
+            "crossJoin is quadratic); pass allow_full_cross=True only "
+            "for tiny corpora"
+        )
     left = df.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("__va"),

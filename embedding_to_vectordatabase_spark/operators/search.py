@@ -7,27 +7,36 @@ SPARSE_INVERTED_INDEX/IP (:71-74), which is exactly the
 posexplode'd (token, weight, id) relational form below.
 
 Scale notes (100 TB):
-- ``dense_topk``: Q queries broadcast against the corpus; score is a
-  codegen'd expression, per-query top-k via Window. The corpus never
-  shuffles for scoring — only the (rows × Q) score stream shuffles,
-  and with k small the per-partition Window input can be pre-pruned.
-- ``ann_topk_bucketed``: random-hyperplane LSH coarse buckets turn the
-  crossJoin into an equi-join on bucket — the IVF-style scale path.
+- ``dense_topk``: queries broadcast to every task as a numpy matrix;
+  each Arrow batch scores via one BLAS matmul and emits only its LOCAL
+  top-k per query, so the shuffle into the global per-query Window is
+  <= batches × Q × k rows — the corpus itself never shuffles. (The
+  naive crossJoin+Window form, kept as ``dense_topk_crossjoin`` for
+  the oracle/explain tests, shuffles the full rows × Q score stream.)
+- ``ann_topk_bucketed``: seeded random-hyperplane LSH buckets turn the
+  crossJoin into an equi-join on bucket; the query side multi-probes
+  its hamming-1 neighbor buckets to recover near-boundary recall —
+  the IVF-style scale path.
 - ``sparse_topk_inverted``: inverted index as a relational join;
   shuffle is on token (bounded vocab), partial aggregation map-side.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import (
     dense_cosine,
     dense_ip,
     dense_l2,
+    random_hyperplanes,
     rerank_fusion,
-    sign_bucket,
 )
 
 DEFAULT_TOP_K = 5  # reference search default (milvus_connector.py:175)
@@ -47,6 +56,20 @@ def _score_col(metric: str, a, b):
     return fn(a, b), order
 
 
+def _query_matrix(
+    queries: DataFrame, query_id: str, query_vec: str
+) -> tuple[list, np.ndarray]:
+    """Collect the (small, broadcast-by-contract) query set to the
+    driver as a float64 matrix — the reference's search() call shape
+    (Q query vectors per request, milvus_connector.py:167-178)."""
+    rows = queries.select(query_id, query_vec).collect()
+    if not rows:
+        raise ValueError("queries DataFrame is empty")
+    qids = [r[0] for r in rows]
+    qmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return qids, qmat
+
+
 def dense_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,11 +80,91 @@ def dense_topk(
     k: int = DEFAULT_TOP_K,
     metric: str = "IP",
 ) -> DataFrame:
-    """Exact top-k per query: broadcast(queries) × corpus, native
-    score expr, rank <= k. Ties broken by corpus id for determinism.
+    """Exact top-k per query, pre-pruned: each Arrow batch scores all
+    queries with one BLAS matmul and emits only its local top-k per
+    query (ties broken by corpus id), then one tiny global Window
+    finishes. Shuffle volume <= batches × Q × k rows.
 
     Output: (query_id, <corpus_id>, score double, rank int).
     """
+    metric = metric.upper()
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
+    qids, qmat = _query_matrix(queries, query_id, query_vec)
+    if metric == "COSINE":
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorm[qnorm == 0] = 1.0
+
+    qid_field = queries.schema[query_id].dataType
+    cid_field = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field, False),
+            T.StructField(corpus_id, cid_field, False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    descending = metric != "L2"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            ids = pdf[corpus_id].to_numpy()
+            if metric == "IP":
+                S = X @ qmat.T
+            elif metric == "COSINE":
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                S = (X / xn) @ (qmat / qnorm).T
+            else:  # L2 — elementwise form, no cancellation-prone expansion
+                S = np.sqrt(
+                    ((X[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
+                )
+            kk = min(k, len(ids))
+            out = []
+            for qi in range(len(qids)):
+                s = S[:, qi]
+                # total order (score, id) so local pruning is exact
+                idx = np.lexsort((ids, -s if descending else s))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qids[qi]] * kk,
+                            corpus_id: ids[idx],
+                            "score": s[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        local_topk, out_schema
+    )
+    order = F.desc if descending else F.asc
+    w = Window.partitionBy("query_id").orderBy(
+        order("score"), F.asc(corpus_id)
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def dense_topk_crossjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    k: int = DEFAULT_TOP_K,
+    metric: str = "IP",
+) -> DataFrame:
+    """Pure-SQL exact top-k (broadcast crossJoin + native score expr +
+    Window). Same answers as ``dense_topk``; shuffles the full
+    rows × Q score stream, so it's the oracle/plan-readability form,
+    not the scale path."""
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -84,6 +187,24 @@ def dense_topk(
     )
 
 
+def _bucket_udf(planes: np.ndarray):
+    """Vectorized sign-LSH bucket id: one matmul per Arrow batch
+    (numpy broadcast of the plane matrix — the fast corpus-side path;
+    both sides MUST use this same kernel so boundary signs agree)."""
+    pm = planes.T  # (dim, bits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (X @ pm) > 0
+        return pd.Series((signs @ weights).astype(np.int32), index=vecs.index)
+
+    return bucket
+
+
 def ann_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,25 +215,55 @@ def ann_topk_bucketed(
     k: int = DEFAULT_TOP_K,
     metric: str = "IP",
     bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: sign-bucket LSH (axis-aligned hyperplanes on
-    the first ``bits`` dims) prunes the candidate set to the query's
-    bucket, then exact scoring within it. Equi-join on bucket replaces
-    the crossJoin — this is the 100 TB path (recall < 1.0 by design).
+    """Approximate top-k: seeded random-hyperplane LSH buckets prune
+    the candidate set, then exact scoring within the probed buckets.
+    Equi-join on bucket replaces the crossJoin — the 100 TB path.
+
+    The query side probes every bucket within hamming distance
+    ``probe_radius`` of its own (multi-probe), recovering the recall
+    lost to vectors near a hyperplane: probes = sum_{r<=R} C(bits, r)
+    of 2^bits buckets. Recall is data-dependent — clustered real
+    embeddings prune hard at radius 1; the driver's synthetic
+    near-random embeddings (top-5 cosine ~0.3) need bits=6,
+    probe_radius=3 for recall >= 0.9 (see tests/test_search.py) —
+    there is no free pruning on unstructured data.
     """
-    c = corpus.withColumn("__bucket", sign_bucket(F.col(corpus_vec), bits))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(query_vec).alias("__qvec"),
-        ).withColumn("__bucket", sign_bucket(F.col("__qvec"), bits))
-    )
+    import itertools
+
+    dim = len(queries.select(query_vec).first()[0])
+    planes = np.array(random_hyperplanes(bits, dim, seed))
+    bucket = _bucket_udf(planes)
+
+    c = corpus.withColumn("__bucket", bucket(F.col(corpus_vec)))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qvec"),
+    ).withColumn("__qbucket", bucket(F.col("__qvec")))
+    masks = [0] + [
+        sum(1 << i for i in combo)
+        for r in range(1, probe_radius + 1)
+        for combo in itertools.combinations(range(bits), r)
+    ]
+    if len(masks) > 1:
+        probes = F.array(
+            *[F.col("__qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        q = q.select(
+            "query_id",
+            "__qvec",
+            F.explode(probes).alias("__bucket"),
+        )
+    else:
+        q = q.withColumnRenamed("__qbucket", "__bucket")
     score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
     )
     return (
-        c.join(q, "__bucket")
+        c.join(F.broadcast(q), "__bucket")
         .select("query_id", corpus_id, score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

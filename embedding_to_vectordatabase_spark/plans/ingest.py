@@ -34,7 +34,7 @@ from ..operators.chunking import (
 )
 from ..operators.embedding import embed_text
 from ..operators.joins import anti_join_ingested, registry_lookup
-from ..sources.corpus import with_file_name, with_row_numbers
+from ..sources.corpus import with_file_name, with_row_numbers_scalable
 
 
 @dataclass
@@ -75,7 +75,18 @@ def ingest(
     """
     cfg = config or IngestConfig()
 
-    numbered = with_row_numbers(docs, order_by=["title", "content"])
+    # W1: documented bypass — reuse an existing unique id as the row
+    # number; otherwise scalable two-phase numbering (no global sort,
+    # VERDICT r1 perf item 1). Ties on identical (title, content) get
+    # a deterministic order from the full orderBy inside each bucket.
+    if "row_no" in docs.columns:
+        numbered = docs
+    elif "doc_id" in docs.columns:
+        numbered = docs.withColumn("row_no", F.col("doc_id").cast("long"))
+    else:
+        numbered = with_row_numbers_scalable(
+            docs, order_by=["title", "content"]
+        )
     named = with_file_name(numbered)
 
     matched, unmatched = registry_lookup(named, registry)

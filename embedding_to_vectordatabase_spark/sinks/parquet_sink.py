@@ -104,6 +104,18 @@ class VectorDBBulkLoader:
         return False
 
 
+def drop_collection(spark: SparkSession, path: str) -> bool:
+    """K8: drop the whole collection — delete the parquet store path
+    (vector_database/milvus_connector.py:185-187). Goes through the
+    Hadoop FileSystem API so it works on file:// / hdfs:// / s3a://
+    alike. Returns True when the path existed and was removed."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.delete(jpath, True))
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate: str, out_path: str
 ) -> None:

@@ -38,6 +38,48 @@ def with_row_numbers(
     return df.withColumn(out_col, F.row_number().over(w))
 
 
+def with_row_numbers_scalable(
+    df: DataFrame,
+    order_by: list[str],
+    out_col: str = "row_no",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """W1 at fact scale: deterministic unique 1..N numbering with NO
+    single-partition exchange.
+
+    Two-phase rank: rows hash into ``num_buckets`` buckets, each bucket
+    sorts locally (parallel), and a tiny cumulative-offset table (one
+    row per bucket — the only global sort, over <=num_buckets rows) is
+    broadcast back. The numbering is a deterministic bijection of the
+    input (same data ⇒ same numbers) but NOT the global sort order of
+    ``order_by`` — the reference's own numbering was thread-arrival
+    order (load_data/json_batch_reader.py:31,69-77), so uniqueness +
+    determinism is the contract, not sortedness. Use
+    ``with_row_numbers`` when global order matters on dimension-scale
+    input."""
+    cols = [F.col(c) for c in order_by]
+    bucket = F.pmod(F.xxhash64(*cols), F.lit(num_buckets)).cast("int")
+    local_w = Window.partitionBy("__bucket").orderBy(*cols)
+    local = df.withColumn("__bucket", bucket).withColumn(
+        "__lrn", F.row_number().over(local_w)
+    )
+    # per-bucket counts → exclusive prefix sums; num_buckets rows total
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__bucket")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)))
+        .drop("__cnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__bucket", "__lrn", "__off")
+    )
+
+
 def row_range(
     df: DataFrame, start: int, end: int, row_col: str = "row_no"
 ) -> DataFrame:

@@ -37,7 +37,15 @@ def stream_ingest_jsonl(
     available_now: bool = True,
 ) -> StreamingQuery:
     """File-source streaming ingest: each micro-batch runs the batch
-    ingest plan via foreachBatch and appends parquet idempotently."""
+    ingest plan via foreachBatch and writes parquet idempotently.
+
+    ST3 idempotency: each micro-batch OVERWRITES its own
+    ``batch_id=<n>`` partition directory under ``out_dir``. A batch
+    replayed after a crash between the data write and the checkpoint
+    commit rewrites the same directory instead of appending
+    duplicates (exactly-once output for a deterministic batch_fn).
+    Read the sink with ``spark.read.parquet(out_dir)`` — the
+    ``batch_id`` partition column is part of the sink schema."""
     from ..plans.ingest import IngestConfig, ingest
 
     stream = (
@@ -51,7 +59,7 @@ def stream_ingest_jsonl(
             out = batch_fn(batch_df, registry)
         else:
             out, _ = ingest(batch_df, registry, config=IngestConfig())
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
