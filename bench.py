@@ -1,0 +1,95 @@
+"""Benchmark harness — the driver runs this per-round and records the
+JSON line against BASELINE.md.
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full materialization through the
+noop sink (no driver-side collect in the timed path), plus the
+end-to-end ingest pipeline throughput (A3 parity: rows/s + per-stage
+seconds, mirroring baai_m3_simple_server/thread_test.py:59-71).
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "ingest_chunks": N, "ingest_chunks_per_s": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational core over lineitem/orders/customer (the shuffle-heavy set)
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    # event analytics (window functions, sessionization)
+    "st_windowed_event_counts",
+    "st_sessionize",
+    # vector search (flagship O4/J4 path + inverted sparse)
+    "o4_dense_topk",
+    "sparse_topk_inverted",
+    # dedup families over documents
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    # text analytics map-only pass
+    "profile_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry
+    from embedding_to_vectordatabase_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+
+    def materialize(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # end-to-end ingest throughput (chunks/s through chunk+embed+format)
+    t0 = time.time()
+    chunks = entry._q_ingest_chunks(spark, sf_dir)
+    n_chunks = chunks.count()
+    ingest_sec = round(time.time() - t0, 3)
+    timings["ingest_e2e"] = ingest_sec
+    total += ingest_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_chunks": n_chunks,
+                "ingest_chunks_per_s": round(n_chunks / max(ingest_sec, 1e-9), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
