@@ -952,7 +952,7 @@ def _q_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ann_topk_bucketed(
-        emb, q, k=5, metric="COSINE", bits=6, probe_radius=3
+        emb, q, k=5, metric="COSINE", bits=6, probe_radius=4
     )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"

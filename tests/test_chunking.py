@@ -1,0 +1,126 @@
+"""Chunking goldens: recursive splitter boundary/overlap semantics
+(RecursiveCharacterTextSplitter keep_separator=False parity per
+splite_text/lang_chain_splitter.py:7-30), fixed windows, sentence
+split, semantic segmentation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.operators.chunking import (
+    chunk_fixed,
+    chunk_recursive,
+    semantic_chunk_documents,
+    split_sentences,
+    split_text_recursive,
+)
+
+
+class TestSplitTextRecursive:
+    def test_empty(self):
+        assert split_text_recursive("") == []
+        assert split_text_recursive(None) == []
+
+    def test_short_text_single_chunk(self):
+        assert split_text_recursive("hello world", 100, 10) == ["hello world"]
+
+    def test_separator_dropped_and_rejoined(self):
+        # keep_separator=False: pieces split on 。 then rejoined WITH 。
+        # while under the budget (separator length counted)
+        out = split_text_recursive("aa。bb。cc", 8, 0)
+        assert out == ["aa。bb。cc"]  # 8 chars, fits exactly
+        out = split_text_recursive("aa。bb。cc", 5, 0)
+        assert out == ["aa。bb", "cc"]
+
+    def test_overlap_carries_tail_pieces(self):
+        out = split_text_recursive("aaa。bbb。ccc。ddd", 8, 3)
+        # merge runs: [aaa,bbb] then overlap carries bbb into next chunk
+        assert out == ["aaa。bbb", "bbb。ccc", "ccc。ddd"]
+
+    def test_unsplittable_run_passes_through_whole(self):
+        # reference parity: the separator list has no "" fallback, so a
+        # run containing no separator is emitted oversized, exactly as
+        # RecursiveCharacterTextSplitter does with that separator list
+        out = split_text_recursive("x" * 25, 10, 0)
+        assert out == ["x" * 25]
+
+    def test_empty_separator_enables_char_fallback(self):
+        # opting into the "" terminal separator restores hard-wrapping
+        out = split_text_recursive(
+            "x" * 25, 10, 0, separators=["。", ""]
+        )
+        assert out == ["x" * 10, "x" * 10, "x" * 5]
+
+    def test_separator_priority_order(self):
+        # "\n" ranks above "。" so the newline split happens first
+        out = split_text_recursive("aa。bb\ncc。dd", 6, 0)
+        assert out == ["aa。bb", "cc。dd"]
+
+    def test_chunks_respect_budget(self):
+        text = "word " * 200
+        for c in split_text_recursive(text, 50, 10):
+            assert len(c) <= 50
+
+
+def test_chunk_recursive_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa。bbb。ccc。ddd"), (2, ""), (3, None)],
+        "doc_id long, content string",
+    )
+    out = chunk_recursive(df, "content", 8, 3).collect()
+    # empty/null docs yield 0 rows (embed_to_milvus.py:93,101-103)
+    assert {r["doc_id"] for r in out} == {1}
+    assert [r["chunk"] for r in sorted(out, key=lambda r: r["block_id"])] == [
+        "aaa。bbb", "bbb。ccc", "ccc。ddd",
+    ]
+    assert [r["block_id"] for r in sorted(out, key=lambda r: r["block_id"])] == [0, 1, 2]
+
+
+def test_chunk_fixed_windows(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, content string")
+    out = sorted(
+        chunk_fixed(df, "content", chunk_size=4, overlap=2).collect(),
+        key=lambda r: r["block_id"],
+    )
+    # stride 2: windows starting at 0,2,4,6,8 -> last full window covers the end
+    chunks = [r["chunk"] for r in out]
+    assert chunks[0] == "abcd"
+    assert chunks[1] == "cdef"
+    assert "".join(c[:2] for c in chunks) + chunks[-1][2:] == "abcdefghij"
+
+
+def test_split_sentences_ids_are_dense(spark):
+    df = spark.createDataFrame(
+        [(1, "第一句。第二句！第三句？tail")], "doc_id long, content string"
+    )
+    out = sorted(
+        split_sentences(df, "content").collect(), key=lambda r: r["sentence_id"]
+    )
+    assert [r["sentence_id"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["sentence"] == "第一句。"
+    assert out[-1]["sentence"] == "tail"
+
+
+def test_semantic_chunking_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, "猫吃鱼。猫喝水。股市大涨。股市大跌。")],
+        "doc_id long, text string",
+    )
+    out = semantic_chunk_documents(
+        df, "text", "doc_id", dim=16, threshold_amount=0.5
+    ).collect()
+    # all sentences survive, concatenated in order within segments
+    joined = "".join(
+        r["chunk"] for r in sorted(out, key=lambda r: r["segment_id"])
+    )
+    assert joined == "猫吃鱼。猫喝水。股市大涨。股市大跌。"
+    assert len(out) >= 2  # the 0.5-percentile threshold forces breaks
+
+
+def test_semantic_chunk_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c。 d e f。 g h i。")], "doc_id long, text string"
+    )
+    a = semantic_chunk_documents(df, "text", "doc_id", dim=16).collect()
+    b = semantic_chunk_documents(df, "text", "doc_id", dim=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,135 @@
+"""Text analytics, multimodal plumbing, LLM labeling, load metrics,
+joins, and the harness contract itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.operators.joins import (
+    anti_join_ingested,
+    kb_scoped_registry,
+    registry_lookup,
+)
+from embedding_to_vectordatabase_spark.operators.labeling import (
+    label_documents,
+)
+from embedding_to_vectordatabase_spark.operators.metrics import load_metrics
+from embedding_to_vectordatabase_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_media_features,
+)
+from embedding_to_vectordatabase_spark.operators.textanalysis import (
+    profile_documents,
+)
+
+
+def test_lang_id_and_profile(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is here"),
+        (2, "der Hund und die Katze sind mit dem Ball"),
+        (3, "这是一个中文文档"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r["doc_id"]: r for r in profile_documents(df).collect()}
+    assert prof[1]["pred_lang"] == "en"
+    assert prof[2]["pred_lang"] == "de"
+    assert prof[3]["pred_lang"] == "zh"
+    assert prof[4]["pred_lang"] == "und"
+    assert prof[1]["n_tokens"] == 11
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    # fingerprint is order-insensitive over the word set
+    df2 = spark.createDataFrame(
+        [(1, "mat the on is cat the and here dog the is")],
+        "doc_id long, text string",
+    )
+    fp2 = profile_documents(df2).first()["fingerprint"]
+    assert fp2 == prof[1]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"pretend-png-bytes")), (2, bytearray(b"x"))],
+        "media_id long, payload binary",
+    )
+    meta = attach_media_meta(df, media_type="image", fmt="png")
+    got = {r["media_id"]: r["meta"] for r in meta.collect()}
+    assert got[1]["n_bytes"] == 17
+    assert got[1]["media_type"] == "image"
+
+    feats = extract_media_features(df, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    again = extract_media_features(df, dim=8).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+
+
+def test_labeling_rules(spark):
+    rows = [
+        (1, "a document about VECTOR search"),
+        (2, "streams and stream processing"),
+        (3, "join strategies in databases"),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["label"] for r in label_documents(df).collect()}
+    assert got == {
+        1: "vector-workload", 2: "streaming", 3: "relational", 4: "other"
+    }
+
+
+def test_load_metrics(spark):
+    rows = [
+        ("2024-01-01 00:00:00", 100.0, 10),
+        ("2024-01-01 00:00:10", 300.0, 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, latency_ms double, rows long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    m = load_metrics(df, rows_col="rows").first()
+    assert m["n_requests"] == 2
+    assert m["duration_s"] == 10.0
+    assert m["requests_per_s"] == pytest.approx(0.2)
+    assert m["avg_latency_ms"] == pytest.approx(200.0)
+    assert m["rows_per_s"] == pytest.approx(4.0)
+
+
+def test_registry_lookup_split(spark):
+    docs = spark.createDataFrame(
+        [(1, "a.pdf"), (2, "b.pdf"), (3, "missing.pdf")],
+        "doc_id long, file_name string",
+    )
+    registry = spark.createDataFrame(
+        [(10, "a.pdf"), (20, "b.pdf")], "id long, name string"
+    )
+    matched, unmatched = registry_lookup(docs, registry)
+    assert {r["file_id"] for r in matched.collect()} == {10, 20}
+    assert [r["doc_id"] for r in unmatched.collect()] == [3]
+
+
+def test_anti_join_and_kb_scope(spark):
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "file_id long")
+    ingested = spark.createDataFrame([(2,)], "file_id long")
+    assert {r["file_id"] for r in anti_join_ingested(docs, ingested).collect()} == {1, 3}
+
+    reg = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, "c", 9)],
+        "id long, name string, konwledge_base_id int",
+    )
+    assert [r["id"] for r in kb_scoped_registry(reg, 7).collect()] == [1, 2]
+
+
+def test_harness_contract():
+    """Every queries() entry is callable; every oracle key exists."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    assert len(qs) >= 50
+    assert set(sqls) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    # at most a handful of rows-only entries (model-boundary ops)
+    assert len(set(qs) - set(sqls)) <= 8

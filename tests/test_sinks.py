@@ -1,0 +1,84 @@
+"""Sinks: rotating parquet (K1), per-file stats readback (A1/K3),
+manager totals (A2), bulk-load poll loop (K5), delete-where rewrite
+(K7), drop collection (K8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+    VectorDBBulkLoader,
+    delete_where,
+    drop_collection,
+    file_stats,
+    manager_stats,
+    write_rotating_parquet,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("file_id"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "chunks")
+    write_rotating_parquet(df, path, max_records_per_file=30)
+    return path
+
+
+def test_rotation_caps_records_per_file(spark, store):
+    stats = file_stats(spark, store).collect()
+    assert sum(r["record_count"] for r in stats) == 100
+    assert all(r["record_count"] <= 30 for r in stats)
+    assert len(stats) >= 4  # 100 rows / cap 30
+
+
+def test_file_stats_min_max(spark, store):
+    for r in file_stats(spark, store).collect():
+        assert r["min_id"] <= r["max_id"]
+
+
+def test_manager_stats_totals(spark, store):
+    total = manager_stats(file_stats(spark, store)).first()
+    assert total["total_records"] == 100
+    assert total["global_min_id"] == 0
+    assert total["global_max_id"] == 99
+
+
+def test_bulk_loader_poll_loop():
+    states = iter(["Pending", "Pending", "Completed"])
+    seen = []
+    loader = VectorDBBulkLoader(
+        do_import=lambda files: seen.append(files) or "task-1",
+        get_state=lambda tid: next(states),
+        poll_interval_s=0.01,
+        timeout_s=5,
+    )
+    assert loader.load(["f1.parquet"]) is True
+    assert seen == [["f1.parquet"]]
+
+    loader_fail = VectorDBBulkLoader(
+        do_import=lambda files: "t2",
+        get_state=lambda tid: "Failed",
+        poll_interval_s=0.01,
+        timeout_s=5,
+    )
+    assert loader_fail.load(["f2.parquet"]) is False
+
+
+def test_delete_where_rewrite(spark, store, tmp_path):
+    out = str(tmp_path / "after_delete")
+    delete_where(spark, store, "file_id < 50", out)
+    left = spark.read.parquet(out)
+    assert left.count() == 50
+    assert left.agg(F.min("file_id")).first()[0] == 50
+
+
+def test_drop_collection(spark, store):
+    assert os.path.exists(store)
+    assert drop_collection(spark, store) is True
+    assert not os.path.exists(store)
+    assert drop_collection(spark, store) is False  # already gone

@@ -1,0 +1,109 @@
+"""Golden tests for the native text scalar functions (SURVEY §5:
+clean_title CJK/truncate/untitled cases from util/clean_data.py:3-9,
+cast_sparse_keys bad-key from util/clean_data.py:28-40)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.functions.text import (
+    cast_sparse_keys,
+    clean_title,
+    derive_file_name,
+    reformat_doc,
+    swap_extension,
+    token_count,
+    word_count,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def _title(spark, s):
+    return spark.createDataFrame([(s,)], "t string").select(
+        clean_title(F.col("t")).alias("v")
+    ).first()["v"]
+
+
+class TestCleanTitle:
+    def test_cjk_kept_punct_stripped(self, spark):
+        # the reference's own smoke case shape (clean_data.py:42-44)
+        assert _title(spark, "《新闻 标题》2024!") == "新闻标题2024"
+
+    def test_ascii_alnum_kept(self, spark):
+        assert _title(spark, "  Hello, World! 42  ") == "HelloWorld42"
+
+    def test_truncates_to_50(self, spark):
+        out = _title(spark, "x" * 80)
+        assert out == "x" * 50
+
+    def test_untitled_fallbacks(self, spark):
+        assert _title(spark, "") == "untitled"
+        assert _title(spark, "!!! ---") == "untitled"
+        assert _title(spark, None) == "untitled"
+
+
+class TestReformat:
+    def test_full_template(self, spark):
+        out = _one(
+            spark,
+            reformat_doc(
+                F.lit("T"), F.lit("2024"), F.lit("S"), F.lit("body")
+            ),
+        )
+        assert out == "[标题]:T\n[时间]:2024\n[来源]:S\n\nbody"
+
+    def test_defaults_for_missing(self, spark):
+        null = F.lit(None).cast("string")
+        out = _one(spark, reformat_doc(null, null, null, null))
+        assert out == "[标题]:无标题\n[时间]:无时间\n[来源]:无来源\n\n无内容"
+
+
+class TestSparseKeyCast:
+    def test_good_keys_cast(self, spark):
+        df = spark.sql(
+            "SELECT map('1', CAST(0.5 AS FLOAT), '42', CAST(1.0 AS FLOAT)) AS m"
+        )
+        out = df.select(cast_sparse_keys(F.col("m")).alias("v")).first()["v"]
+        assert out == {1: 0.5, 42: 1.0}
+
+    def test_bad_key_nulls_row_not_batch(self, spark):
+        df = spark.sql(
+            "SELECT 1 AS id, map('1', CAST(0.5 AS FLOAT)) AS m "
+            "UNION ALL SELECT 2, map('oops', CAST(0.5 AS FLOAT))"
+        )
+        rows = {
+            r["id"]: r["v"]
+            for r in df.select(
+                "id", cast_sparse_keys(F.col("m")).alias("v")
+            ).collect()
+        }
+        assert rows[1] == {1: 0.5}  # good row survives (no batch poisoning)
+        assert rows[2] is None
+
+
+def test_file_name_and_extension(spark):
+    df = spark.createDataFrame([("我的 文档!", 7)], "t string, n long")
+    name = df.select(
+        derive_file_name(F.col("t"), F.col("n")).alias("v")
+    ).first()["v"]
+    assert name == "我的文档_7.pdf"
+    out = df.select(
+        swap_extension(F.lit("我的文档_7.pdf")).alias("v")
+    ).first()["v"]
+    assert out == "我的文档_7.txt"
+
+
+def test_word_and_token_count(spark):
+    df = spark.createDataFrame(
+        [("你好世界", 4, 1), ("a  b\tc", 6, 3), ("", 0, 0), ("  ", 2, 0)],
+        "t string, wc long, tc long",
+    )
+    bad = df.select(
+        "wc", "tc",
+        word_count(F.col("t")).alias("w"),
+        token_count(F.col("t")).alias("k"),
+    ).where((F.col("w") != F.col("wc")) | (F.col("k") != F.col("tc")))
+    assert bad.count() == 0

@@ -1,0 +1,89 @@
+"""V4/V5/V6/V7 similarity expressions vs a numpy oracle (SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.functions.vector import (
+    dense_cosine,
+    dense_ip,
+    dense_l2,
+    dense_norm,
+    random_hyperplanes,
+    rerank_fusion,
+    sparse_ip,
+)
+
+A = [0.5, -1.25, 3.0, 0.0]
+B = [2.0, 0.5, -1.0, 4.0]
+
+
+@pytest.fixture(scope="module")
+def pair_df(spark):
+    return spark.createDataFrame(
+        [(A, B)], "a array<float>, b array<float>"
+    )
+
+
+def test_dense_ip_matches_numpy(pair_df):
+    got = pair_df.select(dense_ip(F.col("a"), F.col("b")).alias("v")).first()["v"]
+    assert got == pytest.approx(float(np.dot(A, B)), abs=1e-9)
+
+
+def test_dense_l2_matches_numpy(pair_df):
+    got = pair_df.select(dense_l2(F.col("a"), F.col("b")).alias("v")).first()["v"]
+    assert got == pytest.approx(
+        float(np.linalg.norm(np.array(A) - np.array(B))), abs=1e-9
+    )
+
+
+def test_dense_cosine_matches_numpy(pair_df):
+    got = pair_df.select(dense_cosine(F.col("a"), F.col("b")).alias("v")).first()["v"]
+    want = np.dot(A, B) / (np.linalg.norm(A) * np.linalg.norm(B))
+    assert got == pytest.approx(float(want), abs=1e-9)
+
+
+def test_dense_norm(pair_df):
+    got = pair_df.select(dense_norm(F.col("a")).alias("v")).first()["v"]
+    assert got == pytest.approx(float(np.linalg.norm(A)), abs=1e-9)
+
+
+def test_sparse_ip_shared_keys_only(spark):
+    df = spark.sql(
+        "SELECT map(1, CAST(0.5 AS FLOAT), 7, CAST(2.0 AS FLOAT)) AS q, "
+        "map(7, CAST(3.0 AS FLOAT), 9, CAST(1.0 AS FLOAT)) AS d"
+    )
+    got = df.select(sparse_ip(F.col("q"), F.col("d")).alias("v")).first()["v"]
+    assert got == pytest.approx(2.0 * 3.0, abs=1e-9)  # only key 7 shared
+
+
+def test_sparse_ip_no_overlap_is_zero(spark):
+    df = spark.sql(
+        "SELECT map(1, CAST(0.5 AS FLOAT)) AS q, map(2, CAST(3.0 AS FLOAT)) AS d"
+    )
+    got = df.select(sparse_ip(F.col("q"), F.col("d")).alias("v")).first()["v"]
+    assert got == 0.0
+
+
+def test_rerank_fusion_weights(spark):
+    # 0.4/0.2/0.4 (baai_m3_simple_server/m3_server.py:17)
+    df = spark.range(1).select(
+        rerank_fusion(F.lit(1.0), F.lit(1.0), F.lit(1.0)).alias("all1"),
+        rerank_fusion(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("c"),
+        rerank_fusion(F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("s"),
+    )
+    r = df.first()
+    assert r["all1"] == pytest.approx(1.0)
+    assert r["c"] == pytest.approx(0.4)
+    assert r["s"] == pytest.approx(0.2)
+
+
+def test_random_hyperplanes_seeded():
+    a = random_hyperplanes(4, 8, seed=7)
+    b = random_hyperplanes(4, 8, seed=7)
+    c = random_hyperplanes(4, 8, seed=8)
+    assert a == b
+    assert a != c
+    assert len(a) == 4 and len(a[0]) == 8
