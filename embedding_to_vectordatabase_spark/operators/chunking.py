@@ -188,7 +188,11 @@ def chunk_recursive(
     overlap: int = DEFAULT_OVERLAP,
 ) -> DataFrame:
     """Separator-aware recursive chunking; Arrow-batched pandas UDF for
-    the string work, native posexplode for the fan-out."""
+    the string work, native posexplode for the fan-out. Under-parallel
+    inputs are re-spread so the Python splitter runs on every core."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _split(texts: pd.Series) -> pd.Series:

@@ -63,6 +63,9 @@ def exact_duplicates(
     hash with the member count and the keeper (min id); ``min_dups=1``
     returns the full hash inventory.
     Output: (content_hash, n_dups, keep_id)."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
@@ -80,6 +83,9 @@ def exact_duplicates(
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one doc per normalized-content hash (the min id) —
     the dedup you run before anything expensive."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     w = Window.partitionBy(
         F.md5(normalize_text(F.col(text_col)))
     ).orderBy(F.col(id_col))
@@ -108,7 +114,12 @@ def shingle_postings(
     n: int = 3,
 ) -> DataFrame:
     """(doc_id, shingle) distinct posting rows; docs shorter than n
-    words contribute their whole text as one shingle."""
+    words contribute their whole text as one shingle. The input is
+    re-spread first when it arrives under-parallel (small-file corpus)
+    so the ~100× explode fan-out uses every core; no-op at scale."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -309,18 +320,37 @@ def simhash_signatures(
         h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64(F.col("shingle"))
-    votes = [
+    # Per-bit ±1 votes reduce to set-bit counts: vote_i > 0 ⇔ 2c_i > n.
+    # Two 32-bit count lanes pack into each long accumulator (bits i and
+    # i+bits/2), halving the aggregate buffer count — the generated
+    # aggregation code for 64 separate sums is large enough that its
+    # first-run JIT compile dominates small jobs. Lane math is overflow-
+    # safe under ANSI: sum <= n*(1+2^32), fine for n < 2^31 shingles/doc.
+    half = bits // 2
+    one = F.lit(1).cast("long")
+    if bits % 2:
+        raise ValueError("bits must be even")
+    terms = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{i}")
-        for i in range(bits)
+            F.shiftright(h, i).bitwiseAND(one)
+            + F.shiftleft(
+                F.shiftright(h, i + half).bitwiseAND(one), 32
+            )
+        ).alias(f"__s{i}")
+        for i in range(half)
     ]
-    agg = postings.groupBy("doc_id").agg(*votes)
+    agg = postings.groupBy("doc_id").agg(
+        F.count("*").alias("__n"), *terms
+    )
     out = F.lit(0).cast("long")
-    for i in range(bits):
+    for i in range(half):
+        c_lo = F.col(f"__s{i}").bitwiseAND(F.lit((1 << 32) - 1))
+        c_hi = F.shiftrightunsigned(F.col(f"__s{i}"), 32)
         out = out + F.when(
-            F.col(f"__v{i}") > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
+            c_lo * 2 > F.col("__n"), F.shiftleft(one, i)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out + F.when(
+            c_hi * 2 > F.col("__n"), F.shiftleft(one, i + half)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", out.alias("simhash"))
 

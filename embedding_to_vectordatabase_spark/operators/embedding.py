@@ -166,9 +166,13 @@ def embed_text(
     hybrid: bool = True,
 ) -> DataFrame:
     """Append dense_embedding (+ sparse_embedding when hybrid) columns
-    via one Arrow-batched mapInPandas stage. Map-only: no shuffle; the
+    via one Arrow-batched mapInPandas stage. Map-only: no shuffle (an
+    under-parallel input is re-spread first so every core embeds); the
     Arrow batch (session.ARROW_BATCH_ROWS) is the GPU/HTTP micro-batch.
     """
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     fields = list(df.schema.fields) + [
         T.StructField(
             "dense_embedding", T.ArrayType(T.FloatType(), False), False

@@ -92,7 +92,11 @@ def doc_fingerprint(text: Column) -> Column:
 def profile_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One-pass per-document text profile (map-only)."""
+    """One-pass per-document text profile (map-only; under-parallel
+    inputs re-spread so the regex-heavy pass uses every core)."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     words = F.split(normalize_text(t), " ")
     return df.select(
