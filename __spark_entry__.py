@@ -281,6 +281,72 @@ FROM generate_series(0, 99) t(x)
 """
 
 
+def _q_s1_jsonl_scan(spark, sf_dir):
+    """S1: JSONL corpus scan with the explicit DOC schema (no
+    inference) — deterministic fixture written to tmp, read back
+    through the source; the oracle regenerates the same rows."""
+    import json
+    import os
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.sources.corpus import read_jsonl
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_s1.jsonl")
+    with open(path, "w") as f:
+        for i in range(100):
+            f.write(
+                json.dumps(
+                    {
+                        "title": f"Title {i}",
+                        "pub_time": "2025-04-27",
+                        "source": "synthetic",
+                        "content": f"document body {i}",
+                    }
+                )
+                + "\n"
+            )
+    return read_jsonl(spark, path)
+
+
+_SQL_S1 = """
+SELECT 'Title ' || CAST(x AS VARCHAR) AS title,
+       '2025-04-27' AS pub_time,
+       'synthetic' AS source,
+       'document body ' || CAST(x AS VARCHAR) AS content
+FROM generate_series(0, 99) t(x)
+"""
+
+
+def _q_s5_whole_files(spark, sf_dir):
+    """S5: one row per whole text file (the HDFS reader shape);
+    deterministic fixture files, machine paths reduced to basenames."""
+    import os
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.sources.corpus import (
+        read_whole_files,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_s5")
+    os.makedirs(d, exist_ok=True)
+    for i in range(5):
+        with open(os.path.join(d, f"doc_{i}.txt"), "w") as f:
+            f.write(f"contents of 文档 {i}")
+    return read_whole_files(spark, d).select(
+        F.regexp_extract(F.col("file_path"), r"([^/]+)$", 1).alias("fname"),
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+_SQL_S5_WHOLE = """
+SELECT 'doc_' || CAST(x AS VARCHAR) || '.txt' AS fname,
+       'contents of 文档 ' || CAST(x AS VARCHAR) AS content,
+       CAST(length('contents of 文档 ' || CAST(x AS VARCHAR)) AS BIGINT) AS word_count
+FROM generate_series(0, 4) t(x)
+"""
+
+
 def _q_w1_row_numbers(spark, sf_dir):
     from embedding_to_vectordatabase_spark.sources.corpus import (
         with_row_numbers,
@@ -940,6 +1006,23 @@ FROM (
 """
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    """Rows-only: seeded-kmeans centroids aren't SQL-reproducible;
+    recall + determinism asserted in tests/test_search.py."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_ivf(emb, q, k=5, metric="COSINE", nlist=16, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """Rows-only: LSH planes are seeded numpy, not SQL-reproducible;
     recall vs dense_topk is asserted in tests/test_search.py."""
@@ -1527,6 +1610,8 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("s4_file_name", _q_s4_file_name, _SQL_S4),
     ("s5_swap_extension", _q_s5_swap_extension, _SQL_S5),
     ("s10_generate_corpus", _q_s10_generate, _SQL_S10),
+    ("s1_jsonl_scan", _q_s1_jsonl_scan, _SQL_S1),
+    ("s5_whole_files", _q_s5_whole_files, _SQL_S5_WHOLE),
     ("w1_row_numbers", _q_w1_row_numbers, _SQL_W1),
     ("w1_row_numbers_scalable", _q_w1_scalable, _SQL_W1_SCALABLE),
     ("s2_row_range", _q_s2_row_range, _SQL_S2),
@@ -1553,6 +1638,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),
     ("ann_topk_bucketed", _q_ann_topk, None),
+    ("ann_topk_ivf", _q_ann_topk_ivf, None),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),

@@ -270,6 +270,109 @@ def ann_topk_bucketed(
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    k: int = DEFAULT_TOP_K,
+    metric: str = "IP",
+    nlist: int = 128,
+    nprobe: int = 10,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer (the
+    reference's dense index family — nlist=128 / nprobe=10 are its own
+    DDL + search defaults, vector_database/milvus_connector.py:65-69,
+    168-169), centroids trained on a sample, corpus partitioned by
+    nearest centroid, queries probing their ``nprobe`` nearest lists.
+
+    Plan shape: centroid fit on a driver-side sample (bounded), then
+    ONE map-only pass assigns corpus rows to lists (numpy matmul per
+    Arrow batch), an equi-join on list id prunes candidates to
+    ~nprobe/nlist of the corpus, exact scoring + per-query Window
+    finish. On clustered real embeddings this is the high-recall
+    pruning path; LSH (``ann_topk_bucketed``) needs no training.
+    """
+    import numpy as np
+
+    metric = metric.upper()
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
+
+    # --- train centroids on a bounded sample (driver-side numpy kmeans)
+    n_corpus = corpus.count()
+    nlist = max(1, min(nlist, n_corpus))
+    if train_fraction is None:
+        train_fraction = min(1.0, (nlist * 50) / max(n_corpus, 1))
+    sample = corpus.select(corpus_vec).sample(
+        fraction=train_fraction, seed=seed
+    ).collect()
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    if len(X) < nlist:
+        X = np.array(
+            [list(r[0]) for r in corpus.select(corpus_vec).limit(nlist).collect()],
+            dtype=np.float64,
+        )
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=nlist, replace=False)]
+    for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+
+    cm = cent.T  # (dim, nlist)
+    c2 = (cent**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ cm)  # ||v-c||² up to +||v||²
+        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    npb = min(nprobe, nlist)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ cm)
+        idx = np.argsort(d, axis=1)[:, :npb]
+        return pd.Series([row.astype("int32").tolist() for row in idx],
+                         index=vecs.index)
+
+    c = corpus.withColumn("__list", nearest_list(F.col(corpus_vec)))
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qvec"),
+        )
+        .withColumn("__probes", probe_lists(F.col("__qvec")))
+        .select(
+            "query_id", "__qvec", F.explode("__probes").alias("__list")
+        )
+    )
+    score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    w = Window.partitionBy("query_id").orderBy(
+        order("score"), F.asc(corpus_id)
+    )
+    return (
+        c.join(F.broadcast(q), "__list")
+        .select("query_id", corpus_id, score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def sparse_topk_inverted(
     corpus_postings: DataFrame,
     query_postings: DataFrame,

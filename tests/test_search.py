@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from embedding_to_vectordatabase_spark.operators.search import (
     ann_topk_bucketed,
+    ann_topk_ivf,
     dense_topk,
     dense_topk_crossjoin,
     explode_sparse,
@@ -66,6 +67,26 @@ def test_ann_prunes_at_radius1(emb, queries):
     query (the pruning contract; recall is data-dependent)."""
     out = ann_topk_bucketed(
         emb, queries, k=5, metric="COSINE", bits=6, probe_radius=1
+    )
+    assert out.count() <= 5 * 5
+
+
+def test_ivf_recall_and_determinism(emb, queries):
+    exact = _key_set(dense_topk(emb, queries, k=5, metric="COSINE").collect())
+    a = ann_topk_ivf(
+        emb, queries, k=5, metric="COSINE", nlist=16, nprobe=8
+    ).collect()
+    recall = len(exact & _key_set(a)) / len(exact)
+    assert recall >= 0.8  # unstructured embeddings; clustered data does better
+    b = ann_topk_ivf(
+        emb, queries, k=5, metric="COSINE", nlist=16, nprobe=8
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded kmeans
+
+
+def test_ivf_prunes(emb, queries):
+    out = ann_topk_ivf(
+        emb, queries, k=5, metric="COSINE", nlist=16, nprobe=2
     )
     assert out.count() <= 5 * 5
 
