@@ -773,6 +773,43 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+def _q_session_window(spark, sf_dir):
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        sessionize_window,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_window(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+# oracle derives the same sessions relationally: gap-flag + cumsum →
+# per-session min(ts), max(ts)+gap, count
+_SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 30 * 60 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 _SQL_SESSIONIZE = """
 SELECT event_id, user_id,
        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -1631,6 +1668,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("events_type_counts", _q_events_type_counts, _SQL_EVENTS_TYPE_COUNTS),
     ("st_windowed_event_counts", _q_windowed_event_counts, _SQL_WINDOWED),
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),
+    ("st_session_window", _q_session_window, _SQL_SESSION_WINDOW),
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),

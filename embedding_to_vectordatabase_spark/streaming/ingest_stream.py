@@ -101,6 +101,39 @@ def windowed_event_counts(
     )
 
 
+def sessionize_window(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` aggregate —
+    the streaming-ready form of ``sessionize`` (stateful session merge
+    with watermark eviction on a stream; plain groupBy in batch).
+    Output: (user, session_start, session_end, n_events) where
+    session_end = last event + gap, matching Spark's session_window
+    close semantics."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias(
+                "w"
+            ),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
     sessionize,
+    sessionize_window,
     stream_ingest_jsonl,
     windowed_event_counts,
 )
@@ -117,6 +118,42 @@ def test_windowed_event_counts_batch_parity(spark):
     assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01 11:00:00", "click")] == (1, 4.0)
     assert out[("2024-01-01 10:00:00", "view")] == (1, 8.0)
+
+
+def test_sessionize_window_agrees_with_lag_form(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:00:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"]
+        )
+        for r in sessionize_window(ev, gap_minutes=30).collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:40:00", 2)
+    assert got[(1, "2024-01-01 11:00:00")] == ("2024-01-01 11:30:00", 1)
+    assert got[(2, "2024-01-01 09:00:00")] == ("2024-01-01 09:30:00", 1)
+    # session count per user matches the lag+cumsum form
+    lag_sessions = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    )
+    win_sessions = {
+        r["user_id"]: r["n"]
+        for r in sessionize_window(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["user_id"]: r["n"] for r in lag_sessions} == win_sessions
 
 
 def test_sessionize_gap_semantics(spark):
