@@ -60,11 +60,13 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # untimed warmup: absorb JVM/codegen startup so per-query numbers
-    # reflect steady state, not session boot
-    materialize(
-        entry._t(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
-    )
+    # untimed warmup pass per query: the first execution of a plan
+    # shape pays one-off Janino/JIT compilation of the generated code
+    # (tens of seconds for wide aggregates on a cold JVM) — a per-JVM
+    # cost that amortizes to nothing over a real cluster's lifetime,
+    # so the timed pass measures steady-state execution
+    for name in BENCH_QUERIES:
+        materialize(qs[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -78,17 +80,19 @@ def main() -> None:
     # dedup at PRODUCTION defaults (xxhash64; the harness queries use
     # the slower md5 variants only for duckdb-oracle checkability)
     dup = entry._dup_union(spark, sf_dir)
-    for name, df in [
-        ("minhash_lsh_pairs", minhash_lsh_pairs(dup, threshold=0.5)),
-        ("simhash_pairs", simhash_pairs(dup, max_hamming=3)),
+    for name, mk in [
+        ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(dup, threshold=0.5)),
+        ("simhash_pairs", lambda: simhash_pairs(dup, max_hamming=3)),
     ]:
+        materialize(mk())  # warmup (see above)
         t0 = time.time()
-        materialize(df)
+        materialize(mk())
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
 
     # end-to-end ingest throughput (chunks/s through chunk+embed+format)
+    entry._q_ingest_chunks(spark, sf_dir).count()  # warmup (see above)
     t0 = time.time()
     chunks = entry._q_ingest_chunks(spark, sf_dir)
     n_chunks = chunks.count()

@@ -68,6 +68,29 @@ def manager_stats(files: DataFrame) -> DataFrame:
     )
 
 
+def create_collection_if_not_exists(
+    spark: SparkSession, path: str
+) -> bool:
+    """K9: collection + index DDL (milvus_connector.py:45-81) as the
+    Spark-side equivalent — materialize an empty parquet store with the
+    canonical 12-field CHUNK schema so readers see a stable schema from
+    day one. The reference's FLAT/IP dense index IS our exact top-k
+    scan, and SPARSE_INVERTED_INDEX/IP is the posexploded relational
+    form (operators.search) — neither needs a stored artifact. Returns
+    True when the collection was created, False when it already existed.
+    """
+    from ..schemas import CHUNK_SCHEMA
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        return False
+    spark.createDataFrame([], CHUNK_SCHEMA).write.parquet(path)
+    return True
+
+
 class VectorDBBulkLoader:
     """K5: post-commit bulk-insert trigger with completion polling.
 
@@ -102,6 +125,91 @@ class VectorDBBulkLoader:
                 return False
             time.sleep(self.poll_interval_s)
         return False
+
+
+class FileHandoff:
+    """K3/O5: the full-file registry + handoff protocol.
+
+    The reference tracks which bulk files are complete, pops at most
+    ``max_return_files`` per poll, logs the handoff, and never returns
+    the same file twice (milvus_bulk_writer.py:415-493,
+    parquet_manager.py:459-510). Here the "registry" is the sink
+    directory itself (part files are complete by Spark's commit
+    protocol) plus a handoff log the poller owns; pop → upload/bulk-
+    insert (VectorDBBulkLoader) → mark. At-least-once: a crash between
+    pop and mark re-offers the same files on the next poll, and the
+    downstream bulk insert is idempotent (unique object names,
+    milvus_connector.py:124).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_dir: str,
+        log_path: str,
+        max_return_files: int = 2,  # reference default (config.json:55)
+    ):
+        self.spark = spark
+        self.sink_dir = sink_dir
+        self.log_path = log_path
+        self.max_return_files = max_return_files
+
+    def _fs(self, path: str):
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(hconf), jpath
+
+    def _list_parts(self) -> list[str]:
+        fs, jpath = self._fs(self.sink_dir)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith("part-") and not name.endswith(".crc"):
+                out.append(f.getPath().toString())
+        return sorted(out)
+
+    def _handled(self) -> set[str]:
+        fs, jpath = self._fs(self.log_path)
+        if not fs.exists(jpath):
+            return set()
+        return {
+            r["file"]
+            for r in self.spark.read.json(self.log_path).collect()
+        }
+
+    def pop_full_files(self) -> list[str]:
+        """Up to ``max_return_files`` complete, not-yet-handed-off
+        files (O3 ordering: sorted)."""
+        handled = self._handled()
+        fresh = [f for f in self._list_parts() if f not in handled]
+        return fresh[: self.max_return_files]
+
+    def mark_handled(self, files: list[str]) -> None:
+        """Append the handoff record (the reference's operations log)."""
+        if not files:
+            return
+        self.spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        ).coalesce(1).write.mode("append").json(self.log_path)
+
+    def drain(self, handle) -> int:
+        """Poll-pop-handle-mark until no fresh files remain (ST5 drain
+        protocol). ``handle(files) -> bool``; files are only marked on
+        success. Returns the number of files handed off."""
+        n = 0
+        while True:
+            batch = self.pop_full_files()
+            if not batch:
+                return n
+            if not handle(batch):
+                raise RuntimeError(f"handoff failed for {batch}")
+            self.mark_handled(batch)
+            n += len(batch)
 
 
 def drop_collection(spark: SparkSession, path: str) -> bool:

@@ -10,7 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+    FileHandoff,
     VectorDBBulkLoader,
+    create_collection_if_not_exists,
     delete_where,
     drop_collection,
     file_stats,
@@ -75,6 +77,51 @@ def test_delete_where_rewrite(spark, store, tmp_path):
     left = spark.read.parquet(out)
     assert left.count() == 50
     assert left.agg(F.min("file_id")).first()[0] == 50
+
+
+def test_create_collection_ddl(spark, tmp_path):
+    from embedding_to_vectordatabase_spark.schemas import CHUNK_SCHEMA
+
+    path = str(tmp_path / "collection")
+    assert create_collection_if_not_exists(spark, path) is True
+    assert create_collection_if_not_exists(spark, path) is False
+    got = spark.read.parquet(path)
+    # parquet reads back nullable; names/types must match exactly
+    assert got.schema.simpleString() == CHUNK_SCHEMA.simpleString()
+    assert got.count() == 0
+
+
+def test_file_handoff_pop_cap_and_no_repeat(spark, store, tmp_path):
+    ho = FileHandoff(
+        spark, store, str(tmp_path / "handoff_log"), max_return_files=2
+    )
+    first = ho.pop_full_files()
+    assert 0 < len(first) <= 2  # O5 cap
+    ho.mark_handled(first)
+    second = ho.pop_full_files()
+    assert not set(first) & set(second)  # never re-offered after mark
+
+
+def test_file_handoff_reoffers_unmarked(spark, store, tmp_path):
+    """Crash between pop and mark ⇒ the same files come back
+    (at-least-once, idempotent downstream)."""
+    ho = FileHandoff(
+        spark, store, str(tmp_path / "handoff_log2"), max_return_files=2
+    )
+    a = ho.pop_full_files()
+    b = ho.pop_full_files()  # no mark in between
+    assert a == b
+
+
+def test_file_handoff_drain_all(spark, store, tmp_path):
+    ho = FileHandoff(
+        spark, store, str(tmp_path / "handoff_log3"), max_return_files=2
+    )
+    seen: list[str] = []
+    n = ho.drain(lambda files: seen.extend(files) or True)
+    assert n == len(seen) == len(set(seen))
+    assert ho.pop_full_files() == []  # fully drained
+    assert n >= 4  # the 100-row/30-cap store has >= 4 part files
 
 
 def test_drop_collection(spark, store):
