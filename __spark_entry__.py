@@ -823,6 +823,26 @@ FROM (
 """
 
 
+def _q_st_stateful_dedup(spark, sf_dir):
+    """ST4 as a true stateful operator (applyInPandasWithState on a
+    stream — tests/test_stateful.py proves cross-restart state); the
+    batch degradation emits exactly one row per key, so the emitted
+    key set is oracle-checkable."""
+    from embedding_to_vectordatabase_spark.streaming.stateful import (
+        dedup_stream_stateful,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("file_id"), "text"
+    )
+    return dedup_stream_stateful(d, "file_id").select("file_id")
+
+
+_SQL_ST_STATEFUL_DEDUP = (
+    "SELECT DISTINCT doc_id % 50 AS file_id FROM documents"
+)
+
+
 # ----------------------------------------------------------------- vector
 
 
@@ -1669,6 +1689,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("st_windowed_event_counts", _q_windowed_event_counts, _SQL_WINDOWED),
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),
     ("st_session_window", _q_session_window, _SQL_SESSION_WINDOW),
+    ("st_stateful_dedup", _q_st_stateful_dedup, _SQL_ST_STATEFUL_DEDUP),
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),

@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's cross-restart dedup is an anti-join against the sink
+snapshot (embed_to_milvus.py:87-89 → J2) — correct but it re-reads
+the sink every batch. These operators keep the state INSIDE the
+stream: per-key state in the state store, checkpointed with the
+query, no sink re-scan. They also run on batch DataFrames (degrading
+to the equivalent stateless form) so the oracle/tests can exercise
+the semantics without a streaming sink.
+
+Scale notes: state is partitioned by the grouping key across
+executors (the state store shards with the shuffle); per-key state
+here is O(1) bytes. For unbounded key spaces pair with a TTL
+(``state_timeout_minutes``) so the store doesn't grow forever —
+the reference's pipeline has the same property via its registry.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dedup_stream_stateful(
+    df: DataFrame,
+    key_col: str = "file_id",
+    state_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Emit only the FIRST row seen per key across the whole stream
+    (ST4 as a true stateful operator): per-key boolean state in the
+    state store survives micro-batches and restarts via the
+    checkpoint. On a batch DataFrame this degrades to keep-first by
+    key (same semantics within the frame).
+    """
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(F.lit(1))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("seen", T.BooleanType(), False)]
+    )
+    timeout = (
+        "ProcessingTimeTimeout" if state_timeout_minutes else "NoTimeout"
+    )
+    timeout_ms = (state_timeout_minutes or 0) * 60 * 1000
+
+    def first_only(key: Any, pdfs, state) -> Any:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # key already emitted in an earlier batch — swallow rows
+            for _ in pdfs:
+                pass
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        if first is None:
+            return
+        state.update((True,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield first
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        first_only, out_schema, state_schema, "append", timeout
+    )
+
+
+def running_counts_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-key totals across the stream: state = (n, sum),
+    emitting the updated totals each micro-batch the key appears in.
+    Batch DataFrames degrade to a plain groupBy aggregate.
+    Output: (key, n_events long, sum_value double)."""
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+        )
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, True),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("sum_value", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("s", T.DoubleType(), False),
+        ]
+    )
+
+    def accumulate(key: Any, pdfs, state) -> Any:
+        n, s = state.get if state.exists else (0, 0.0)
+        seen = False
+        for pdf in pdfs:
+            if len(pdf):
+                seen = True
+                n += len(pdf)
+                s += float(pdf[value_col].astype(float).sum())
+        if not seen:
+            return
+        state.update((n, s))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        accumulate, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -122,6 +122,25 @@ def test_anti_join_and_kb_scope(spark):
     assert [r["id"] for r in kb_scoped_registry(reg, 7).collect()] == [1, 2]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from embedding_to_vectordatabase_spark.util import salted_join
+
+    # skewed fact: key 1 is hot
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "k long, attr string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", num_salts=8, how=how)
+        want = fact.join(dim, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 def test_harness_contract():
     """Every queries() entry is callable; every oracle key exists."""
     import __spark_entry__ as e
