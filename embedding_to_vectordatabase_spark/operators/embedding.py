@@ -104,6 +104,7 @@ class HttpEmbeddingClient:
         self.batch_size = batch_size
         self.max_retries = max_retries
         self.timeout_s = timeout_s
+        self._backoff_base_s = 0.5  # exponential: base * 2**attempt
 
     def _post(self, endpoint: str, payload: dict) -> dict:
         import json
@@ -121,7 +122,7 @@ class HttpEmbeddingClient:
                     return json.loads(r.read())
             except Exception as e:  # noqa: BLE001 — retry any transport error
                 last_err = e
-                time.sleep(2**attempt * 0.5)
+                time.sleep(2**attempt * self._backoff_base_s)
         raise RuntimeError(
             f"embedding request failed after {self.max_retries} retries"
         ) from last_err

@@ -120,6 +120,47 @@ def test_windowed_event_counts_batch_parity(spark):
     assert out[("2024-01-01 10:00:00", "view")] == (1, 8.0)
 
 
+def test_windowed_counts_stream_watermark_closes_windows(spark, tmp_path):
+    """True streaming run: append mode emits a window only after the
+    watermark passes its end; the open head window stays unemitted."""
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ev_schema = "ts timestamp, event_type string, value double"
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for ts, et, v in rows:
+                f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+    write("a.jsonl", [
+        ("2024-01-01T10:05:00.000Z", "click", 1.0),
+        ("2024-01-01T10:20:00.000Z", "click", 2.0),
+    ])
+    write("b.jsonl", [("2024-01-01T12:00:00.000Z", "click", 4.0)])
+
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        windowed_event_counts(stream, "1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {str(r["window_start"]): (r["n_events"], r["sum_value"]) for r in rows}
+    # the 10:00 window closed once the watermark passed 11:00
+    assert got.get("2024-01-01 10:00:00") == (2, 3.0)
+    # the 12:00 head window is still open -> not in append output
+    assert "2024-01-01 12:00:00" not in got
+
+
 def test_sessionize_window_agrees_with_lag_form(spark):
     rows = [
         (1, "2024-01-01 10:00:00"),
