@@ -60,6 +60,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.compute as pc
 
+    # naive timestamps are interpreted in the session TZ: pin UTC so
+    # unix_micros/window boundaries match DuckDB's epoch_us regardless
+    # of the harness session's configuration
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     idx = tbl.schema.get_field_index("ts")
     us = pc.cast(
@@ -1206,7 +1210,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
 """
 
 

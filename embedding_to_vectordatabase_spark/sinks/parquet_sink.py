@@ -68,6 +68,31 @@ def manager_stats(files: DataFrame) -> DataFrame:
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) parquet table so
+    repeated joins/aggregations on ``bucket_cols`` are co-located —
+    both sides of a bucketed-bucketed equi-join scan matching buckets
+    with NO shuffle exchange (verified in tests/test_sinks.py). This
+    is the pre-partitioning story for the chunk store: bucket by
+    file_id once at ingest, and every later dedup anti-join, point
+    lookup, and per-file aggregation skips its shuffle."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def create_collection_if_not_exists(
     spark: SparkSession, path: str
 ) -> bool:

@@ -17,6 +17,7 @@ from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
     drop_collection,
     file_stats,
     manager_stats,
+    write_bucketed_table,
     write_rotating_parquet,
 )
 
@@ -122,6 +123,30 @@ def test_file_handoff_drain_all(spark, store, tmp_path):
     assert n == len(seen) == len(set(seen))
     assert ho.pop_full_files() == []  # fully drained
     assert n >= 4  # the 100-row/30-cap store has >= 4 part files
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The co-location contract: joining two tables bucketed on the
+    same key scans matching buckets directly — zero shuffle exchanges
+    in the physical plan."""
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "t_bleft", ["k"], num_buckets=8)
+    write_bucketed_table(right, "t_bright", ["k"], num_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
 
 
 def test_drop_collection(spark, store):
