@@ -72,7 +72,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe=False,  # truncate ns→us, matching DuckDB's parquet read
     )
     tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("us")), us)
-    return spark.createDataFrame(tbl.to_pandas())
+    # Arrow table straight in — no pandas detour on the driver
+    return spark.createDataFrame(tbl)
 
 
 # ---------------------------------------------------------------- entry

@@ -19,4 +19,50 @@ lazy plan end-to-end; the only Python boundaries are Arrow-batched
 ``mapInPandas`` stages (embedding / labeling / recursive chunker).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .functions.text import (  # noqa: E402,F401
+    cast_sparse_keys,
+    clean_title,
+    derive_file_name,
+    reformat_doc,
+    token_count,
+    word_count,
+)
+from .functions.vector import (  # noqa: E402,F401
+    dense_cosine,
+    dense_ip,
+    dense_l2,
+    rerank_fusion,
+    sparse_ip,
+)
+from .operators.chunking import (  # noqa: E402,F401
+    chunk_fixed,
+    chunk_recursive,
+    semantic_chunk_documents,
+    split_sentences,
+)
+from .operators.dedup import (  # noqa: E402,F401
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.embedding import embed_text  # noqa: E402,F401
+from .operators.joins import (  # noqa: E402,F401
+    anti_join_ingested,
+    registry_lookup,
+)
+from .operators.labeling import label_documents  # noqa: E402,F401
+from .operators.search import (  # noqa: E402,F401
+    ann_topk_bucketed,
+    ann_topk_ivf,
+    dense_topk,
+    rerank,
+    sparse_topk_inverted,
+)
+from .operators.textanalysis import profile_documents  # noqa: E402,F401
+from .plans.ingest import IngestConfig, ingest  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
