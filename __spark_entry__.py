@@ -51,29 +51,37 @@ def _dec2(c):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column down-cast to
-    microseconds via Arrow — Spark's parquet reader rejects NANOS
-    (PARQUET_TYPE_ILLEGAL), DuckDB reads them natively; both sides see
-    identical microsecond values (the generator's precision)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """events table with its TIMESTAMP(NANOS) column truncated to
+    microseconds, matching DuckDB's own parquet read (Spark rejects
+    NANOS outright: PARQUET_TYPE_ILLEGAL).
 
-    import pyarrow.compute as pc
-
+    Scale path: the legacy nanosAsLong conf reads the column as raw
+    nanos inside the distributed scan and `ts div 1000` converts —
+    exact integer math (a double division at ~1.7e18 ns magnitudes
+    would be off by ±1 µs). Falls back to a driver-side Arrow cast if
+    the conf is unavailable."""
     # naive timestamps are interpreted in the session TZ: pin UTC so
     # unix_micros/window boundaries match DuckDB's epoch_us regardless
     # of the harness session's configuration
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tbl = pq.read_table(f"{sf_dir}/events.parquet")
-    idx = tbl.schema.get_field_index("ts")
-    us = pc.cast(
-        tbl.column("ts"),
-        pa.timestamp("us"),
-        safe=False,  # truncate ns→us, matching DuckDB's parquet read
-    )
-    tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("us")), us)
-    # Arrow table straight in — no pandas detour on the driver
-    return spark.createDataFrame(tbl)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    except Exception:  # conf removed / read failed — driver-side Arrow
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        idx = tbl.schema.get_field_index("ts")
+        us = pc.cast(tbl.column("ts"), pa.timestamp("us"), safe=False)
+        tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("us")), us)
+        return spark.createDataFrame(tbl)
 
 
 # ---------------------------------------------------------------- entry
