@@ -1093,6 +1093,23 @@ def _q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_mllib_join(spark, sf_dir):
+    """Rows-only: MLlib LSH collision sets depend on seeded random
+    projections (recall < 1 by design); behavior tested in
+    tests/test_search.py."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_similarity_join_mllib,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_similarity_join_mllib(
+        emb, q, distance_threshold=1.2, num_hash_tables=4
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """Rows-only: LSH planes are seeded numpy, not SQL-reproducible;
     recall vs dense_topk is asserted in tests/test_search.py."""
@@ -1711,6 +1728,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),
     ("ann_topk_bucketed", _q_ann_topk, None),
     ("ann_topk_ivf", _q_ann_topk_ivf, None),
+    ("ann_similarity_join_mllib", _q_ann_mllib_join, None),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),

@@ -373,6 +373,58 @@ def ann_topk_ivf(
     )
 
 
+def ann_similarity_join_mllib(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    distance_threshold: float = 1.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ``approxSimilarityJoin`` —
+    the off-the-shelf Euclidean LSH alternative to the hand-rolled
+    sign-LSH/IVF paths (SURVEY §2.3 J4 large-Q option). Multiple hash
+    tables OR-amplify recall; the join is on hash buckets, never
+    all-pairs. Output: (query_id, <corpus_id>, l2 double) for pairs
+    within ``distance_threshold``.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id),
+        array_to_vector(
+            F.col(corpus_vec).cast("array<double>")
+        ).alias("features"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        array_to_vector(
+            F.col(query_vec).cast("array<double>")
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(
+        q, c, distance_threshold, distCol="l2"
+    )
+    return joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+        F.round(F.col("l2"), 6).alias("l2"),
+    )
+
+
 def sparse_topk_inverted(
     corpus_postings: DataFrame,
     query_postings: DataFrame,

@@ -71,7 +71,8 @@ def ingest(
 
     ``chunks`` carries the canonical 12-field CHUNK schema minus the
     sink-assigned ``id``; ``unmatched_docs`` is the J1 warn side
-    output (docs with no registry entry).
+    output (docs with no registry entry). Use ``ingest_with_quarantine``
+    for the VARCHAR-contract side output.
     """
     cfg = config or IngestConfig()
 
@@ -124,3 +125,29 @@ def ingest(
     ).select(*CANONICAL_ORDER)
 
     return final, unmatched
+
+
+def ingest_with_quarantine(
+    docs: DataFrame,
+    registry: DataFrame,
+    ingested: DataFrame | None = None,
+    config: IngestConfig | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ingest with the row-level quarantine promised in SURVEY §7:
+    the reference poisons a whole batch when any row breaks the
+    VARCHAR contract (embed_to_milvus.py:107-109, schema.verify at
+    :256); here violating CHUNK rows route to a quarantine output and
+    the clean rows flow on. Returns (chunks, unmatched, quarantined).
+    """
+    from ..schemas import VARCHAR_LIMITS
+
+    chunks, unmatched = ingest(docs, registry, ingested, config)
+    pred = F.lit(False)
+    for c, lim in VARCHAR_LIMITS.items():
+        if c in chunks.columns:
+            pred = pred | (F.length(F.col(c)) > lim)
+    return (
+        chunks.filter(~pred),
+        unmatched,
+        chunks.filter(pred),
+    )

@@ -94,6 +94,29 @@ def test_ingest_idempotent_rerun(corpus, registry):
     assert second.count() == 0
 
 
+def test_ingest_quarantine_routes_varchar_violations(corpus, registry):
+    """SURVEY §7: row-level quarantine replaces the reference's
+    whole-batch poisoning — flag=101 chars breaks VARCHAR(100)."""
+    from embedding_to_vectordatabase_spark.plans.ingest import (
+        ingest_with_quarantine,
+    )
+
+    cfg = IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
+    cfg.placeholders["flag"] = "x" * 101  # violates VARCHAR(100)
+    clean, _, quarantined = ingest_with_quarantine(
+        corpus, registry, config=cfg
+    )
+    assert clean.count() == 0
+    assert quarantined.count() > 0
+
+    good_cfg = IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
+    clean2, _, quarantined2 = ingest_with_quarantine(
+        corpus, registry, config=good_cfg
+    )
+    assert quarantined2.count() == 0
+    assert clean2.count() > 0
+
+
 def test_mock_embedder_deterministic(corpus, registry):
     cfg = IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
     a, _ = ingest(corpus, registry, config=cfg)

@@ -71,6 +71,20 @@ def test_ann_prunes_at_radius1(emb, queries):
     assert out.count() <= 5 * 5
 
 
+def test_mllib_similarity_join(emb, queries):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_similarity_join_mllib,
+    )
+
+    out = ann_similarity_join_mllib(
+        emb, queries, distance_threshold=0.5, num_hash_tables=4
+    ).collect()
+    # each query's own vector is within any positive distance of itself
+    hits = {(r["query_id"], r["vec_id"]) for r in out}
+    assert {(i, i) for i in range(5)} <= hits
+    assert all(r["l2"] <= 0.5 for r in out)
+
+
 def test_ivf_recall_and_determinism(emb, queries):
     exact = _key_set(dense_topk(emb, queries, k=5, metric="COSINE").collect())
     a = ann_topk_ivf(
