@@ -238,41 +238,82 @@ def chunk_semantic(
     order_col: str = "sentence_id",
     threshold_type: str = "percentile",
     threshold_amount: float = 0.95,
+    number_of_chunks: int | None = None,
+    min_chunk_size: int | None = None,
 ) -> DataFrame:
-    """Semantic chunking given consecutive-sentence embedding distances.
+    """Semantic chunking given consecutive-sentence embedding distances
+    — the full SemanticChunker parameter surface the reference exposes
+    (splite_text/semantic_splitter.py:12-16):
 
-    Breakpoint where dist > per-doc threshold (percentile /
-    standard_deviation / interquartile — splite_text/semantic_splitter
-    .py:22-39); segment id = running count of breakpoints; chunk =
-    concat of the segment's sentences. All native (window + groupBy).
+    - threshold types percentile / standard_deviation / interquartile
+      / gradient (gradient = the same percentile machinery applied to
+      the np.gradient-style derivative of the distance series);
+    - ``number_of_chunks`` overrides the threshold: the top N-1
+      distances become the breakpoints;
+    - ``min_chunk_size`` forward-merges a too-small group into the
+      next one (langchain skips emitting the boundary).
+
+    Segment id = running count of breakpoints; chunk = concat of the
+    segment's sentences. Native window + groupBy; the only Python is
+    the per-doc min-size merge (tiny groups, applyInPandas).
     """
     from pyspark.sql import Window as W
 
     w_doc = W.partitionBy(doc_col)
-    d = F.col(dist_col)
-    if threshold_type == "percentile":
-        thr = F.expr(
-            f"percentile({dist_col}, {threshold_amount})"
-        ).over(w_doc)
-    elif threshold_type == "standard_deviation":
-        thr = (
-            F.avg(d).over(w_doc)
-            + F.lit(threshold_amount) * F.stddev(d).over(w_doc)
-        )
-    elif threshold_type == "interquartile":
-        iqr = F.expr(f"percentile({dist_col}, 0.75)").over(w_doc) - F.expr(
-            f"percentile({dist_col}, 0.25)"
-        ).over(w_doc)
-        thr = F.avg(d).over(w_doc) + F.lit(threshold_amount) * iqr
-    else:
-        raise ValueError(f"unknown threshold_type {threshold_type!r}")
-
     w_ord = W.partitionBy(doc_col).orderBy(order_col)
+    df = sentences_with_dist
+
+    d = F.col(dist_col)
+    if threshold_type == "gradient":
+        # np.gradient: central differences inside, one-sided at edges
+        prev, nxt = F.lag(d).over(w_ord), F.lead(d).over(w_ord)
+        grad = (
+            F.when(d.isNull(), F.lit(None).cast("double"))
+            .when(prev.isNull() & nxt.isNull(), F.lit(0.0))
+            .when(prev.isNull(), nxt - d)
+            .when(nxt.isNull(), d - prev)
+            .otherwise((nxt - prev) / 2.0)
+        )
+        df = df.withColumn("__sig", grad)
+        d = F.col("__sig")
+        threshold_type = "percentile"
+    else:
+        df = df.withColumn("__sig", d)
+        d = F.col("__sig")
+
+    if number_of_chunks is not None:
+        # top (N-1) signal values are the breakpoints, threshold ignored
+        rk = F.row_number().over(
+            W.partitionBy(doc_col).orderBy(
+                F.desc_nulls_last("__sig"), F.col(order_col)
+            )
+        )
+        brk = d.isNotNull() & (rk <= number_of_chunks - 1)
+        df = df.withColumn("__brk", brk)
+    else:
+        if threshold_type == "percentile":
+            thr = F.expr(
+                f"percentile(__sig, {threshold_amount})"
+            ).over(w_doc)
+        elif threshold_type == "standard_deviation":
+            thr = (
+                F.avg(d).over(w_doc)
+                + F.lit(threshold_amount) * F.stddev(d).over(w_doc)
+            )
+        elif threshold_type == "interquartile":
+            iqr = F.expr("percentile(__sig, 0.75)").over(w_doc) - F.expr(
+                "percentile(__sig, 0.25)"
+            ).over(w_doc)
+            thr = F.avg(d).over(w_doc) + F.lit(threshold_amount) * iqr
+        else:
+            raise ValueError(f"unknown threshold_type {threshold_type!r}")
+        df = df.withColumn("__brk", d > thr)
+
     seg = F.sum(
-        F.when(d > thr, F.lit(1)).otherwise(F.lit(0))
+        F.when(F.col("__brk"), F.lit(1)).otherwise(F.lit(0))
     ).over(w_ord.rowsBetween(W.unboundedPreceding, -1))
-    return (
-        sentences_with_dist.withColumn(
+    chunks = (
+        df.withColumn(
             "segment_id", F.coalesce(seg, F.lit(0)).cast("long")
         )
         .groupBy(doc_col, "segment_id")
@@ -284,6 +325,34 @@ def chunk_semantic(
             ).alias("chunk")
         )
     )
+    if min_chunk_size is None:
+        return chunks
+
+    out_schema = chunks.schema
+
+    def merge_small(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("segment_id").reset_index(drop=True)
+        texts: list[str] = []
+        buf = ""
+        for t in pdf["chunk"]:
+            buf += t
+            if len(buf) >= min_chunk_size:
+                texts.append(buf)
+                buf = ""
+        if buf:  # trailing short group joins the last emitted chunk
+            if texts:
+                texts[-1] += buf
+            else:
+                texts.append(buf)
+        return pd.DataFrame(
+            {
+                doc_col: [pdf[doc_col].iloc[0]] * len(texts),
+                "segment_id": list(range(len(texts))),
+                "chunk": texts,
+            }
+        )
+
+    return chunks.groupBy(doc_col).applyInPandas(merge_small, out_schema)
 
 
 def semantic_chunk_documents(
@@ -294,11 +363,16 @@ def semantic_chunk_documents(
     dim: int = 64,
     threshold_type: str = "percentile",
     threshold_amount: float = 0.95,
+    buffer_size: int = 1,
+    number_of_chunks: int | None = None,
+    min_chunk_size: int | None = None,
 ) -> DataFrame:
-    """T2 end-to-end: sentence split → embed each sentence → cosine
-    distance between CONSECUTIVE sentences (dist on row i = distance
-    to sentence i+1, i.e. "break after i"; last sentence has no
-    forward distance) → per-doc threshold → segment concat. Mirrors
+    """T2 end-to-end: sentence split → combine each sentence with its
+    ±``buffer_size`` neighbors (SemanticChunker's smoothing window;
+    the reference passes buffer_size=1) → embed the combined windows →
+    cosine distance between CONSECUTIVE windows (dist on row i =
+    distance to window i+1, "break after i"; last row null) → per-doc
+    threshold → segment concat of the ORIGINAL sentences. Mirrors
     splite_text/semantic_splitter.py:11-49 with the embedding service
     swapped for the pluggable client (mock in tests).
 
@@ -313,17 +387,30 @@ def semantic_chunk_documents(
     sents = split_sentences(
         df.select(doc_col, text_col), text_col
     )
-    emb = embed_text(
-        sents, "sentence", client_kind, dim, hybrid=False
-    )
     w = W.partitionBy(doc_col).orderBy("sentence_id")
+    combined = F.concat_ws(
+        "",
+        *[
+            F.coalesce(F.lag("sentence", i).over(w), F.lit(""))
+            for i in range(buffer_size, 0, -1)
+        ],
+        F.col("sentence"),
+        *[
+            F.coalesce(F.lead("sentence", i).over(w), F.lit(""))
+            for i in range(1, buffer_size + 1)
+        ],
+    )
+    sents = sents.withColumn("__combined", combined)
+    emb = embed_text(
+        sents, "__combined", client_kind, dim, hybrid=False
+    )
     nxt = F.lead("dense_embedding").over(w)
     with_dist = emb.withColumn(
         "dist",
         F.when(
             nxt.isNull(), F.lit(None).cast("double")
         ).otherwise(1.0 - dense_cosine(F.col("dense_embedding"), nxt)),
-    ).drop("dense_embedding")
+    ).drop("dense_embedding", "__combined")
     return chunk_semantic(
         with_dist,
         doc_col=doc_col,
@@ -332,4 +419,6 @@ def semantic_chunk_documents(
         order_col="sentence_id",
         threshold_type=threshold_type,
         threshold_amount=threshold_amount,
+        number_of_chunks=number_of_chunks,
+        min_chunk_size=min_chunk_size,
     )

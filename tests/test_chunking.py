@@ -117,6 +117,65 @@ def test_semantic_chunking_end_to_end(spark):
     assert len(out) >= 2  # the 0.5-percentile threshold forces breaks
 
 
+def test_semantic_number_of_chunks_override(spark):
+    df = spark.createDataFrame(
+        [(1, "一句。二句。三句。四句。五句。六句。")],
+        "doc_id long, text string",
+    )
+    out = semantic_chunk_documents(
+        df, "text", "doc_id", dim=16, number_of_chunks=3
+    ).collect()
+    assert len(out) == 3  # top-2 distances become the breakpoints
+    joined = "".join(
+        r["chunk"] for r in sorted(out, key=lambda r: r["segment_id"])
+    )
+    assert joined == "一句。二句。三句。四句。五句。六句。"
+
+
+def test_semantic_min_chunk_size_merges_forward(spark):
+    df = spark.createDataFrame(
+        [(1, "短。句。子。很。多。的。文。档。")], "doc_id long, text string"
+    )
+    out = semantic_chunk_documents(
+        df, "text", "doc_id", dim=16,
+        threshold_amount=0.1,       # break nearly everywhere
+        min_chunk_size=6,
+    ).collect()
+    chunks = [r["chunk"] for r in sorted(out, key=lambda r: r["segment_id"])]
+    assert "".join(chunks) == "短。句。子。很。多。的。文。档。"
+    # all but possibly the last merged chunk meet the minimum
+    assert all(len(c) >= 6 for c in chunks[:-1])
+
+
+def test_semantic_gradient_threshold_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b。c d。e f。g h。i j。")], "doc_id long, text string"
+    )
+    out = semantic_chunk_documents(
+        df, "text", "doc_id", dim=16,
+        threshold_type="gradient", threshold_amount=0.5,
+    ).collect()
+    joined = "".join(
+        r["chunk"] for r in sorted(out, key=lambda r: r["segment_id"])
+    )
+    assert joined == "a b。c d。e f。g h。i j。"
+
+
+def test_semantic_buffer_size_zero_vs_one_differ_only_in_grouping(spark):
+    df = spark.createDataFrame(
+        [(1, "猫吃鱼。猫喝水。股市大涨。股市大跌。")],
+        "doc_id long, text string",
+    )
+    for buf in (0, 1, 2):
+        out = semantic_chunk_documents(
+            df, "text", "doc_id", dim=16, buffer_size=buf
+        ).collect()
+        joined = "".join(
+            r["chunk"] for r in sorted(out, key=lambda r: r["segment_id"])
+        )
+        assert joined == "猫吃鱼。猫喝水。股市大涨。股市大跌。"
+
+
 def test_semantic_chunk_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "a b c。 d e f。 g h i。")], "doc_id long, text string"
