@@ -91,6 +91,48 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # scale-amplified runs: the sf0.1 corpus replicated with shifted ids
+    # (identical per-row work, ~10× the rows) — shows throughput headroom
+    # beyond the small files the driver ships
+    from pyspark.sql import functions as F
+
+    def amplify(df, times, id_col):
+        out = df
+        for i in range(1, times):
+            out = out.unionByName(
+                df.withColumn(
+                    id_col, F.col(id_col) + F.lit(i * 10_000_000)
+                )
+            )
+        return out
+
+    docs80k = amplify(
+        entry._t(spark, sf_dir, "documents").select("doc_id", "text"),
+        8,
+        "doc_id",
+    )
+    emb100k = amplify(
+        entry._t(spark, sf_dir, "embeddings"), 20, "vec_id"
+    )
+    q3 = entry._t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        minhash_lsh_pairs as _mh,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import dense_topk
+
+    for name, mk in [
+        ("minhash_lsh_80k_docs", lambda: _mh(docs80k, threshold=0.5)),
+        ("dense_topk_100k_vecs", lambda: dense_topk(emb100k, q3, k=5)),
+    ]:
+        materialize(mk())  # warmup
+        t0 = time.time()
+        materialize(mk())
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
     # end-to-end ingest throughput (chunks/s through chunk+embed+format)
     entry._q_ingest_chunks(spark, sf_dir).count()  # warmup (see above)
     t0 = time.time()
