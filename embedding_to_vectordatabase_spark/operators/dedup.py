@@ -129,6 +129,31 @@ def shingle_postings(
     )
 
 
+def hashed_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle_h long) distinct posting rows with the shingle
+    pre-hashed to 64 bits BEFORE the distinct — the dedup shuffle then
+    moves 8-byte longs instead of ~30-byte strings (~3× less shuffle
+    volume at scale). Safe wherever downstream only needs hash
+    identity (minhash, simhash); ``shingle_postings`` keeps the string
+    form for exact-set ops (n-gram Jaccard) and md5-oracle parity."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__s"),
+        )
+        .select("doc_id", F.xxhash64("__s").alias("shingle_h"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -207,13 +232,21 @@ def minhash_signatures(
     shingles. Permutation h_i(s) = hash(s, seed=i); min per doc.
     All native exprs (hash + groupBy min) — no Python. With
     ``hash_fn='md5'`` the signature is engine-portable hex strings
-    (duckdb-oracle checkable); default xxhash64 longs are the fast
-    path."""
-    postings = shingle_postings(df, text_col, id_col, n)
-    mins = [
-        F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"__h{i}")
-        for i in range(num_perm)
-    ]
+    (duckdb-oracle checkable); default xxhash64 pre-hashes shingles to
+    longs before the distinct (see ``hashed_postings``) and derives
+    the permutations from the 8-byte hash — the fast path."""
+    if hash_fn == "xxhash64":
+        postings = hashed_postings(df, text_col, id_col, n)
+        mins = [
+            F.min(F.xxhash64(F.col("shingle_h"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        postings = shingle_postings(df, text_col, id_col, n)
+        mins = [
+            F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"__h{i}")
+            for i in range(num_perm)
+        ]
     sig = postings.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id",
@@ -314,12 +347,15 @@ def simhash_signatures(
     bits must be <= 60 in that mode."""
     if bits > 64 or (hash_fn == "md5" and bits > 60):
         raise ValueError("bits must be <= 64 (<= 60 for md5 hash_fn)")
-    postings = shingle_postings(df, text_col, id_col, n)
     if hash_fn == "md5":
+        postings = shingle_postings(df, text_col, id_col, n)
         # conv(hex, 16, 10) == duckdb CAST('0x'||hex AS BIGINT): portable
         h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
     else:
-        h = F.xxhash64(F.col("shingle"))
+        # pre-hashed long postings: same xxhash64 bit pattern, ~3× less
+        # shuffle than the string form
+        postings = hashed_postings(df, text_col, id_col, n)
+        h = F.col("shingle_h")
     # Per-bit ±1 votes reduce to set-bit counts: vote_i > 0 ⇔ 2c_i > n.
     # Two 32-bit count lanes pack into each long accumulator (bits i and
     # i+bits/2), halving the aggregate buffer count — the generated
