@@ -52,6 +52,53 @@ def test_read_whole_files(spark, tmp_path):
     assert {r["content"][-1] for r in rows} == {"0", "1", "2"}
 
 
+def test_jdbc_registry_roundtrip_and_pushdown(spark):
+    """S7-S9 for real: the registry as ONE JDBC relation (embedded
+    Derby — the same driver family a MySQL deployment would swap in),
+    with the KB-scope filter pushed down to the database."""
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        kb_scoped_registry,
+        registry_lookup,
+    )
+    from embedding_to_vectordatabase_spark.sources.corpus import (
+        read_registry_jdbc,
+    )
+
+    url = "jdbc:derby:memory:regtest;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    reg = spark.createDataFrame(
+        [
+            (1, "a.pdf", 7, "hdfs://x/a"),
+            (2, "b.pdf", 7, "hdfs://x/b"),
+            (3, "c.pdf", 9, "hdfs://x/c"),
+        ],
+        "id long, name string, konwledge_base_id long, file_info_url string",
+    )
+    (
+        reg.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "knowledge_document_library")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = read_registry_jdbc(spark, url, driver=driver)
+    assert back.count() == 3
+
+    scoped = kb_scoped_registry(back, 7)
+    assert [r["id"] for r in scoped.collect()] == [1, 2]
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "konwledge_base_id" in plan
+
+    # J1 against the JDBC dimension: broadcast join, split outputs
+    docs = spark.createDataFrame(
+        [(10, "a.pdf"), (11, "zzz.pdf")], "doc_id long, file_name string"
+    )
+    matched, unmatched = registry_lookup(docs, back)
+    assert [r["file_id"] for r in matched.collect()] == [1]
+    assert [r["doc_id"] for r in unmatched.collect()] == [11]
+
+
 def test_generate_corpus_shape(spark):
     df = generate_corpus(spark, 7)
     assert df.columns == ["title", "pub_time", "source", "content"]
