@@ -999,6 +999,31 @@ FROM pairs
 """
 
 
+def _q_v6_rerank_texts(spark, sf_dir):
+    """Rows-only: the mock rerank model's scores are sha1-derived
+    Python (deterministic — tests/test_search.py); the score-column
+    fusion variant above IS hash-checked."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        rerank_texts,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("passage_id"),
+            F.substring("text", 1, 200).alias("passage"),
+        )
+    )
+    q = _t(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(0, "vector database ingestion"), (1, "stream processing")],
+        "query_id long, query string",
+    )
+    return rerank_texts(q.crossJoin(d)).select(
+        "query_id", "passage_id", "score", "rank"
+    )
+
+
 def _q_o4_dense_topk(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.search import dense_topk
 
@@ -1723,6 +1748,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),
+    ("v6_rerank_texts", _q_v6_rerank_texts, None),
     ("v7_dense_l2", _q_v7_dense_l2, _SQL_V7),
     ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),

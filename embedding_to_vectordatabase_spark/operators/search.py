@@ -493,6 +493,84 @@ def rerank(
     ).withColumn("rank", F.row_number().over(w))
 
 
+def rerank_texts(
+    pairs: DataFrame,
+    query_col: str = "query",
+    passage_col: str = "passage",
+    query_id: str = "query_id",
+    passage_id: str = "passage_id",
+    client_kind: str = "mock",
+) -> DataFrame:
+    """J5/V6 full path: (query, passage) TEXT pairs → model scores →
+    0.4/0.2/0.4 fusion → per-query rank. The reference posts the raw
+    pairs to the m3 server which returns colbert/sparse/dense scores
+    and fuses server-side (baai_m3_simple_server/m3_server.py:41-49);
+    here the model call is one Arrow-batched mapInPandas stage with
+    the same pluggable client pattern as the embedder (deterministic
+    mock in this container; truncation limits max_q 256 / max_passage
+    10000 chars applied as in m3_server.py:17).
+    """
+    import hashlib
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    if client_kind != "mock":
+        raise NotImplementedError(
+            "live rerank model not available in this container"
+        )
+
+    out_schema = T.StructType(
+        list(pairs.schema.fields)
+        + [
+            T.StructField("colbert_score", T.DoubleType(), False),
+            T.StructField("sparse_score", T.DoubleType(), False),
+            T.StructField("dense_score", T.DoubleType(), False),
+        ]
+    )
+
+    def _score(q: str, p: str, salt: int) -> float:
+        # deterministic pseudo-score in [0,1) from the truncated pair
+        h = hashlib.sha1(
+            f"{salt}|{(q or '')[:256]}|{(p or '')[:10000]}".encode()
+        ).digest()
+        return struct.unpack("<Q", h[:8])[0] / 2**64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = {
+                name: np.array(
+                    [
+                        _score(q, p, salt)
+                        for q, p in zip(pdf[query_col], pdf[passage_col])
+                    ]
+                )
+                for salt, name in (
+                    (1, "colbert_score"),
+                    (2, "sparse_score"),
+                    (3, "dense_score"),
+                )
+            }
+            yield pdf.assign(**scores)
+
+    scored = pairs.mapInPandas(run, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(passage_id)
+    )
+    return scored.withColumn(
+        "score",
+        F.round(
+            rerank_fusion(
+                F.col("colbert_score"),
+                F.col("sparse_score"),
+                F.col("dense_score"),
+            ),
+            6,
+        ),
+    ).withColumn("rank", F.row_number().over(w))
+
+
 def point_query(
     chunks: DataFrame, expr: str, output_fields: list[str]
 ) -> DataFrame:

@@ -131,6 +131,33 @@ def test_rerank_ordering(spark):
     assert out == {10: 1, 12: 2, 11: 3}
 
 
+def test_rerank_texts_end_to_end(spark):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        rerank_texts,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (0, 10, "what is spark", "spark is an engine"),
+            (0, 11, "what is spark", "cats like fish"),
+            (1, 10, "weather", "spark is an engine"),
+        ],
+        "query_id long, passage_id long, query string, passage string",
+    )
+    out = rerank_texts(pairs).collect()
+    assert len(out) == 3
+    by_q = {}
+    for r in out:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["colbert_score"] != r["sparse_score"]  # distinct heads
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert sorted(by_q[0]) == [1, 2]
+    assert by_q[1] == [1]
+    # deterministic
+    again = rerank_texts(pairs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_point_query_expr_superset(spark, sf_dir):
     chunks = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = point_query(chunks, "doc_id == 42", ["doc_id", "source"]).collect()
