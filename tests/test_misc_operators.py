@@ -150,5 +150,16 @@ def test_harness_contract():
     assert len(qs) >= 50
     assert set(sqls) <= set(qs)
     assert all(callable(f) for f in qs.values())
-    # at most a handful of rows-only entries (model-boundary ops)
-    assert len(set(qs) - set(sqls)) <= 8
+    # rows-only entries are exactly the model-boundary ops (seeded
+    # Python kernels a SQL oracle can't reproduce) — nothing else
+    assert set(qs) - set(sqls) == {
+        "ann_topk_bucketed",
+        "ann_topk_ivf",
+        "ann_similarity_join_mllib",
+        "simhash_pairs",
+        "t1_chunk_recursive",
+        "t2_semantic_chunks",
+        "v6_rerank_texts",
+        "multimodal_features",
+        "ingest_chunks",
+    }
