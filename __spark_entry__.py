@@ -775,6 +775,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_windowed_sliding(spark, sf_dir):
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        windowed_event_counts,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = windowed_event_counts(
+        ev, "1 hour", slide_duration="30 minutes"
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+# each event lands in duration/slide = 2 overlapping windows whose
+# starts are the two 30-minute marks in the hour before it
+_SQL_WINDOWED_SLIDING = """
+WITH expanded AS (
+  SELECT to_timestamp((epoch_us(ts) // (30*60*1000000) - v) * (30*60)
+         ) AS window_start,
+         event_type, value, ts
+  FROM events, (VALUES (0), (1)) t(v)
+)
+SELECT epoch_us(window_start) AS window_start_us,
+       event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM expanded
+WHERE ts < window_start + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 def _q_sessionize(spark, sf_dir):
     from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
         sessionize,
@@ -1742,6 +1779,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("a4_breakpoint_stats", _q_a4_breakpoint_stats, _SQL_A4),
     ("events_type_counts", _q_events_type_counts, _SQL_EVENTS_TYPE_COUNTS),
     ("st_windowed_event_counts", _q_windowed_event_counts, _SQL_WINDOWED),
+    ("st_windowed_sliding", _q_windowed_sliding, _SQL_WINDOWED_SLIDING),
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),
     ("st_session_window", _q_session_window, _SQL_SESSION_WINDOW),
     ("st_stateful_dedup", _q_st_stateful_dedup, _SQL_ST_STATEFUL_DEDUP),

@@ -75,17 +75,25 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts/sums per event_type; works on
+    """Watermarked window counts/sums per event_type — tumbling by
+    default, sliding (overlapping windows, each event in
+    duration/slide of them) when ``slide_duration`` is given. Works on
     both a stream (late data dropped past the watermark) and a static
     frame (watermark is a no-op) — used by the oracle check in batch
     mode and by the streaming test in stream mode."""
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         src.groupBy(
-            F.window(F.col(ts_col), window_duration).alias("w"),
+            win.alias("w"),
             "event_type",
         )
         .agg(
