@@ -301,29 +301,31 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("__sa"),
-            F.col("b.sig").alias("__sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Score each banded match BEFORE deduplicating: the same pair found
+    # in several bands computes the same estimate, so the distinct only
+    # shuffles (doc_a, doc_b, est) — three narrow columns — instead of
+    # carrying both full 2×num_perm signature arrays through the widest
+    # shuffle of the LSH path.  The threshold filter also runs pre-
+    # distinct, shrinking the shuffle to surviving pairs only.
     est = F.aggregate(
         F.zip_with(
-            "__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_perm)
     return (
-        cand.select(
-            "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

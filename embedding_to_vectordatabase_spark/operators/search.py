@@ -94,6 +94,11 @@ def dense_topk(
     if metric == "COSINE":
         qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
         qnorm[qnorm == 0] = 1.0
+        qmat = qmat / qnorm
+    # Ship the query matrix as a broadcast variable instead of a task
+    # closure: one torrent distribution per job rather than re-serialized
+    # closures per stage, and no driver round-trip on retries.
+    bc_queries = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
 
     qid_field = queries.schema[query_id].dataType
     cid_field = corpus.schema[corpus_id].dataType
@@ -107,6 +112,7 @@ def dense_topk(
     descending = metric != "L2"
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc_queries.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -114,10 +120,10 @@ def dense_topk(
             ids = pdf[corpus_id].to_numpy()
             if metric == "IP":
                 S = X @ qmat.T
-            elif metric == "COSINE":
+            elif metric == "COSINE":  # qmat pre-normalized on the driver
                 xn = np.linalg.norm(X, axis=1, keepdims=True)
                 xn[xn == 0] = 1.0
-                S = (X / xn) @ (qmat / qnorm).T
+                S = (X / xn) @ qmat.T
             else:  # L2 — elementwise form, no cancellation-prone expansion
                 S = np.sqrt(
                     ((X[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
@@ -283,6 +289,7 @@ def ann_topk_ivf(
     nprobe: int = 10,
     seed: int = 42,
     train_fraction: float | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer (the
     reference's dense index family — nlist=128 / nprobe=10 are its own
@@ -303,20 +310,26 @@ def ann_topk_ivf(
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
 
-    # --- train centroids on a bounded sample (driver-side numpy kmeans)
-    n_corpus = corpus.count()
-    nlist = max(1, min(nlist, n_corpus))
-    if train_fraction is None:
-        train_fraction = min(1.0, (nlist * 50) / max(n_corpus, 1))
-    sample = corpus.select(corpus_vec).sample(
-        fraction=train_fraction, seed=seed
-    ).collect()
+    # --- train centroids on a bounded sample (driver-side numpy kmeans).
+    # No exact pre-count: the training scan is capped by an early-
+    # terminating LIMIT, so a 100 TB corpus never pays a full pass just
+    # to size the sample.  Callers that know the corpus size (or want a
+    # representative spread across partitions) pass n_corpus or
+    # train_fraction; otherwise the capped prefix is used — fine for a
+    # coarse quantizer, and documented here.
+    train_cap = max(nlist * 50, 256)
+    if train_fraction is None and n_corpus is not None:
+        train_fraction = min(1.0, train_cap / max(n_corpus, 1))
+    base = corpus.select(corpus_vec)
+    if train_fraction is not None:
+        base = base.sample(fraction=train_fraction, seed=seed)
+    sample = base.limit(train_cap).collect()
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    if len(X) < nlist:
-        X = np.array(
-            [list(r[0]) for r in corpus.select(corpus_vec).limit(nlist).collect()],
-            dtype=np.float64,
+    if len(X) == 0:
+        raise ValueError(
+            "empty training sample — corpus empty or train_fraction too small"
         )
+    nlist = max(1, min(nlist, len(X)))
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=nlist, replace=False)]
     for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded

@@ -80,9 +80,16 @@ def ingest(
     # number; otherwise scalable two-phase numbering (no global sort,
     # VERDICT r1 perf item 1). Ties on identical (title, content) get
     # a deterministic order from the full orderBy inside each bucket.
+    integral = {"tinyint", "smallint", "int", "bigint"}
     if "row_no" in docs.columns:
         numbered = docs
-    elif "doc_id" in docs.columns:
+    elif (
+        "doc_id" in docs.columns
+        and dict(docs.dtypes)["doc_id"] in integral
+    ):
+        # Bypass only for integral doc_ids: a string id would throw under
+        # ANSI mode, and the caller owns uniqueness.  Note ids need not be
+        # dense/1-based here — file_name suffixes follow the ids as given.
         numbered = docs.withColumn("row_no", F.col("doc_id").cast("long"))
     else:
         numbered = with_row_numbers_scalable(
@@ -146,6 +153,10 @@ def ingest_with_quarantine(
     for c, lim in VARCHAR_LIMITS.items():
         if c in chunks.columns:
             pred = pred | (F.length(F.col(c)) > lim)
+    # A NULL in any limited column makes the raw predicate NULL, which
+    # both filter(pred) and filter(~pred) would drop — route every row
+    # to exactly one side by treating NULL as "no violation".
+    pred = F.coalesce(pred, F.lit(False))
     return (
         chunks.filter(~pred),
         unmatched,
