@@ -1037,9 +1037,9 @@ FROM pairs
 
 
 def _q_v6_rerank_texts(spark, sf_dir):
-    """Rows-only: the mock rerank model's scores are sha1-derived
-    Python (deterministic — tests/test_search.py); the score-column
-    fusion variant above IS hash-checked."""
+    """J5 full path over raw (query, passage) text; the mock model's
+    scores are md5-derived (60 bits / 2^60) so the DuckDB oracle below
+    reproduces the whole fusion end-to-end (m3_server.py:41-49)."""
     from embedding_to_vectordatabase_spark.operators.search import (
         rerank_texts,
     )
@@ -1059,6 +1059,42 @@ def _q_v6_rerank_texts(spark, sf_dir):
     return rerank_texts(q.crossJoin(d)).select(
         "query_id", "passage_id", "score", "rank"
     )
+
+
+def _m3_mock_score_sql(salt: int) -> str:
+    """DuckDB mirror of rerank_texts' mock head: md5 over
+    '<salt>|<query[:256]>|<passage[:10000]>', first 15 hex chars as a
+    60-bit int, scaled to [0,1). 2^60 = 1152921504606846976."""
+    return (
+        "CAST('0x' || substr(md5('" + str(salt) + "|' || "
+        "substr(query, 1, 256) || '|' || substr(passage, 1, 10000)), "
+        "1, 15) AS BIGINT) / 1152921504606846976.0"
+    )
+
+
+_SQL_V6_TEXTS = f"""
+WITH d AS (
+  SELECT doc_id AS passage_id, substr(text, 1, 200) AS passage
+  FROM documents WHERE doc_id < 20
+),
+q(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'vector database ingestion'),
+         (CAST(1 AS BIGINT), 'stream processing')
+),
+scored AS (
+  SELECT query_id, passage_id,
+         {_m3_mock_score_sql(1)} AS colbert_score,
+         {_m3_mock_score_sql(2)} AS sparse_score,
+         {_m3_mock_score_sql(3)} AS dense_score
+  FROM q CROSS JOIN d
+)
+SELECT query_id, passage_id,
+       ROUND(0.4 * colbert_score + 0.2 * sparse_score + 0.4 * dense_score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(0.4 * colbert_score + 0.2 * sparse_score + 0.4 * dense_score, 6) DESC,
+                     passage_id) AS INT) AS rank
+FROM scored
+"""
 
 
 def _q_o4_dense_topk(spark, sf_dir):
@@ -1400,12 +1436,40 @@ FROM votes GROUP BY doc_id
 
 def _q_simhash_pairs(spark, sf_dir):
     """Rows-only at 64-bit defaults (xxhash64 not oracle-expressible);
-    the md5/16-bit signature variant above IS hash-checked."""
+    ``simhash_pairs_md5`` below runs the same operator in its
+    oracle-expressible md5 mode and IS hash-checked."""
     from embedding_to_vectordatabase_spark.operators.dedup import (
         simhash_pairs,
     )
 
     return simhash_pairs(_dup_union(spark, sf_dir), max_hamming=12)
+
+
+def _q_simhash_pairs_md5(spark, sf_dir):
+    """Same pairs operator in md5/16-bit mode. max_hamming=3 equals
+    bands-1, where the pigeonhole banding is EXACT — so the oracle can
+    compute all-pairs hamming directly and must match the banded plan."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    return simhash_pairs(
+        _dup_union(spark, sf_dir),
+        n=2,
+        max_hamming=3,
+        bands=4,
+        bits=16,
+        hash_fn="md5",
+    )
+
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH sigs AS ({_SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -1786,7 +1850,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),
-    ("v6_rerank_texts", _q_v6_rerank_texts, None),
+    ("v6_rerank_texts", _q_v6_rerank_texts, _SQL_V6_TEXTS),
     ("v7_dense_l2", _q_v7_dense_l2, _SQL_V7),
     ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),
@@ -1799,6 +1863,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("minhash_lsh_pairs", _q_minhash_lsh, _SQL_MINHASH),
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),
     ("simhash_pairs", _q_simhash_pairs, None),
+    ("simhash_pairs_md5", _q_simhash_pairs_md5, _SQL_SIMHASH_PAIRS),
     ("embedding_near_dup", _q_embedding_near_dup, _SQL_NEAR_DUP),
     ("lang_id", _q_lang_id, _SQL_LANG_ID),
     ("quality_score", _q_quality_score, _SQL_QUALITY),

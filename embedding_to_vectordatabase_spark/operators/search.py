@@ -524,7 +524,6 @@ def rerank_texts(
     10000 chars applied as in m3_server.py:17).
     """
     import hashlib
-    import struct
     from collections.abc import Iterator
 
     import numpy as np
@@ -544,11 +543,13 @@ def rerank_texts(
     )
 
     def _score(q: str, p: str, salt: int) -> float:
-        # deterministic pseudo-score in [0,1) from the truncated pair
-        h = hashlib.sha1(
+        # deterministic pseudo-score in [0,1) from the truncated pair,
+        # md5-derived (first 15 hex chars = 60 bits / 2^60) so a SQL
+        # oracle can reproduce the whole fusion end-to-end
+        h = hashlib.md5(
             f"{salt}|{(q or '')[:256]}|{(p or '')[:10000]}".encode()
-        ).digest()
-        return struct.unpack("<Q", h[:8])[0] / 2**64
+        ).hexdigest()
+        return int(h[:15], 16) / 2**60
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
