@@ -13,13 +13,26 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1,
    "ingest_chunks": N, "ingest_chunks_per_s": N,
    "duckdb_baseline": {name: sec, ...}, "vs_duckdb": {name: ratio},
-   "bench_vs_baseline": spark_total/duckdb_total over the oracle set}
+   "bench_vs_baseline": spark_total/duckdb_total over the oracle set,
+   "scale_amplified": {...}}  # same-data Spark-vs-DuckDB at 1M rows
 
 The reference publishes no benchmark numbers (BASELINE.md), so the
 measurable single-node baseline is DuckDB running the exact
 ``oracle_sql()`` statement for each benched query over the same
 parquet — a state-of-the-art single-node columnar engine standing in
-for "the same computation without Spark".
+for "the same computation without Spark". Two regimes are reported:
+
+- per-query at the driver's SF (small files): dominated by Spark's
+  fixed per-stage scheduling floor (~0.3-0.5 s), so the ratio there
+  measures overhead, not throughput;
+- ``scale_amplified``: both engines over the SAME 1M-row/500k-row
+  scratch parquet, where per-row work dominates — the regime the
+  engine is built for.
+
+Timing policy: one untimed warmup (Janino/JIT compile is a per-JVM
+one-off that amortizes to nothing on a real cluster) then the MEDIAN
+of 3 timed passes (codegen/JIT residuals still jitter individual runs
+by seconds on a 32-thread-saturated box).
 """
 
 from __future__ import annotations
@@ -27,7 +40,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import statistics
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,6 +64,11 @@ BENCH_QUERIES = [
     # text analytics map-only pass
     "profile_documents",
 ]
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_scratch"
+)
+DUCKDB_WATCHDOG_SEC = 90.0
 
 
 def main() -> None:
@@ -74,43 +95,48 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # untimed warmup pass per query: the first execution of a plan
-    # shape pays one-off Janino/JIT compilation of the generated code
-    # (tens of seconds for wide aggregates on a cold JVM) — a per-JVM
-    # cost that amortizes to nothing over a real cluster's lifetime,
-    # so the timed pass measures steady-state execution
-    for name in BENCH_QUERIES:
-        progress(f"warmup {name}")
-        materialize(qs[name](spark, sf_dir))
-
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
-        progress(f"timed {name}")
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        dt = round(time.time() - t0, 3)
+
+    def timed(name: str, mk, runs: int = 3) -> None:
+        nonlocal total
+        progress(f"bench {name}")
+        materialize(mk())  # untimed warmup (see module docstring)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            materialize(mk())
+            samples.append(time.time() - t0)
+        dt = round(statistics.median(samples), 3)
         timings[name] = dt
         total += dt
+
+    for name in BENCH_QUERIES:
+        timed(name, lambda name=name: qs[name](spark, sf_dir))
+
+    # end-to-end ingest throughput (chunks/s through chunk+embed+format)
+    # — measured before the heavy amplified sections so GC/JIT pollution
+    # from those doesn't leak into the headline rate
+    progress("ingest_e2e")
+    entry._q_ingest_chunks(spark, sf_dir).count()  # warmup
+    ingest_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        n_chunks = entry._q_ingest_chunks(spark, sf_dir).count()
+        ingest_samples.append(time.time() - t0)
+    ingest_sec = round(statistics.median(ingest_samples), 3)
+    timings["ingest_e2e"] = ingest_sec
+    total += ingest_sec
 
     # dedup at PRODUCTION defaults (xxhash64; the harness queries use
     # the slower md5 variants only for duckdb-oracle checkability)
     dup = entry._dup_union(spark, sf_dir)
-    for name, mk in [
-        ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(dup, threshold=0.5)),
-        ("simhash_pairs", lambda: simhash_pairs(dup, max_hamming=3)),
-    ]:
-        progress(f"dedup-prod {name}")
-        materialize(mk())  # warmup (see above)
-        t0 = time.time()
-        materialize(mk())
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(dup, threshold=0.5))
+    timed("simhash_pairs", lambda: simhash_pairs(dup, max_hamming=3))
 
-    # scale-amplified runs: the sf0.1 corpus replicated with shifted ids
-    # (identical per-row work, ~10× the rows) — shows throughput headroom
-    # beyond the small files the driver ships
+    # scale-amplified runs: the corpus replicated with shifted ids
+    # (identical per-row work) — shows throughput headroom beyond the
+    # small files the driver ships
     from pyspark.sql import functions as F
 
     def amplify(df, times, id_col, vary_text=False):
@@ -172,17 +198,12 @@ def main() -> None:
     )
     from embedding_to_vectordatabase_spark.operators.search import dense_topk
 
-    for name, mk in [
-        ("minhash_lsh_80k_docs", lambda: _mh(docs80k, threshold=0.5)),
-        ("dense_topk_100k_vecs", lambda: dense_topk(emb100k, q3, k=5)),
-    ]:
-        progress(f"amplified {name}")
-        materialize(mk())  # warmup
-        t0 = time.time()
-        materialize(mk())
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    timed(
+        "minhash_lsh_80k_docs", lambda: _mh(docs80k, threshold=0.5), runs=1
+    )
+    timed(
+        "dense_topk_100k_vecs", lambda: dense_topk(emb100k, q3, k=5), runs=1
+    )
 
     # larger amplifications, timed single-shot: the 80k/100k entries
     # above already JIT-warmed the identical plan shapes, so these
@@ -262,52 +283,48 @@ def main() -> None:
             ),
         ]:
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_aqe)
-            progress(f"skew {name}")
-            materialize(mk())  # warmup
-            t0 = time.time()
-            materialize(mk())
-            dt = round(time.time() - t0, 3)
-            timings[name] = dt
-            total += dt
+            timed(name, mk, runs=1)
     finally:
         for k, v in saved.items():
             conf.set(k, v)
 
-    # end-to-end ingest throughput (chunks/s through chunk+embed+format)
-    progress("ingest_e2e")
-    entry._q_ingest_chunks(spark, sf_dir).count()  # warmup (see above)
-    t0 = time.time()
-    chunks = entry._q_ingest_chunks(spark, sf_dir)
-    n_chunks = chunks.count()
-    ingest_sec = round(time.time() - t0, 3)
-    timings["ingest_e2e"] = ingest_sec
-    total += ingest_sec
-
     # DuckDB baseline: the exact oracle_sql() text for each benched
-    # query, over the same parquet files, warmed then timed (DuckDB
-    # uses all cores by default — same box, same data, same answer)
+    # query, over the same parquet files, warmed then median-of-3
+    # (DuckDB uses all cores by default — same box, same data, same
+    # answer)
     duckdb_baseline: dict[str, float] = {}
     vs_duckdb: dict[str, float] = {}
-    try:
+    oracles = entry.oracle_sql()
+
+    def duck_con(paths: dict[str, str]):
         import duckdb
 
-        oracles = entry.oracle_sql()
         con = duckdb.connect()
-        for t in [
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        ]:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+        for t, p in paths.items():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return con
+
+    try:
+        con = duck_con(
+            {
+                t: f"{sf_dir}/{t}.parquet"
+                for t in [
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings",
+                ]
+            }
+        )
         for name in BENCH_QUERIES:
             if name not in oracles:
                 continue
             progress(f"duckdb {name}")
             con.execute(oracles[name]).fetchall()  # warmup
-            t0 = time.time()
-            con.execute(oracles[name]).fetchall()
-            duckdb_baseline[name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(oracles[name]).fetchall()
+                samples.append(time.time() - t0)
+            duckdb_baseline[name] = round(statistics.median(samples), 3)
             vs_duckdb[name] = round(
                 timings[name] / max(duckdb_baseline[name], 1e-9), 2
             )
@@ -317,6 +334,83 @@ def main() -> None:
 
     spark_common = sum(timings[n] for n in duckdb_baseline)
     duck_common = sum(duckdb_baseline.values())
+
+    # Same-data scale comparison: both engines run the identical query
+    # over the identical 1M-row (and 500k-doc) scratch parquet, so
+    # per-row work dominates and the comparison measures throughput,
+    # not scheduling floors. DuckDB gets a watchdog interrupt — a
+    # recorded time equal to the cap means ">= cap" (lower bound).
+    scale_amplified: dict[str, object] = {}
+    try:
+        os.makedirs(SCRATCH, exist_ok=True)
+        emb1m_path = os.path.join(SCRATCH, "emb1m.parquet")
+        docs500k_path = os.path.join(SCRATCH, "docs500k.parquet")
+        progress("scratch write emb1m/docs500k")
+        emb1m.write.mode("overwrite").parquet(emb1m_path)
+        docs500k.write.mode("overwrite").parquet(docs500k_path)
+
+        def duck_timed(sql: str, paths: dict[str, str]) -> tuple[float, bool]:
+            con = duck_con(paths)
+            hit_cap = threading.Event()
+
+            def interrupt():
+                hit_cap.set()
+                con.interrupt()
+
+            timer = threading.Timer(DUCKDB_WATCHDOG_SEC, interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+            except Exception:  # noqa: BLE001 — interrupted => lower bound
+                dt = time.time() - t0
+            finally:
+                timer.cancel()
+                con.close()
+            return round(dt, 3), hit_cap.is_set()
+
+        from embedding_to_vectordatabase_spark.operators.textanalysis import (
+            profile_documents,
+        )
+
+        scratch_emb = spark.read.parquet(emb1m_path)
+        scratch_docs = spark.read.parquet(docs500k_path)
+        for key, spark_mk, sql, paths in [
+            (
+                "dense_topk_1m_vecs",
+                lambda: dense_topk(scratch_emb, q3, k=5),
+                oracles["o4_dense_topk"],
+                {"embeddings": f"{emb1m_path}/*.parquet"},
+            ),
+            (
+                "profile_500k_docs",
+                lambda: profile_documents(scratch_docs),
+                oracles["profile_documents"],
+                {"documents": f"{docs500k_path}/*.parquet"},
+            ),
+        ]:
+            progress(f"scale_amplified spark {key}")
+            materialize(spark_mk())  # warmup
+            t0 = time.time()
+            materialize(spark_mk())
+            spark_sec = round(time.time() - t0, 3)
+            progress(f"scale_amplified duckdb {key}")
+            duck_sec, capped = duck_timed(sql, paths)
+            scale_amplified[key] = {
+                "spark_sec": spark_sec,
+                "duckdb_sec": duck_sec,
+                "duckdb_hit_cap": capped,
+                # >1 = Spark faster on the same data (duckdb_sec is a
+                # lower bound when duckdb_hit_cap is true)
+                "spark_speedup_over_duckdb": round(
+                    duck_sec / max(spark_sec, 1e-9), 2
+                ),
+            }
+    except Exception:  # noqa: BLE001 — advisory, never lose the JSON line
+        pass
+    finally:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
 
     print(
         json.dumps(
@@ -336,6 +430,7 @@ def main() -> None:
                 )
                 if duckdb_baseline
                 else None,
+                "scale_amplified": scale_amplified,
             }
         )
     )

@@ -43,6 +43,14 @@ def get_spark(
         )
         # parquet scans: split files so 32 threads all get work at sf0.1
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (DontCompileHugeMethods), so a generated method past that
+        # runs interpreted with wildly variable latency (measured
+        # 3-78 s run-to-run on simhash's packed-lane vote aggregate).
+        # Falling back to non-codegen at exactly that limit keeps
+        # every compiled stage compiled and the too-wide ones
+        # predictable (SPARK-21871 rationale).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # bucketed tables (co-located joins) live outside the repo tree
         .config(
