@@ -614,6 +614,120 @@ GROUP BY n_name
 """
 
 
+def _q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape (testdata ship dates span 1995-2001, so the
+    window is 1996): pure scan-filter-agg — the predicate must reach
+    the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")) * _dec2(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    lineitem⋈orders shuffles on orderkey; customer/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    disc = _dec2(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")) * disc)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (sum qty > 150 — testdata
+    quantities cap at 50/line). The having-subquery is a fact-fact
+    self-aggregation; the qualifying-key set then joins orders and
+    broadcast customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def _q_o1_sorted_registry(spark, sf_dir):
     return (
         _t(spark, sf_dir, "supplier")
@@ -1835,6 +1949,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q1_pricing", _q_tpch_q1_pricing, _SQL_TPCH_Q1),
     ("tpch_q3_shipping", _q_tpch_q3_shipping, _SQL_TPCH_Q3),
     ("tpch_q5_local_supplier", _q_tpch_q5_local_supplier, _SQL_TPCH_Q5),
+    ("tpch_q6_forecast", _q_tpch_q6_forecast, _SQL_TPCH_Q6),
+    ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
+    ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),
     ("o1_sorted_registry", _q_o1_sorted_registry, _SQL_O1),
     ("o2_point_lookup", _q_o2_point_lookup, _SQL_O2),
     ("a1_file_stats", _q_a1_file_stats, _SQL_A1),

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
     # event analytics (window functions, sessionization)
     "st_windowed_event_counts",
     "st_sessionize",
