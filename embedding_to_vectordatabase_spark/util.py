@@ -2,12 +2,30 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 # per-core slice below which a fan-out stage is considered under-
 # parallel: small enough that the repartition shuffle is trivial,
 # large enough that real datasets (GB+) never trigger it
 _SMALL_INPUT_BYTES_PER_CORE = 4 << 20
+# above this estimated size the input is left alone even if its scan
+# splits under-fill the cores: repartitioning stops being free, and an
+# input this big is close to filling the cores via maxPartitionBytes
+# splits anyway
+_RESPREAD_CAP_BYTES_PER_CORE = 64 << 20
+
+_UNITS = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(s: str, default: int = 128 << 20) -> int:
+    """Spark byte-size conf string ('64m', '134217728', '1g') → bytes."""
+    try:
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?b?)", str(s).strip().lower())
+        return int(m.group(1)) * _UNITS[m.group(2).rstrip("b")] if m else default
+    except Exception:
+        return default
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -17,12 +35,22 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 
     The decision uses the optimizer's size estimate — pure plan
     analysis, never executing stages (``df.rdd`` would run shuffle
-    stages eagerly under AQE). Inputs estimated above ~4 MB/core pass
-    through untouched, so at real scale this is always a no-op and
-    plans stay narrow; the shuffle is only ever paid on inputs tiny
-    enough for it to be free.
+    stages eagerly under AQE). Two triggers:
+
+    - tiny inputs (< ~4 MB/core): repartition unconditionally — the
+      shuffle is free;
+    - mid-size inputs whose SCAN SPLITS under-fill the cores (fewer
+      than ``target`` maxPartitionBytes-sized splits, up to a
+      ~64 MB/core cap): a 200 MB corpus scans as 3-4 splits, and a
+      100× fan-out stage (shingle explode, chunking) then idles the
+      other cores for 10× the repartition's cost — measured 72 s vs
+      9 s for 80k-doc minhash signatures.
+
+    At real scale (size >> cores × maxPartitionBytes) both triggers
+    are no-ops and plans stay narrow.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism * factor
     try:
         size = int(
@@ -30,7 +58,17 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
         )
     except Exception:  # stats unavailable — leave the plan alone
         return df
-    if 0 <= size < target * _SMALL_INPUT_BYTES_PER_CORE:
+    if size < 0:
+        return df
+    if size < target * _SMALL_INPUT_BYTES_PER_CORE:
+        return df.repartition(target)
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if (
+        size < target * _RESPREAD_CAP_BYTES_PER_CORE
+        and size // max(max_split, 1) < target
+    ):
         return df.repartition(target)
     return df
 
