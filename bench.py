@@ -25,9 +25,9 @@ for "the same computation without Spark". Two regimes are reported:
 - per-query at the driver's SF (small files): dominated by Spark's
   fixed per-stage scheduling floor (~0.3-0.5 s), so the ratio there
   measures overhead, not throughput;
-- ``scale_amplified``: both engines over the SAME 1M-row/500k-row
-  scratch parquet, where per-row work dominates — the regime the
-  engine is built for.
+- ``scale_amplified``: both engines over the SAME 500k-vector /
+  250k-doc / 5M-event scratch parquet, where per-row work dominates —
+  the regime the engine is built for.
 
 Timing policy: one untimed warmup (Janino/JIT compile is a per-JVM
 one-off that amortizes to nothing on a real cluster) then the MEDIAN
@@ -70,7 +70,12 @@ BENCH_QUERIES = [
 SCRATCH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_scratch"
 )
-DUCKDB_WATCHDOG_SEC = 90.0
+DUCKDB_WATCHDOG_SEC = 60.0
+# soft wall-clock budget: after this many seconds the remaining
+# ADVISORY sections (scale_amplified scratch comparison) are skipped
+# so the driver always gets its JSON line — the host VM occasionally
+# enters windows where everything runs 3-5x slower
+BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "420"))
 
 
 def main() -> None:
@@ -93,6 +98,9 @@ def main() -> None:
     def progress(msg: str) -> None:
         # stderr only — stdout stays the single JSON line
         print(f"[bench +{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr)
+
+    def time_left() -> float:
+        return BENCH_DEADLINE_SEC - (time.time() - t_start)
 
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
@@ -185,13 +193,13 @@ def main() -> None:
     docs = entry._t(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     docs80k = amplify(docs, 8, "doc_id", vary_text=True)
-    docs500k = amplify(
-        docs, max(1, round(500_000 / max(n_docs, 1))), "doc_id", vary_text=True
+    docs250k = amplify(
+        docs, max(1, round(250_000 / max(n_docs, 1))), "doc_id", vary_text=True
     )
     emb = entry._t(spark, sf_dir, "embeddings")
     n_emb = emb.count()
     emb100k = amplify(emb, 20, "vec_id")
-    emb1m = amplify(emb, max(1, round(1_000_000 / max(n_emb, 1))), "vec_id")
+    emb500k = amplify(emb, max(1, round(500_000 / max(n_emb, 1))), "vec_id")
     q3 = emb.filter(
         F.col("vec_id") < 3
     ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -207,34 +215,9 @@ def main() -> None:
         "dense_topk_100k_vecs", lambda: dense_topk(emb100k, q3, k=5), runs=1
     )
 
-    # larger amplifications, timed single-shot: the 80k/100k entries
-    # above already JIT-warmed the identical plan shapes, so these
-    # measure the linear regime directly
+    # (the 500k/1M single-shots run in the scale_amplified section below,
+    # reading the scratch parquet both engines share)
     throughput: dict[str, float] = {}
-    for name, mk, rate_name, rate_rows in [
-        (
-            "minhash_lsh_500k_docs",
-            lambda: _mh(docs500k, threshold=0.5),
-            "minhash_500k_docs_per_s",
-            docs500k.count(),
-        ),
-        (
-            "dense_topk_1m_vecs",
-            lambda: dense_topk(emb1m, q3, k=5),
-            "dense_topk_1m_vecs_per_s",
-            emb1m.count(),
-        ),
-    ]:
-        try:
-            progress(f"single-shot {name}")
-            t0 = time.time()
-            materialize(mk())
-            dt = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001 — never lose the JSON line
-            continue
-        timings[name] = dt
-        total += dt
-        throughput[rate_name] = round(rate_rows / max(dt, 1e-9), 1)
 
     # skew demo: 90%-hot fact key joining a 1000-row dim with broadcast
     # disabled (forcing the shuffle join a too-big dim would need).
@@ -245,9 +228,9 @@ def main() -> None:
     li = entry._t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    fact = amplify(li, 4, "l_orderkey").select(
+    fact = amplify(li, 8, "l_orderkey").select(
         F.when(
-            F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), 10) < 9,
+            F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), 20) < 19,
             F.lit(0),
         )
         .otherwise(F.pmod(F.xxhash64("l_orderkey"), 1000))
@@ -285,7 +268,7 @@ def main() -> None:
             ),
         ]:
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_aqe)
-            timed(name, mk, runs=1)
+            timed(name, mk, runs=2)
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -344,12 +327,30 @@ def main() -> None:
     # recorded time equal to the cap means ">= cap" (lower bound).
     scale_amplified: dict[str, object] = {}
     try:
+        if time_left() < 150:
+            raise TimeoutError("bench deadline - skipping scale section")
         os.makedirs(SCRATCH, exist_ok=True)
-        emb1m_path = os.path.join(SCRATCH, "emb1m.parquet")
-        docs500k_path = os.path.join(SCRATCH, "docs500k.parquet")
-        progress("scratch write emb1m/docs500k")
-        emb1m.write.mode("overwrite").parquet(emb1m_path)
-        docs500k.write.mode("overwrite").parquet(docs500k_path)
+        emb500k_path = os.path.join(SCRATCH, "emb500k.parquet")
+        docs250k_path = os.path.join(SCRATCH, "docs250k.parquet")
+        ev5m_path = os.path.join(SCRATCH, "ev5m.parquet")
+        progress("scratch write emb500k/docs250k/ev5m")
+        emb500k.write.mode("overwrite").parquet(emb500k_path)
+        docs250k.write.mode("overwrite").parquet(docs250k_path)
+        ev = entry._events(spark, sf_dir)
+        n_ev = ev.count()
+        ev_times = max(1, round(5_000_000 / max(n_ev, 1)))
+        (
+            ev.repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(ev_times - 1))
+                ).alias("__rep"),
+            )
+            .drop("__rep")
+            .write.mode("overwrite")
+            .parquet(ev5m_path)
+        )
 
         def duck_timed(sql: str, paths: dict[str, str]) -> tuple[float, bool]:
             con = duck_con(paths)
@@ -375,23 +376,63 @@ def main() -> None:
         from embedding_to_vectordatabase_spark.operators.textanalysis import (
             profile_documents,
         )
+        from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+            windowed_event_counts,
+        )
 
-        scratch_emb = spark.read.parquet(emb1m_path)
-        scratch_docs = spark.read.parquet(docs500k_path)
+        scratch_emb = spark.read.parquet(emb500k_path)
+        scratch_docs = spark.read.parquet(docs250k_path)
+        scratch_ev = spark.read.parquet(ev5m_path).withColumn(
+            "value", F.col("value").cast("decimal(18,6)")
+        )
+
+        # heavy single-shots over the scratch store (scan-from-parquet
+        # is the realistic shape; the 80k/100k entries JIT-warmed the
+        # plan); Spark-only — the DuckDB minhash SQL is quadratic
+        # all-pairs and would only hit the watchdog
+        if time_left() < 60:
+            raise TimeoutError("bench deadline - skipping scratch single-shots")
+        progress("single-shot minhash_lsh_250k_docs")
+        n_250k = scratch_docs.count()
+        t0 = time.time()
+        materialize(_mh(scratch_docs, threshold=0.5))
+        dt = round(time.time() - t0, 3)
+        timings["minhash_lsh_250k_docs"] = dt
+        total += dt
+        throughput["minhash_250k_docs_per_s"] = round(n_250k / max(dt, 1e-9), 1)
+
+        def _windowed_5m():
+            out = windowed_event_counts(scratch_ev, "1 hour")
+            return out.select(
+                F.unix_micros(F.col("window_start")).alias("window_start_us"),
+                "event_type",
+                "n_events",
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
+
         for key, spark_mk, sql, paths in [
             (
-                "dense_topk_1m_vecs",
+                "dense_topk_500k_vecs",
                 lambda: dense_topk(scratch_emb, q3, k=5),
                 oracles["o4_dense_topk"],
-                {"embeddings": f"{emb1m_path}/*.parquet"},
+                {"embeddings": f"{emb500k_path}/*.parquet"},
             ),
             (
-                "profile_500k_docs",
+                "profile_250k_docs",
                 lambda: profile_documents(scratch_docs),
                 oracles["profile_documents"],
-                {"documents": f"{docs500k_path}/*.parquet"},
+                {"documents": f"{docs250k_path}/*.parquet"},
+            ),
+            (
+                "windowed_counts_5m_events",
+                _windowed_5m,
+                oracles["st_windowed_event_counts"],
+                {"events": f"{ev5m_path}/*.parquet"},
             ),
         ]:
+            if time_left() < 30:
+                progress("bench deadline - stopping scale section")
+                break
             progress(f"scale_amplified spark {key}")
             materialize(spark_mk())  # warmup
             t0 = time.time()
@@ -409,6 +450,12 @@ def main() -> None:
                     duck_sec / max(spark_sec, 1e-9), 2
                 ),
             }
+            if key == "dense_topk_500k_vecs":
+                timings[key] = spark_sec
+                total += spark_sec
+                throughput["dense_topk_500k_vecs_per_s"] = round(
+                    scratch_emb.count() / max(spark_sec, 1e-9), 1
+                )
     except Exception:  # noqa: BLE001 — advisory, never lose the JSON line
         pass
     finally:
