@@ -267,3 +267,73 @@ def delete_where(
     spark.read.parquet(path).filter(f"NOT ({predicate})").write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def delete_where_partitioned(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    partition_cols: list[str],
+) -> int:
+    """K7 at scale: in-place DELETE WHERE on a ``partitionBy`` parquet
+    store that rewrites ONLY the partitions the predicate touches.
+
+    Plan: (1) find touched partition values (partition-pruned scan when
+    the predicate constrains the partition columns); (2) keep-rows =
+    surviving rows of touched partitions only (left-semi against the
+    tiny touched set, broadcast); (3) commit via dynamic partition
+    overwrite, so untouched partitions' files are never read, written,
+    or moved; (4) partitions whose rows ALL matched the predicate
+    produce no output under dynamic overwrite, so their directories
+    are removed explicitly through the Hadoop FS API.
+
+    DELETE semantics are SQL-standard: rows where the predicate is
+    TRUE are removed; FALSE and NULL rows survive. The keep-set is
+    local-checkpointed before the write because Spark refuses an
+    overwrite of a path the plan still reads — bounded by the touched
+    partitions' volume, not the store (a table format would avoid the
+    materialization; see ``delete_where`` for the environment
+    decision). Returns the number of touched partitions.
+    """
+    pred = F.expr(predicate)
+    store = spark.read.parquet(path)
+    touched = (
+        store.filter(pred).select(*partition_cols).distinct().collect()
+    )
+    if not touched:
+        return 0
+    touched_df = spark.createDataFrame(
+        touched, store.select(*partition_cols).schema
+    )
+    keep = (
+        store.join(F.broadcast(touched_df), partition_cols, "left_semi")
+        .filter(~F.coalesce(pred, F.lit(False)))
+        # partition columns must come last for partitionBy layout
+        .select(
+            *[c for c in store.columns if c not in partition_cols],
+            *partition_cols,
+        )
+        .localCheckpoint()
+    )
+    survivors = {
+        tuple(r) for r in keep.select(*partition_cols).distinct().collect()
+    }
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        keep.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    # drop directories of fully-deleted partitions (no rows written)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for values in touched:
+        if tuple(values) in survivors:
+            continue
+        part_dir = "/".join(
+            f"{c}={v}" for c, v in zip(partition_cols, tuple(values))
+        )
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
+        fs = jpath.getFileSystem(hconf)
+        fs.delete(jpath, True)
+    return len(touched)

@@ -80,6 +80,69 @@ def test_delete_where_rewrite(spark, store, tmp_path):
     assert left.agg(F.min("file_id")).first()[0] == 50
 
 
+def test_delete_where_partitioned_rewrites_only_touched(spark, tmp_path):
+    """In-place partitioned delete: untouched partitions' files are
+    byte-identical (never rewritten), a fully-deleted partition's
+    directory disappears, NULL-predicate rows survive."""
+    import glob
+    import os
+
+    from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+        delete_where_partitioned,
+    )
+
+    path = str(tmp_path / "pstore")
+    rows = [(i, ["a", "b", "c"][i % 3], float(i) if i % 10 else None)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, part string, v double")
+    df.write.partitionBy("part").parquet(path)
+
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=c/*.parquet")
+    }
+    assert untouched_files
+
+    # deletes: all of part=a (ids ≡ 0 mod 3 → v NULL for ids ≡ 0 mod 30
+    # stays: predicate NULL must NOT delete), part of part=b
+    n = delete_where_partitioned(
+        spark, path, "(part = 'a' AND v IS NOT NULL) OR (part = 'b' AND id < 30)",
+        ["part"],
+    )
+    assert n == 2
+    left = spark.read.parquet(path)
+    # part=a survivors: ids 0,30,60 (v NULL); part=b: ids >= 30; part=c: all 30
+    got = {(r["part"], r["id"]) for r in left.collect()}
+    assert {p for p, _ in got} == {"a", "b", "c"}
+    assert {i for p, i in got if p == "a"} == {0, 30, 60}
+    assert all(i >= 30 for p, i in got if p == "b")
+    assert len([1 for p, _ in got if p == "c"]) == 30
+    # untouched partition: same files, same mtimes
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=c/*.parquet")
+    } == untouched_files
+
+
+def test_delete_where_partitioned_drops_empty_partition(spark, tmp_path):
+    from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+        delete_where_partitioned,
+    )
+
+    path = str(tmp_path / "pstore2")
+    spark.createDataFrame(
+        [(i, "x" if i < 5 else "y") for i in range(10)],
+        "id long, part string",
+    ).write.partitionBy("part").parquet(path)
+    assert delete_where_partitioned(spark, path, "part = 'x'", ["part"]) == 1
+    import os
+
+    assert not os.path.exists(f"{path}/part=x")
+    left = spark.read.parquet(path)
+    assert left.count() == 5
+    assert {r["part"] for r in left.collect()} == {"y"}
+
+
 def test_create_collection_ddl(spark, tmp_path):
     from embedding_to_vectordatabase_spark.schemas import CHUNK_SCHEMA
 
