@@ -276,6 +276,50 @@ def ann_topk_bucketed(
     )
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    corpus_vec: str,
+    nlist: int,
+    seed: int,
+    train_fraction: float | None,
+    n_corpus: int | None,
+):
+    """Driver-side numpy k-means on a bounded sample.
+
+    No exact pre-count: the training scan is capped by an early-
+    terminating LIMIT, so a 100 TB corpus never pays a full pass just
+    to size the sample. Callers that know the corpus size (or want a
+    representative spread across partitions) pass n_corpus or
+    train_fraction; otherwise the capped prefix is used — fine for a
+    coarse quantizer. Returns the (nlist_eff, dim) centroid matrix.
+    """
+    import numpy as np
+
+    train_cap = max(nlist * 50, 256)
+    if train_fraction is None and n_corpus is not None:
+        train_fraction = min(1.0, train_cap / max(n_corpus, 1))
+    base = corpus.select(corpus_vec)
+    if train_fraction is not None:
+        base = base.sample(fraction=train_fraction, seed=seed)
+    sample = base.limit(train_cap).collect()
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            "empty training sample — corpus empty or train_fraction too small"
+        )
+    nlist = max(1, min(nlist, len(X)))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=nlist, replace=False)]
+    for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -309,37 +353,10 @@ def ann_topk_ivf(
     metric = metric.upper()
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
-
-    # --- train centroids on a bounded sample (driver-side numpy kmeans).
-    # No exact pre-count: the training scan is capped by an early-
-    # terminating LIMIT, so a 100 TB corpus never pays a full pass just
-    # to size the sample.  Callers that know the corpus size (or want a
-    # representative spread across partitions) pass n_corpus or
-    # train_fraction; otherwise the capped prefix is used — fine for a
-    # coarse quantizer, and documented here.
-    train_cap = max(nlist * 50, 256)
-    if train_fraction is None and n_corpus is not None:
-        train_fraction = min(1.0, train_cap / max(n_corpus, 1))
-    base = corpus.select(corpus_vec)
-    if train_fraction is not None:
-        base = base.sample(fraction=train_fraction, seed=seed)
-    sample = base.limit(train_cap).collect()
-    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    if len(X) == 0:
-        raise ValueError(
-            "empty training sample — corpus empty or train_fraction too small"
-        )
-    nlist = max(1, min(nlist, len(X)))
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=nlist, replace=False)]
-    for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(nlist):
-            m = assign == c
-            if m.any():
-                cent[c] = X[m].mean(axis=0)
-
+    cent = _train_ivf_centroids(
+        corpus, corpus_vec, nlist, seed, train_fraction, n_corpus
+    )
+    nlist = len(cent)
     cm = cent.T  # (dim, nlist)
     c2 = (cent**2).sum(axis=1)
 
@@ -378,6 +395,127 @@ def ann_topk_ivf(
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
     )
+    return (
+        c.join(F.broadcast(q), "__list")
+        .select("query_id", corpus_id, score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    nlist: int = 128,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+) -> int:
+    """Persisted IVF index build — the lifecycle split a production
+    vector store has (reference DDL creates the index once,
+    milvus_connector.py:65-69; searches then only probe it):
+
+    - ``<index_path>/centroids.parquet`` — (list_id, centroid) — the
+      coarse quantizer, tiny (nlist rows), loaded to the driver at
+      search time;
+    - ``<index_path>/assignments.parquet`` — (corpus_id, list_id) —
+      every vector's inverted-list membership, ONE map-only pass over
+      the corpus at build time so searches never re-assign.
+
+    Returns the effective nlist (clamped to the training sample).
+    """
+    import numpy as np
+
+    cent = _train_ivf_centroids(
+        corpus, corpus_vec, nlist, seed, train_fraction, n_corpus
+    )
+    nlist_eff = len(cent)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(nlist_eff)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids.parquet"
+    )
+    cm = cent.T
+    c2 = (cent**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ cm)
+        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    corpus.select(
+        F.col(corpus_id),
+        nearest_list(F.col(corpus_vec)).alias("list_id"),
+    ).write.mode("overwrite").parquet(f"{index_path}/assignments.parquet")
+    return nlist_eff
+
+
+def ann_topk_ivf_index(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    k: int = DEFAULT_TOP_K,
+    metric: str = "IP",
+    nprobe: int = 10,
+) -> DataFrame:
+    """Search against a ``build_ivf_index`` store: no training, no
+    corpus re-assignment — centroids load to the driver (nlist rows),
+    queries probe their ``nprobe`` nearest lists, and the candidate
+    set is corpus ⋈ assignments ⋈ probed-lists (the assignments join
+    is on the corpus id — bucket/co-partition both by id at scale for
+    a shuffle-free join)."""
+    import numpy as np
+
+    metric = metric.upper()
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids.parquet")
+        .orderBy("list_id")
+        .collect()
+    )
+    cent = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    cm = cent.T
+    c2 = (cent**2).sum(axis=1)
+    npb = min(nprobe, len(cent))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ cm)
+        idx = np.argsort(d, axis=1)[:, :npb]
+        return pd.Series(
+            [row.astype("int32").tolist() for row in idx], index=vecs.index
+        )
+
+    assignments = spark.read.parquet(f"{index_path}/assignments.parquet")
+    c = corpus.join(assignments, corpus_id).withColumnRenamed(
+        "list_id", "__list"
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qvec"),
+        )
+        .withColumn("__probes", probe_lists(F.col("__qvec")))
+        .select("query_id", "__qvec", F.explode("__probes").alias("__list"))
+    )
+    score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    w = Window.partitionBy("query_id").orderBy(order("score"), F.asc(corpus_id))
     return (
         c.join(F.broadcast(q), "__list")
         .select("query_id", corpus_id, score.alias("score"))

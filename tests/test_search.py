@@ -105,6 +105,33 @@ def test_ivf_prunes(emb, queries):
     assert out.count() <= 5 * 5
 
 
+def test_ivf_persisted_index_matches_inline(spark, emb, queries, tmp_path_factory):
+    """build_ivf_index + ann_topk_ivf_index must reproduce the inline
+    ann_topk_ivf results exactly (same seed/params -> same centroids ->
+    same lists -> same candidates), with training paid ONCE at build."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivf_index,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    nlist_eff = build_ivf_index(emb, idx, nlist=16, seed=42)
+    assert 1 <= nlist_eff <= 16
+    cent = spark.read.parquet(f"{idx}/centroids.parquet")
+    assert cent.count() == nlist_eff
+    assigns = spark.read.parquet(f"{idx}/assignments.parquet")
+    assert assigns.count() == emb.count()
+    assert assigns.select("list_id").distinct().count() <= nlist_eff
+
+    inline = ann_topk_ivf(
+        emb, queries, k=5, metric="COSINE", nlist=16, nprobe=8, seed=42
+    ).collect()
+    indexed = ann_topk_ivf_index(
+        spark, idx, emb, queries, k=5, metric="COSINE", nprobe=8
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, indexed))
+
+
 def test_sparse_topk_inverted(spark):
     corpus = spark.createDataFrame(
         [(1, {1: 1.0, 2: 2.0}), (2, {2: 5.0}), (3, {9: 4.0})],
