@@ -1653,6 +1653,47 @@ FROM scored
 """
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """Flagship training-data composition: documents ∪ exact copies
+    (ids +10000) through the C4/Gopher-style chain — language id +
+    quality threshold + exact dedup (lowest id survives) — as ONE
+    lazy plan (plans/clean.py)."""
+    from embedding_to_vectordatabase_spark.plans.clean import clean_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(
+        d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return clean_corpus(dup, min_quality=0.5)
+
+
+def _nested(sql: str) -> str:
+    """Wrap a WITH...SELECT statement for use as a CTE body."""
+    return "SELECT * FROM (" + sql + ")"
+
+
+_SQL_CORPUS_CLEAN = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+),
+l AS ({{lang}}), q AS ({{qual}}),
+keyed AS (
+  SELECT s.doc_id, s.text, l.pred_lang, q.quality,
+         md5({_NORM_SQL.format(c='s.text')}) AS ck
+  FROM src s
+  JOIN l ON l.doc_id = s.doc_id
+  JOIN q ON q.doc_id = s.doc_id
+  WHERE q.quality >= 0.5
+)
+SELECT doc_id, text, pred_lang, quality FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+  FROM keyed
+) WHERE rn = 1
+"""
+
+
 def _q_quality_score(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.textanalysis import (
         quality_score,
@@ -1927,6 +1968,13 @@ def _q_ingest_chunks(spark, sf_dir):
 
 # ------------------------------------------------------------- registry
 
+# corpus_clean reuses the lang/quality oracle CTEs rebased onto the
+# duplicated src corpus (nested WITH inside a CTE body is valid DuckDB)
+_SQL_CORPUS_CLEAN = _SQL_CORPUS_CLEAN.format(
+    lang=_nested(_SQL_LANG_ID.replace("FROM documents", "FROM src")),
+    qual=_nested(_SQL_QUALITY.replace("FROM documents", "FROM src")),
+)
+
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("p2_clean_title", _q_p2_clean_title, _SQL_P2),
     ("p3_reformat_doc", _q_p3_reformat, _SQL_P3),
@@ -1986,6 +2034,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("quality_score", _q_quality_score, _SQL_QUALITY),
     ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
     ("profile_documents", _q_profile_documents, _SQL_PROFILE),
+    ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),

@@ -1,0 +1,78 @@
+"""Corpus cleaning — the canonical pretraining-data filter chain as
+ONE lazy Spark plan (the composition the per-operator pieces exist
+for; C4/Gopher-style pipeline):
+
+  documents → language filter (lang_id) → quality threshold
+  (quality_score) → exact dedup (md5 of normalized text, lowest doc_id
+  survives its duplicate group)
+
+Shuffle inventory: the lang/quality stage is map-only (single
+projection, lane-packed scores evaluated once); the only wide op is
+the dedup Window on the content hash — one shuffle, on a key whose
+cardinality is the distinct-document count. Near-dup pruning
+(MinHash/SimHash) chains after this plan via ``operators.dedup`` when
+needed; it is deliberately not fused here because its banded
+candidate join belongs behind its own threshold knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalize_text
+from ..operators.textanalysis import (
+    lang_from_scores,
+    lang_marker_scores,
+    quality_score,
+)
+
+DEFAULT_MIN_QUALITY = 0.5
+
+
+def clean_corpus(
+    df: DataFrame,
+    allowed_langs: list[str] | None = None,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving documents with their diagnostics attached.
+
+    Output: (<id_col>, <text_col>, pred_lang, quality) — one row per
+    surviving document. ``allowed_langs=None`` keeps every language
+    (including 'und'); pass e.g. ``["en", "de"]`` to restrict.
+    Determinism: the duplicate-group survivor is the lowest id, and
+    quality ties are resolved exactly (scores are 6dp-rounded the same
+    way the oracle rounds).
+    """
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    words = F.split(normalize_text(t), " ")
+    staged = df.select(
+        F.col(id_col),
+        t.alias(text_col) if text_col != "text" else t,
+        words.alias("__words"),
+        lang_marker_scores(words).alias("__scores"),
+        F.md5(normalize_text(t)).alias("__content_key"),
+    )
+    scored = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        "__content_key",
+        lang_from_scores(F.col(text_col), F.col("__scores")).alias(
+            "pred_lang"
+        ),
+        quality_score(F.col(text_col), F.col("__words")).alias("quality"),
+    )
+    filtered = scored.filter(F.col("quality") >= min_quality)
+    if allowed_langs is not None:
+        filtered = filtered.filter(F.col("pred_lang").isin(*allowed_langs))
+    w = Window.partitionBy("__content_key").orderBy(F.asc(id_col))
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, text_col, "pred_lang", "quality")
+    )

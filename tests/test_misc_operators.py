@@ -166,3 +166,25 @@ def test_harness_contract():
     names = list(qs)
     tail = [n for n in names if n not in sqls]
     assert names[-len(tail):] == tail
+
+
+def test_clean_corpus_filters_and_dedups(spark):
+    """Composed cleaning plan: quality gate, language restriction, and
+    lowest-id survivor per exact-duplicate group."""
+    from embedding_to_vectordatabase_spark.plans.clean import clean_corpus
+
+    rows = [
+        (1, "the cat sat on the mat and the dog is with it " * 5),
+        (2, "the cat sat on the mat and the dog is with it " * 5),  # dup of 1
+        (3, "der hund und die katze mit der maus und das haus " * 5),
+        (4, "xx"),  # too short -> quality below threshold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, min_quality=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 3}  # 2 deduped, 4 quality-filtered
+    assert got[1]["pred_lang"] == "en"
+    assert got[3]["pred_lang"] == "de"
+
+    only_en = clean_corpus(df, allowed_langs=["en"], min_quality=0.5)
+    assert {r["doc_id"] for r in only_en.collect()} == {1}
