@@ -1653,6 +1653,54 @@ FROM scored
 """
 
 
+def _q_table_stats(spark, sf_dir):
+    """One-pass per-column profile of lineitem (exact-distinct mode so
+    DuckDB mirrors it; mean is projected out — an order-varying double
+    reduction the parity policy excludes)."""
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        table_stats,
+    )
+
+    return table_stats(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"
+        ),
+        exact=True,
+    ).select(
+        "column", "dtype", "n_rows", "n_nulls", "n_distinct", "min", "max"
+    )
+
+
+def _stats_col_sql(col: str, dtype: str) -> str:
+    mn = (
+        f"CAST(MIN({col}) AS DOUBLE)"
+        if dtype == "double"
+        else "CAST(NULL AS DOUBLE)"
+    )
+    mx = (
+        f"CAST(MAX({col}) AS DOUBLE)"
+        if dtype == "double"
+        else "CAST(NULL AS DOUBLE)"
+    )
+    return (
+        f"SELECT '{col}' AS column, '{dtype}' AS dtype, "
+        f"COUNT(*) AS n_rows, COUNT(*) - COUNT({col}) AS n_nulls, "
+        f"COUNT(DISTINCT {col}) AS n_distinct, {mn} AS min, {mx} AS max "
+        "FROM lineitem"
+    )
+
+
+_SQL_TABLE_STATS = " UNION ALL ".join(
+    _stats_col_sql(c, t)
+    for c, t in [
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_returnflag", "string"),
+    ]
+)
+
+
 def _q_corpus_clean(spark, sf_dir):
     """Flagship training-data composition: documents ∪ exact copies
     (ids +10000) through the C4/Gopher-style chain — language id +
@@ -2035,6 +2083,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
     ("profile_documents", _q_profile_documents, _SQL_PROFILE),
     ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
+    ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),

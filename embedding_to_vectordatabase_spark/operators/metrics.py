@@ -42,3 +42,73 @@ def load_metrics(
             ).alias("rows_per_s")
         )
     return df.agg(*aggs)
+
+
+NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def table_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregation pass over the
+    table: row count, null count, distinct count, numeric min/max/mean.
+
+    ``exact=False`` (the 100 TB default) uses HyperLogLog++
+    ``approx_count_distinct`` — single-pass, fixed memory per column;
+    ``exact=True`` uses exact COUNT(DISTINCT) (one expand per column —
+    fine at test scale, and what the DuckDB oracle mirrors). The
+    result is O(columns): the single aggregated row is reshaped on the
+    driver into one row per column — the only driver-side collect, of
+    one row.
+
+    Output: (column, dtype, n_rows, n_nulls, n_distinct,
+    min double, max double, mean double) — min/max/mean NULL for
+    non-numeric columns; decimals profile via their double cast.
+    """
+    spark = df.sparkSession
+    dtypes = dict(df.dtypes)
+    cols = columns or list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(F.col(c))
+            ).alias(f"{c}__nd")
+        )
+        base = dtypes[c].split("(")[0]
+        if base in NUMERIC_TYPES or base == "decimal":
+            d = F.col(c).cast("double")
+            aggs.append(F.min(d).alias(f"{c}__min"))
+            aggs.append(F.max(d).alias(f"{c}__max"))
+            aggs.append(F.avg(d).alias(f"{c}__mean"))
+    row = df.agg(*aggs).first().asDict()
+    out = []
+    for c in cols:
+        out.append(
+            (
+                c,
+                dtypes[c],
+                row["__n"],
+                row["__n"] - row[f"{c}__nn"],
+                row[f"{c}__nd"],
+                row.get(f"{c}__min"),
+                row.get(f"{c}__max"),
+                (
+                    round(row[f"{c}__mean"], 6)
+                    if row.get(f"{c}__mean") is not None
+                    else None
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "n_distinct long, min double, max double, mean double",
+    )

@@ -188,3 +188,23 @@ def test_clean_corpus_filters_and_dedups(spark):
 
     only_en = clean_corpus(df, allowed_langs=["en"], min_quality=0.5)
     assert {r["doc_id"] for r in only_en.collect()} == {1}
+
+
+def test_table_stats_profile(spark):
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        table_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (4, 4.0, "b")],
+        "id long, v double, s string",
+    )
+    got = {r["column"]: r for r in table_stats(df, exact=True).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min"] == 2.0 and got["v"]["max"] == 4.0
+    assert got["v"]["mean"] == round(10.0 / 3, 6)
+    assert got["s"]["min"] is None and got["s"]["n_distinct"] == 2
+    # approx mode: HLL estimates within 10% on tiny exact cardinalities
+    approx = {r["column"]: r for r in table_stats(df).collect()}
+    assert abs(approx["id"]["n_distinct"] - 4) <= 1
