@@ -1653,6 +1653,40 @@ FROM scored
 """
 
 
+def _q_funnel(spark, sf_dir):
+    """view→click→purchase funnel, whole sequence within 3 days of the
+    user's first view; counts per completed prefix."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        funnel,
+    )
+
+    return funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"], "3 days"
+    )
+
+
+_SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s0 USING(user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+    AND e.ts <= s0.t0 + INTERVAL 3 DAY GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING(user_id) JOIN s0 USING(user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+    AND e.ts <= s0.t0 + INTERVAL 3 DAY GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s0
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s1
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s2
+"""
+
+
 def _q_table_stats(spark, sf_dir):
     """One-pass per-column profile of lineitem (exact-distinct mode so
     DuckDB mirrors it; mean is projected out — an order-varying double
@@ -2084,6 +2118,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("profile_documents", _q_profile_documents, _SQL_PROFILE),
     ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
     ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
+    ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),

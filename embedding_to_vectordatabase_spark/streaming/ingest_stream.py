@@ -174,3 +174,62 @@ def sessionize(
         )
         .drop("__new")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "3 days",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: users whose FIRST occurrence of each
+    step strictly follows the previous step's match, with the whole
+    sequence inside ``within`` of the first step's timestamp.
+
+    Plan: step 1 is one per-user min; each later step is an equi-join
+    on the user id + per-user min — k-1 joins all shuffling on the
+    SAME key, so after the first exchange the co-partitioning is
+    reused (and would be free on a user-bucketed store). No per-user
+    event collection, so whale users cost nothing extra. Output:
+    (step int, step_name, n_users long) — counts per completed prefix.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    iv = F.expr(f"INTERVAL {within}")
+    ts = F.col(ts_col)
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("__t"))
+        .withColumn("__deadline", F.col("__t") + iv)
+    )
+    levels = [reached]
+    for s in steps[1:]:
+        nxt = events.filter(F.col(type_col) == s).select(
+            user_col, ts.alias("__ts")
+        )
+        prev = levels[-1]
+        levels.append(
+            nxt.join(prev, user_col)
+            .filter(
+                (F.col("__ts") > F.col("__t"))
+                & (F.col("__ts") <= F.col("__deadline"))
+            )
+            .groupBy(user_col)
+            .agg(
+                F.min("__ts").alias("__t"),
+                # per-user constant; min just keeps the agg deterministic
+                F.min("__deadline").alias("__deadline"),
+            )
+        )
+    counts = None
+    for i, (name, lvl) in enumerate(zip(steps, levels)):
+        one = lvl.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts

@@ -213,3 +213,33 @@ def test_sessionize_gap_semantics(spark):
     assert sess[(1, "2024-01-01 10:10:00")] == 0
     assert sess[(1, "2024-01-01 11:00:00")] == 1
     assert sess[(2, "2024-01-01 10:00:00")] == 0
+
+
+def test_funnel_ordered_within_window(spark):
+    """Sequence must be strictly ordered and inside the window of the
+    FIRST step: u1 completes, u2's purchase precedes its click, u3's
+    purchase falls outside the window."""
+    from datetime import datetime
+
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        funnel,
+    )
+
+    def ev(u, t, typ):
+        return (u, datetime(2024, 1, 1, t), typ)
+
+    rows = [
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        ev(2, 1, "view"), ev(2, 5, "click"), ev(2, 4, "purchase"),
+        ev(3, 1, "view"), ev(3, 2, "click"), ev(3, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            df, ["view", "click", "purchase"], "10 hours"
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 3, "purchase": 1}
