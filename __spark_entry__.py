@@ -1687,6 +1687,99 @@ UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s2
 """
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per (cohort_week, weeks-since-cohort) activity cell — the
+    standard growth-analytics rollup (two shuffles: per-user min, then
+    the cohort×offset count over distinct user-weeks)."""
+    ev = _events(spark, sf_dir)
+    user_week = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = user_week.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_week.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("cohort_week")).alias("cohort_week_us"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+_SQL_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT epoch_us(cohort_week) AS cohort_week_us,
+       CAST(datediff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM uw JOIN cohort USING(user_id)
+GROUP BY 1, 2
+"""
+
+
+def _q_rolling_daily_value(spark, sf_dir):
+    """Per-user daily value totals with a 7-day trailing (RANGE) window
+    sum — the moving-aggregate shape; RANGE over a day-index column so
+    gap days still bound the frame correctly."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__v")
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("__v").cast("double").alias("day_value"),
+            F.datediff(F.col("day"), F.lit("2024-01-01")).alias("__d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__d")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.unix_micros(F.col("day")).alias("day_us"),
+        F.round(F.col("day_value"), 6).alias("day_value"),
+        F.round(F.sum("day_value").over(w), 6).alias("rolling_7d"),
+    )
+
+
+_SQL_ROLLING = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+         datediff('day', TIMESTAMP '2024-01-01 00:00:00',
+                  date_trunc('day', ts)) AS d
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, epoch_us(day) AS day_us,
+       ROUND(day_value, 6) AS day_value,
+       ROUND(SUM(day_value) OVER (
+         PARTITION BY user_id ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_7d
+FROM daily
+"""
+
+
 def _q_table_stats(spark, sf_dir):
     """One-pass per-column profile of lineitem (exact-distinct mode so
     DuckDB mirrors it; mean is projected out — an order-varying double
@@ -2119,6 +2212,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
     ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
     ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
+    ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
+    ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
