@@ -55,9 +55,11 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
     "tpch_q18_large_orders",
-    # event analytics (window functions, sessionization)
+    # event analytics (window functions, sessionization, sequences)
     "st_windowed_event_counts",
     "st_sessionize",
+    "funnel_view_click_purchase",
+    "rolling_daily_value",
     # vector search (flagship O4/J4 path + inverted sparse)
     "o4_dense_topk",
     "sparse_topk_inverted",
