@@ -1687,6 +1687,42 @@ UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s2
 """
 
 
+def _q_asof_attribution(spark, sf_dir):
+    """Purchase attribution: each purchase matched to the user's
+    latest preceding view (backward as-of join — union-tag + running
+    last over ONE shuffle on user_id; oracle is DuckDB's native
+    ASOF LEFT JOIN)."""
+    from embedding_to_vectordatabase_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], right_cols=["view_id"]
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_ts_us"),
+        "view_id",
+        F.unix_micros(F.col("ts_right")).alias("view_ts_us"),
+    )
+
+
+_SQL_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week,
     counted per (cohort_week, weeks-since-cohort) activity cell — the
@@ -2212,6 +2248,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
     ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
     ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
+    ("asof_attribution", _q_asof_attribution, _SQL_ASOF),
     ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
     ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),

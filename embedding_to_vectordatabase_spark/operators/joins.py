@@ -58,3 +58,89 @@ def kb_scoped_registry(
     (vector_database/mysql_connector.py:58-76). The filter pushes down
     to the JDBC/parquet source."""
     return registry.filter(F.col(kb_col) == F.lit(kb_id)).orderBy("id")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within its ``on`` group
+    (left-join semantics — unmatched rows keep NULL right columns).
+
+    Plan: union-tag both sides and take a per-key running
+    ``last(right-payload, ignorenulls)`` ordered by timestamp — ONE
+    shuffle on the join key, no range-join row explosion, whale keys
+    cost O(rows) not O(rows²). Equal timestamps are inclusive (the
+    right row sorts first); ties among right rows on the same
+    timestamp break toward the later union position deterministically
+    only if ``right_ts`` is unique per key — pass pre-deduped right
+    sides when it is not. ``tolerance`` (e.g. ``'2 days'``) NULLs the
+    match when the right row is older than ``left_ts - tolerance``.
+
+    Output: all left columns, then the selected right columns (right
+    timestamp included) suffixed ``_right`` on name clashes.
+    """
+    from pyspark.sql import Window
+
+    rcols = right_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    out_names = {
+        c: (c + "_right" if c in left.columns else c)
+        for c in [right_ts, *rcols]
+    }
+    rval = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in rcols],
+    )
+    null_rval = F.lit(None).cast(
+        right.select(rval.alias("x")).schema["x"].dataType
+    )
+    lval = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    null_lval = F.lit(None).cast(
+        left.select(lval.alias("x")).schema["x"].dataType
+    )
+    tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        lval.alias("__lval"),
+        null_rval.alias("__rval"),
+    ).unionByName(
+        right.select(
+            *on,
+            F.col(right_ts).alias("__ts"),
+            F.lit(1).alias("__is_r"),
+            null_lval.alias("__lval"),
+            rval.alias("__rval"),
+        )
+    )
+    # right rows sort before left rows at equal ts => inclusive match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.desc("__is_r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "__m", F.last("__rval", ignorenulls=True).over(w)
+    ).filter(F.col("__is_r") == 0)
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__rts")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__m"),
+            ),
+        )
+    return matched.select(
+        *[F.col(f"__lval.{c}").alias(c) for c in left.columns],
+        F.col("__m.__rts").alias(out_names[right_ts]),
+        *[F.col(f"__m.{c}").alias(out_names[c]) for c in rcols],
+    )

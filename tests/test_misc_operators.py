@@ -208,3 +208,38 @@ def test_table_stats_profile(spark):
     # approx mode: HLL estimates within 10% on tiny exact cardinalities
     approx = {r["column"]: r for r in table_stats(df).collect()}
     assert abs(approx["id"]["n_distinct"] - 4) <= 1
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive equal-ts match, left-join NULLs for
+    rows with no preceding right row, tolerance NULLs stale matches."""
+    from datetime import datetime
+
+    from embedding_to_vectordatabase_spark.operators.joins import asof_join
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame(
+        [(1, t(1)), (2, t(5)), (3, t(10)), (4, t(0))],
+        "lid long, ts timestamp",
+    ).withColumn("k", F.lit("u"))
+    right = spark.createDataFrame(
+        [(100, t(1)), (200, t(4))], "rid long, ts timestamp"
+    ).withColumn("k", F.lit("u"))
+
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, ["k"], right_cols=["rid"]).collect()
+    }
+    # lid=1 matches rid=100 at EQUAL ts (inclusive); lid=4 precedes all
+    assert out == {1: 100, 2: 200, 3: 200, 4: None}
+
+    tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, ["k"], right_cols=["rid"], tolerance="2 hours"
+        ).collect()
+    }
+    # lid=3 at 10h is 6h after rid=200 -> stale under 2h tolerance
+    assert tol == {1: 100, 2: 200, 3: None, 4: None}
