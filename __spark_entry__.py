@@ -1723,6 +1723,47 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def _q_range_join_error_context(spark, sf_dir):
+    """For each error event: how many same-user events landed in the
+    10 minutes before it (banded range join on (user, time-bucket) —
+    never a per-key cross product; left join keeps context-free
+    errors at zero)."""
+    from embedding_to_vectordatabase_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("event_id").alias("ctx_id"), "user_id", "ts"
+    )
+    pairs = range_join(
+        errors, others, ["user_id"], "ts", "ts", -600.0, 0.0
+    ).filter(F.col("ctx_id") != F.col("error_id"))
+    counts = pairs.groupBy("error_id").agg(
+        F.count("*").cast("long").alias("n_ctx")
+    )
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce(F.col("n_ctx"), F.lit(0).cast("long")).alias("n_ctx"),
+        )
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(c.event_id) AS n_ctx
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_id <> e.event_id
+ AND c.ts >= e.ts - INTERVAL 600 SECOND AND c.ts <= e.ts
+GROUP BY 1, 2
+"""
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week,
     counted per (cohort_week, weeks-since-cohort) activity cell — the
@@ -2249,6 +2290,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
     ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
     ("asof_attribution", _q_asof_attribution, _SQL_ASOF),
+    ("range_join_error_context", _q_range_join_error_context, _SQL_RANGE_JOIN),
     ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
     ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),

@@ -144,3 +144,59 @@ def asof_join(
         F.col("__m.__rts").alias(out_names[right_ts]),
         *[F.col(f"__m.{c}").alias(out_names[c]) for c in rcols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Banded interval join: pairs where ``right_ts`` falls in
+    ``[left_ts + lower_s, left_ts + upper_s]`` (seconds, inclusive)
+    within the same ``on`` group.
+
+    A naive theta-join degenerates to per-key cross products; here
+    both sides bucket time by the window WIDTH, the left side explodes
+    to the (at most two) buckets its interval can touch, and the join
+    is a plain equi-join on (key, bucket) + an exact filter — the
+    standard banding that keeps candidates linear in true matches.
+    Output: all left columns, plus the right columns suffixed
+    ``_right`` on name clashes.
+    """
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    band_us = max(int(round((upper_s - lower_s) * 1_000_000)), 1)
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+
+    lp = F.unix_micros(F.col(left_ts))
+    rp = F.unix_micros(F.col(right_ts))
+    l_buckets = F.sequence(
+        F.floor((lp + F.lit(lo_us)) / F.lit(band_us)),
+        F.floor((lp + F.lit(hi_us)) / F.lit(band_us)),
+    )
+    lt = left.withColumn("__b", F.explode(l_buckets))
+    # join keys keep their names (the equi-join merges them); other
+    # clashes get the suffix
+    out_names = {
+        c: (c + "_right" if c in left.columns and c not in on else c)
+        for c in right.columns
+    }
+    rt = right.select(
+        *[F.col(c).alias(out_names[c]) for c in right.columns]
+    ).withColumn(
+        "__b",
+        F.floor(
+            F.unix_micros(F.col(out_names[right_ts])) / F.lit(band_us)
+        ),
+    )
+    rts = F.unix_micros(F.col(out_names[right_ts]))
+    return (
+        lt.join(rt, [*on, "__b"])
+        .filter((rts >= lp + F.lit(lo_us)) & (rts <= lp + F.lit(hi_us)))
+        .drop("__b")
+    )

@@ -243,3 +243,33 @@ def test_asof_join_semantics(spark):
     }
     # lid=3 at 10h is 6h after rid=200 -> stale under 2h tolerance
     assert tol == {1: 100, 2: 200, 3: None, 4: None}
+
+
+def test_range_join_banding_exact(spark):
+    """Banded range join == exact inequality semantics, boundaries
+    inclusive, cross-bucket matches found."""
+    from datetime import datetime, timedelta
+
+    from embedding_to_vectordatabase_spark.operators.joins import range_join
+
+    base = datetime(2024, 1, 1)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, t(1000))], "lid long, ts timestamp"
+    ).withColumn("k", F.lit("u"))
+    right = spark.createDataFrame(
+        [(10, t(400)), (11, t(401)), (12, t(1000)), (13, t(1001)),
+         (14, t(399))],
+        "rid long, ts timestamp",
+    ).withColumn("k", F.lit("u"))
+    got = {
+        r["rid"]
+        for r in range_join(
+            left, right, ["k"], "ts", "ts", -600.0, 0.0
+        ).collect()
+    }
+    # [400, 1000] inclusive: 399 too old, 1001 in the future
+    assert got == {10, 11, 12}
