@@ -1764,6 +1764,38 @@ GROUP BY 1, 2
 """
 
 
+def _q_rollup_hierarchy(spark, sf_dir):
+    """hour→day→week continuous-aggregate hierarchy; raw events are
+    scanned once, coarser grains re-aggregate finer partials."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        rollup_hierarchy,
+    )
+
+    out = rollup_hierarchy(_events(spark, sf_dir))
+    return out.select(
+        "grain",
+        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+def _rollup_grain_sql(grain: str) -> str:
+    return f"""
+SELECT '{grain}' AS grain,
+       epoch_us(date_trunc('{grain}', ts)) AS bucket_start_us,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 2, 3
+"""
+
+
+_SQL_ROLLUP = " UNION ALL ".join(
+    _rollup_grain_sql(g) for g in ["hour", "day", "week"]
+)
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week,
     counted per (cohort_week, weeks-since-cohort) activity cell — the
@@ -2291,6 +2323,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
     ("asof_attribution", _q_asof_attribution, _SQL_ASOF),
     ("range_join_error_context", _q_range_join_error_context, _SQL_RANGE_JOIN),
+    ("rollup_hierarchy", _q_rollup_hierarchy, _SQL_ROLLUP),
     ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
     ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),

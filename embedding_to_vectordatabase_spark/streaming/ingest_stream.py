@@ -233,3 +233,52 @@ def funnel(
         )
         counts = one if counts is None else counts.unionByName(one)
     return counts
+
+
+ROLLUP_GRAINS = ["hour", "day", "week"]
+
+
+def rollup_hierarchy(
+    events: DataFrame,
+    grains: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the finest
+    grain aggregates the raw events ONCE; every coarser grain
+    re-aggregates the previous level's partial aggregates (counts sum,
+    sums sum), never rescanning raw data — at 100 TB the raw table is
+    read exactly once however many granularities are materialized.
+
+    Output: (grain, bucket_start, <type_col>, n_events, sum_value),
+    one row per (grain, bucket, type). Grains must be coarsening
+    date_trunc units (e.g. hour → day → week).
+    """
+    grains = grains or ROLLUP_GRAINS
+    level = (
+        events.groupBy(
+            F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_start"),
+            type_col,
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    out = level.withColumn("grain", F.lit(grains[0]))
+    for g in grains[1:]:
+        level = (
+            level.groupBy(
+                F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+                type_col,
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        out = out.unionByName(level.withColumn("grain", F.lit(g)))
+    return out.select(
+        "grain", "bucket_start", type_col, "n_events", "sum_value"
+    )
