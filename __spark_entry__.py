@@ -2260,6 +2260,27 @@ _SQL_CORPUS_CLEAN = _SQL_CORPUS_CLEAN.format(
 )
 
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
+    # Round-4 rotation: the external CORRECTNESS gate samples the first 50
+    # registry entries, so the 17 queries that had only local verification in
+    # rounds 1-3 lead the registry this round.  The displaced (long
+    # driver-proven) queries remain covered by tools/oracle_check.py.
+    ("lang_id", _q_lang_id, _SQL_LANG_ID),
+    ("quality_score", _q_quality_score, _SQL_QUALITY),
+    ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
+    ("profile_documents", _q_profile_documents, _SQL_PROFILE),
+    ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
+    ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
+    ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
+    ("asof_attribution", _q_asof_attribution, _SQL_ASOF),
+    ("range_join_error_context", _q_range_join_error_context, _SQL_RANGE_JOIN),
+    ("rollup_hierarchy", _q_rollup_hierarchy, _SQL_ROLLUP),
+    ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
+    ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
+    ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
+    ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
+    ("multimodal_meta", _q_multimodal_meta, _SQL_MULTIMODAL_META),
+    ("v8_labeling", _q_labeling_mock, _SQL_LABELING),
+    ("k7_delete_where", _q_k7_delete_where, _SQL_K7),
     ("p2_clean_title", _q_p2_clean_title, _SQL_P2),
     ("p3_reformat_doc", _q_p3_reformat, _SQL_P3),
     ("p4_sparse_cast", _q_p4_sparse_cast, _SQL_P4),
@@ -2314,26 +2335,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("simhash_pairs", _q_simhash_pairs, None),
     ("simhash_pairs_md5", _q_simhash_pairs_md5, _SQL_SIMHASH_PAIRS),
     ("embedding_near_dup", _q_embedding_near_dup, _SQL_NEAR_DUP),
-    ("lang_id", _q_lang_id, _SQL_LANG_ID),
-    ("quality_score", _q_quality_score, _SQL_QUALITY),
-    ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
-    ("profile_documents", _q_profile_documents, _SQL_PROFILE),
-    ("corpus_clean", _q_corpus_clean, _SQL_CORPUS_CLEAN),
-    ("table_stats", _q_table_stats, _SQL_TABLE_STATS),
-    ("funnel_view_click_purchase", _q_funnel, _SQL_FUNNEL),
-    ("asof_attribution", _q_asof_attribution, _SQL_ASOF),
-    ("range_join_error_context", _q_range_join_error_context, _SQL_RANGE_JOIN),
-    ("rollup_hierarchy", _q_rollup_hierarchy, _SQL_ROLLUP),
-    ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
-    ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
-    ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
-    ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),
-    ("multimodal_meta", _q_multimodal_meta, _SQL_MULTIMODAL_META),
     ("multimodal_features", _q_multimodal_features, None),
-    ("v8_labeling", _q_labeling_mock, _SQL_LABELING),
-    ("k7_delete_where", _q_k7_delete_where, _SQL_K7),
     ("ingest_chunks", _q_ingest_chunks, None),
 ]
 
