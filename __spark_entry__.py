@@ -71,6 +71,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # naive timestamp[us] fixture: with the session TZ pinned
+            # UTC above, NTZ→TIMESTAMP is epoch-exact vs DuckDB's
+            # epoch_us, and unix_micros/window accept it again
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     except Exception:  # conf removed / read failed — driver-side Arrow
         import pyarrow as pa
@@ -874,7 +879,7 @@ def _q_windowed_event_counts(spark, sf_dir):
     )
     out = windowed_event_counts(ev, "1 hour")
     return out.select(
-        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
         "event_type",
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
@@ -901,7 +906,7 @@ def _q_windowed_sliding(spark, sf_dir):
         ev, "1 hour", slide_duration="30 minutes"
     )
     return out.select(
-        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
         "event_type",
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
@@ -946,8 +951,8 @@ def _q_session_window(spark, sf_dir):
     out = sessionize_window(ev, gap_minutes=30)
     return out.select(
         "user_id",
-        F.unix_micros(F.col("session_start")).alias("session_start_us"),
-        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
         "n_events",
     )
 
@@ -1707,9 +1712,9 @@ def _q_asof_attribution(spark, sf_dir):
     return out.select(
         "purchase_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
         "view_id",
-        F.unix_micros(F.col("ts_right")).alias("view_ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("view_ts_us"),
     )
 
 
@@ -1774,7 +1779,7 @@ def _q_rollup_hierarchy(spark, sf_dir):
     out = rollup_hierarchy(_events(spark, sf_dir))
     return out.select(
         "grain",
-        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("bucket_start_us"),
         "event_type",
         "n_events",
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
@@ -1818,7 +1823,7 @@ def _q_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n_users"))
         .select(
-            F.unix_micros(F.col("cohort_week")).alias("cohort_week_us"),
+            F.unix_micros(F.col("cohort_week").cast("timestamp")).alias("cohort_week_us"),
             "week_offset",
             "n_users",
         )
@@ -1866,7 +1871,7 @@ def _q_rolling_daily_value(spark, sf_dir):
     )
     return daily.select(
         "user_id",
-        F.unix_micros(F.col("day")).alias("day_us"),
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
         F.round(F.col("day_value"), 6).alias("day_value"),
         F.round(F.sum("day_value").over(w), 6).alias("rolling_7d"),
     )

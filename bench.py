@@ -406,7 +406,7 @@ def main() -> None:
         def _windowed_5m():
             out = windowed_event_counts(scratch_ev, "1 hour")
             return out.select(
-                F.unix_micros(F.col("window_start")).alias("window_start_us"),
+                F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
                 "event_type",
                 "n_events",
                 F.col("sum_value").cast("double").alias("sum_value"),

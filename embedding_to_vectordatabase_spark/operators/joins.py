@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import ts_micros
+
 
 def registry_lookup(
     docs: DataFrame,
@@ -173,8 +175,8 @@ def range_join(
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
 
-    lp = F.unix_micros(F.col(left_ts))
-    rp = F.unix_micros(F.col(right_ts))
+    lp = ts_micros(left_ts)
+    rp = ts_micros(right_ts)
     l_buckets = F.sequence(
         F.floor((lp + F.lit(lo_us)) / F.lit(band_us)),
         F.floor((lp + F.lit(hi_us)) / F.lit(band_us)),
@@ -190,11 +192,9 @@ def range_join(
         *[F.col(c).alias(out_names[c]) for c in right.columns]
     ).withColumn(
         "__b",
-        F.floor(
-            F.unix_micros(F.col(out_names[right_ts])) / F.lit(band_us)
-        ),
+        F.floor(ts_micros(out_names[right_ts]) / F.lit(band_us)),
     )
-    rts = F.unix_micros(F.col(out_names[right_ts]))
+    rts = ts_micros(out_names[right_ts])
     return (
         lt.join(rt, [*on, "__b"])
         .filter((rts >= lp + F.lit(lo_us)) & (rts <= lp + F.lit(hi_us)))

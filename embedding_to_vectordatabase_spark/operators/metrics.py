@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import ts_micros
+
 
 def load_metrics(
     df: DataFrame,
@@ -25,7 +27,7 @@ def load_metrics(
     requests_per_s, avg_latency_ms (thread_test.py:59-71 parity), and
     rows_per_s when a per-request row count is supplied."""
     dur = (
-        F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ts_micros(F.max(ts_col)) - ts_micros(F.min(ts_col))
     ) / 1_000_000.0
     aggs = [
         F.count("*").alias("n_requests"),

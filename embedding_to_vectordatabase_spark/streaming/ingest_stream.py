@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import DOC_SCHEMA
+from ..util import ts_micros
 
 
 def stream_ingest_jsonl(
@@ -158,9 +159,7 @@ def sessionize(
     # threshold boundary — engine-portable)
     gap_us = gap_minutes * 60 * 1_000_000
     new_sess = (
-        F.unix_micros(F.col(ts_col))
-        - F.lag(F.unix_micros(F.col(ts_col))).over(w)
-        > gap_us
+        ts_micros(ts_col) - F.lag(ts_micros(ts_col)).over(w) > gap_us
     )
     return (
         events.withColumn(

@@ -4,7 +4,22 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ts_micros(col: Column | str) -> Column:
+    """Epoch microseconds from a TIMESTAMP **or** TIMESTAMP_NTZ column.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ outright
+    (DATATYPE_MISMATCH) and Spark never implicitly casts between the
+    two timestamp types. Casting NTZ→TIMESTAMP interprets the naive
+    value in the session time zone (pin it to UTC for engine-portable
+    epoch semantics) and is a no-op on TIMESTAMP, so one cast makes
+    every time-arithmetic operator accept both types.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(col.cast("timestamp"))
 
 # per-core slice below which a fan-out stage is considered under-
 # parallel: small enough that the repartition shuffle is trivial,
