@@ -1908,25 +1908,28 @@ def _q_table_stats(spark, sf_dir):
         ),
         exact=True,
     ).select(
-        "column", "dtype", "n_rows", "n_nulls", "n_distinct", "min", "max"
+        "column", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min", "max", "p25", "p50", "p75", "p95",
     )
 
 
 def _stats_col_sql(col: str, dtype: str) -> str:
-    mn = (
-        f"CAST(MIN({col}) AS DOUBLE)"
-        if dtype == "double"
-        else "CAST(NULL AS DOUBLE)"
-    )
-    mx = (
-        f"CAST(MAX({col}) AS DOUBLE)"
-        if dtype == "double"
-        else "CAST(NULL AS DOUBLE)"
+    def num(expr: str) -> str:
+        return (
+            f"CAST({expr} AS DOUBLE)"
+            if dtype == "double"
+            else "CAST(NULL AS DOUBLE)"
+        )
+
+    qs = ", ".join(
+        f"{num(f'ROUND(quantile_cont({col}, {p}), 6)')} AS p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95)
     )
     return (
         f"SELECT '{col}' AS column, '{dtype}' AS dtype, "
         f"COUNT(*) AS n_rows, COUNT(*) - COUNT({col}) AS n_nulls, "
-        f"COUNT(DISTINCT {col}) AS n_distinct, {mn} AS min, {mx} AS max "
+        f"COUNT(DISTINCT {col}) AS n_distinct, "
+        f"{num(f'MIN({col})')} AS min, {num(f'MAX({col})')} AS max, {qs} "
         "FROM lineitem"
     )
 

@@ -62,6 +62,19 @@ def kb_scoped_registry(
     return registry.filter(F.col(kb_col) == F.lit(kb_id)).orderBy("id")
 
 
+def _orderable(dt) -> bool:
+    """True when Spark can sort on the type (no map anywhere in it)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -79,11 +92,15 @@ def asof_join(
     ``last(right-payload, ignorenulls)`` ordered by timestamp — ONE
     shuffle on the join key, no range-join row explosion, whale keys
     cost O(rows) not O(rows²). Equal timestamps are inclusive (the
-    right row sorts first); ties among right rows on the same
-    timestamp break toward the later union position deterministically
-    only if ``right_ts`` is unique per key — pass pre-deduped right
-    sides when it is not. ``tolerance`` (e.g. ``'2 days'``) NULLs the
-    match when the right row is older than ``left_ts - tolerance``.
+    right row sorts first). NULL ``on`` keys follow SQL join
+    semantics: a right row with a NULL key matches nothing (dropped),
+    a left row with a NULL key passes through unmatched. Ties among
+    right rows sharing the winning timestamp break deterministically
+    toward the greatest right payload (field-order lexicographic) when
+    the payload type is orderable; with an unorderable payload (map
+    fields) the winner among exact-duplicate timestamps is
+    unspecified. ``tolerance`` (e.g. ``'2 days'``) NULLs the match
+    when the right row is older than ``left_ts - tolerance``.
 
     Output: all left columns, then the selected right columns (right
     timestamp included) suffixed ``_right`` on name clashes.
@@ -93,6 +110,13 @@ def asof_join(
     rcols = right_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    if on:
+        # SQL semantics: NULL never equals NULL across a join. Right
+        # rows with any NULL key can match no left row — drop them
+        # before the union so the window partition for NULL left keys
+        # contains no right rows (those left rows come out unmatched).
+        for c in on:
+            right = right.filter(F.col(c).isNotNull())
     out_names = {
         c: (c + "_right" if c in left.columns else c)
         for c in [right_ts, *rcols]
@@ -123,10 +147,16 @@ def asof_join(
             rval.alias("__rval"),
         )
     )
-    # right rows sort before left rows at equal ts => inclusive match
+    # right rows sort before left rows at equal ts => inclusive match;
+    # among tied right rows the greatest payload sorts last, so the
+    # running last() picks it deterministically (payload ordering
+    # skipped when the struct holds an unorderable map)
+    order = [F.asc("__ts"), F.desc("__is_r")]
+    if _orderable(right.select(rval.alias("x")).schema["x"].dataType):
+        order.append(F.asc("__rval"))
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.desc("__is_r"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = tagged.withColumn(

@@ -51,66 +51,85 @@ NUMERIC_TYPES = {
 }
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
 def table_stats(
     df: DataFrame,
     columns: list[str] | None = None,
     exact: bool = False,
 ) -> DataFrame:
     """Per-column data-quality profile in ONE aggregation pass over the
-    table: row count, null count, distinct count, numeric min/max/mean.
+    table: row count, null count, distinct count, numeric
+    min/max/mean and p25/p50/p75/p95 quantiles.
 
     ``exact=False`` (the 100 TB default) uses HyperLogLog++
-    ``approx_count_distinct`` — single-pass, fixed memory per column;
-    ``exact=True`` uses exact COUNT(DISTINCT) (one expand per column —
-    fine at test scale, and what the DuckDB oracle mirrors). The
-    result is O(columns): the single aggregated row is reshaped on the
-    driver into one row per column — the only driver-side collect, of
-    one row.
+    ``approx_count_distinct`` and ``percentile_approx`` — single-pass,
+    fixed memory per column; ``exact=True`` uses exact
+    COUNT(DISTINCT) and sorting ``percentile`` (one expand per column
+    — fine at test scale, and what the DuckDB oracle mirrors;
+    ``percentile`` interpolates like SQL percentile_cont / DuckDB
+    quantile_cont). The result is O(columns): the single aggregated
+    row is reshaped on the driver into one row per column — the only
+    driver-side collect, of one row.
 
-    Output: (column, dtype, n_rows, n_nulls, n_distinct,
-    min double, max double, mean double) — min/max/mean NULL for
-    non-numeric columns; decimals profile via their double cast.
+    Output: (column, dtype, n_rows, n_nulls, n_distinct, min double,
+    max double, mean double, p25..p95 double) — numeric stats NULL
+    for non-numeric columns; decimals profile via their double cast;
+    mean and quantiles rounded to 6 dp (engine-portable).
     """
     spark = df.sparkSession
     dtypes = dict(df.dtypes)
     cols = columns or list(df.columns)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+    # generated aliases are INDEX-based, so a user column literally
+    # named like a name-derived alias (e.g. "x__nn" next to "x") can
+    # never collide with them
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__{i}_nn"))
         aggs.append(
             (
                 F.count_distinct(F.col(c))
                 if exact
                 else F.approx_count_distinct(F.col(c))
-            ).alias(f"{c}__nd")
+            ).alias(f"__{i}_nd")
         )
         base = dtypes[c].split("(")[0]
         if base in NUMERIC_TYPES or base == "decimal":
             d = F.col(c).cast("double")
-            aggs.append(F.min(d).alias(f"{c}__min"))
-            aggs.append(F.max(d).alias(f"{c}__max"))
-            aggs.append(F.avg(d).alias(f"{c}__mean"))
+            aggs.append(F.min(d).alias(f"__{i}_min"))
+            aggs.append(F.max(d).alias(f"__{i}_max"))
+            aggs.append(F.avg(d).alias(f"__{i}_mean"))
+            pct = (
+                F.percentile(d, list(QUANTILES))
+                if exact
+                else F.percentile_approx(d, list(QUANTILES))
+            )
+            aggs.append(pct.alias(f"__{i}_q"))
     row = df.agg(*aggs).first().asDict()
     out = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        q = row.get(f"__{i}_q") or [None] * len(QUANTILES)
         out.append(
             (
                 c,
                 dtypes[c],
                 row["__n"],
-                row["__n"] - row[f"{c}__nn"],
-                row[f"{c}__nd"],
-                row.get(f"{c}__min"),
-                row.get(f"{c}__max"),
+                row["__n"] - row[f"__{i}_nn"],
+                row[f"__{i}_nd"],
+                row.get(f"__{i}_min"),
+                row.get(f"__{i}_max"),
                 (
-                    round(row[f"{c}__mean"], 6)
-                    if row.get(f"{c}__mean") is not None
+                    round(row[f"__{i}_mean"], 6)
+                    if row.get(f"__{i}_mean") is not None
                     else None
                 ),
+                *[round(x, 6) if x is not None else None for x in q],
             )
         )
     return spark.createDataFrame(
         out,
         "column string, dtype string, n_rows long, n_nulls long, "
-        "n_distinct long, min double, max double, mean double",
+        "n_distinct long, min double, max double, mean double, "
+        "p25 double, p50 double, p75 double, p95 double",
     )

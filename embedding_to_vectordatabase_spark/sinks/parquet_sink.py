@@ -295,6 +295,9 @@ def delete_where_partitioned(
     materialization; see ``delete_where`` for the environment
     decision). Returns the number of touched partitions.
     """
+    import functools
+    import operator
+
     pred = F.expr(predicate)
     store = spark.read.parquet(path)
     touched = (
@@ -305,8 +308,16 @@ def delete_where_partitioned(
     touched_df = spark.createDataFrame(
         touched, store.select(*partition_cols).schema
     )
+    # null-safe equality: a NULL partition value must match itself,
+    # else the NULL partition's surviving rows never enter the keep
+    # set and the final directory delete would drop them with the
+    # deleted rows
+    semi_cond = functools.reduce(
+        operator.and_,
+        [store[c].eqNullSafe(touched_df[c]) for c in partition_cols],
+    )
     keep = (
-        store.join(F.broadcast(touched_df), partition_cols, "left_semi")
+        store.join(F.broadcast(touched_df), semi_cond, "left_semi")
         .filter(~F.coalesce(pred, F.lit(False)))
         # partition columns must come last for partitionBy layout
         .select(
@@ -324,16 +335,63 @@ def delete_where_partitioned(
         keep.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-    # drop directories of fully-deleted partitions (no rows written)
+    # drop directories of fully-deleted partitions (no rows written).
+    # Directories are resolved by LISTING the store and unescaping the
+    # on-disk names — never by formatting values into paths: the
+    # writer Hive-escapes specials (space, ':', '/', '%', ... become
+    # %XX) and spells NULL as __HIVE_DEFAULT_PARTITION__, so a naive
+    # f"{col}={value}" misses those partitions and their rows would
+    # silently survive the DELETE.
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
     for values in touched:
         if tuple(values) in survivors:
             continue
-        part_dir = "/".join(
-            f"{c}={v}" for c, v in zip(partition_cols, tuple(values))
-        )
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
-        fs = jpath.getFileSystem(hconf)
-        fs.delete(jpath, True)
+        cur = root
+        found = True
+        for c, v in zip(partition_cols, tuple(values)):
+            want = _partition_value_str(v)
+            nxt = None
+            for status in fs.listStatus(cur):
+                name = status.getPath().getName()
+                col, sep, raw = name.partition("=")
+                if not sep or col != c:
+                    continue
+                got = (
+                    None
+                    if raw == _HIVE_NULL_PARTITION
+                    else _unescape_path_name(raw)
+                )
+                if got == want:
+                    nxt = status.getPath()
+                    break
+            if nxt is None:
+                found = False
+                break
+            cur = nxt
+        if found:
+            fs.delete(cur, True)
     return len(touched)
+
+
+_HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_value_str(v) -> str | None:
+    """The string Spark's partitioned writer spells a value as in the
+    directory name (before escaping); None for NULL/empty, which both
+    land in __HIVE_DEFAULT_PARTITION__."""
+    if v is None or v == "":
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _unescape_path_name(name: str) -> str:
+    """Inverse of Hive/Spark escapePathName: %XX → the escaped char."""
+    from urllib.parse import unquote
+
+    return unquote(name)

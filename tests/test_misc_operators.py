@@ -208,6 +208,26 @@ def test_table_stats_profile(spark):
     # approx mode: HLL estimates within 10% on tiny exact cardinalities
     approx = {r["column"]: r for r in table_stats(df).collect()}
     assert abs(approx["id"]["n_distinct"] - 4) <= 1
+    # quantiles: exact percentile over [2,4,4] (percentile_cont interp)
+    assert got["v"]["p50"] == 4.0 and got["v"]["p25"] == 3.0
+    assert got["s"]["p50"] is None
+
+
+def test_table_stats_alias_collision_columns(spark):
+    """Columns literally named like a name-derived agg alias must not
+    corrupt each other's stats (aliases are index-based)."""
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        table_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 20.0, None)],
+        "x long, x__nn double, x__min long",
+    )
+    got = {r["column"]: r for r in table_stats(df, exact=True).collect()}
+    assert got["x"]["n_nulls"] == 0 and got["x"]["n_distinct"] == 2
+    assert got["x__nn"]["min"] == 10.0 and got["x__nn"]["max"] == 20.0
+    assert got["x__min"]["n_nulls"] == 1 and got["x__min"]["max"] == 5.0
 
 
 def test_asof_join_semantics(spark):
@@ -243,6 +263,58 @@ def test_asof_join_semantics(spark):
     }
     # lid=3 at 10h is 6h after rid=200 -> stale under 2h tolerance
     assert tol == {1: 100, 2: 200, 3: None, 4: None}
+
+
+def test_asof_join_null_keys_and_duplicate_right_ts(spark):
+    """SQL NULL-key semantics (NULL matches nothing; left NULL-key rows
+    pass through unmatched) and a deterministic winner among right rows
+    sharing the matched timestamp — both verified against DuckDB's
+    ASOF JOIN on the same frames."""
+    from datetime import datetime
+
+    import duckdb
+
+    from embedding_to_vectordatabase_spark.operators.joins import asof_join
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    lrows = [(1, "a", t(5)), (2, None, t(5)), (3, "b", t(5))]
+    rrows = [
+        ("a", t(2), 10),
+        ("a", t(2), 30),   # duplicate ts — greatest payload must win
+        ("a", t(2), 20),
+        (None, t(1), 99),  # NULL key — must match nothing
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, rid long")
+
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, ["k"], right_cols=["rid"]).collect()
+    }
+    # lid=1: ties at t(2) break toward greatest payload (rid=30);
+    # lid=2: NULL left key -> unmatched; lid=3: no right rows for 'b'
+    assert out == {1: 30, 2: None, 3: None}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(lid BIGINT, k VARCHAR, ts TIMESTAMP);"
+        "CREATE TABLE r(k VARCHAR, ts TIMESTAMP, rid BIGINT);"
+    )
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    # DuckDB leaves the duplicate-ts winner unspecified; compare the
+    # NULL-key/match-ts semantics exactly and the tie as set-membership
+    duck = {
+        lid: (rts, rid)
+        for lid, rts, rid in con.execute(
+            "SELECT l.lid, r.ts, r.rid FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert duck[2] == (None, None) and duck[3] == (None, None)
+    assert duck[1][0] == t(2) and duck[1][1] in {10, 20, 30}
 
 
 def test_range_join_banding_exact(spark):

@@ -143,6 +143,47 @@ def test_delete_where_partitioned_drops_empty_partition(spark, tmp_path):
     assert {r["part"] for r in left.collect()} == {"y"}
 
 
+def test_delete_where_partitioned_escaped_and_null_partitions(
+    spark, tmp_path
+):
+    """Hive-escaped (':' → %3A) and NULL (__HIVE_DEFAULT_PARTITION__)
+    partition directories: deleted rows must actually be gone — both
+    when the whole partition empties (directory removal must resolve
+    the escaped/NULL names) and when survivors remain in the NULL
+    partition (the keep-join must be null-safe)."""
+    from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+        delete_where_partitioned,
+    )
+
+    path = str(tmp_path / "pstore3")
+    rows = (
+        [(i, "ts:2024") for i in range(10)]       # escaped name
+        + [(i, None) for i in range(10, 20)]      # NULL partition
+        + [(i, "plain") for i in range(20, 30)]   # untouched control
+    )
+    spark.createDataFrame(rows, "id long, part string").write.partitionBy(
+        "part"
+    ).parquet(path)
+
+    # empties the escaped partition entirely; halves the NULL partition
+    n = delete_where_partitioned(
+        spark, path, "part = 'ts:2024' OR (part IS NULL AND id < 15)",
+        ["part"],
+    )
+    assert n == 2
+    left = spark.read.parquet(path)
+    got = {(r["id"], r["part"]) for r in left.collect()}
+    # escaped partition fully gone — including its directory
+    assert not any(p == "ts:2024" for _, p in got)
+    import glob
+
+    assert not glob.glob(f"{path}/part=ts*")
+    # NULL partition: deleted ids gone, survivors intact
+    assert {i for i, p in got if p is None} == set(range(15, 20))
+    # untouched partition intact
+    assert {i for i, p in got if p == "plain"} == set(range(20, 30))
+
+
 def test_create_collection_ddl(spark, tmp_path):
     from embedding_to_vectordatabase_spark.schemas import CHUNK_SCHEMA
 

@@ -65,42 +65,44 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--only", default=None)
-    args = ap.parse_args()
-
+def check_queries(
+    spark, sf: str, only: set[str] | None = None, verbose: bool = True
+) -> tuple[dict, int]:
+    """Run queries() vs oracle_sql() on DuckDB over ``sf``'s parquet;
+    returns (per-query results, n_fail). Reused by the pytest guard in
+    tests/test_oracle_window.py so out-of-driver-window regressions
+    fail CI, not just the (windowed) driver gate."""
     import duckdb
 
     import __spark_entry__ as entry
-    from embedding_to_vectordatabase_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    only = set(args.only.split(",")) if args.only else None
+
+    def say(msg: str) -> None:
+        if verbose:
+            print(msg)
 
     results = {}
     n_pass = n_fail = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if only is not None and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, args.sf)
+            sdf = fn(spark, sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:300]}
             n_fail += 1
-            print(f"FAIL {name}: SPARK_ERROR {str(e)[:200]}")
+            say(f"FAIL {name}: SPARK_ERROR {str(e)[:200]}")
             continue
         if name not in oracles:
             results[name] = {
@@ -109,7 +111,7 @@ def main() -> int:
                 "sec": round(time.time() - t0, 2),
             }
             n_pass += 1
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            say(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -118,7 +120,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
             n_fail += 1
-            print(f"FAIL {name}: ORACLE_ERROR {str(e)[:200]}")
+            say(f"FAIL {name}: ORACLE_ERROR {str(e)[:200]}")
             continue
         rows_match = len(srows) == len(orows)
         schema_match = sorted(scols) == sorted(ocols)
@@ -139,14 +141,14 @@ def main() -> int:
         }
         if status == "PASS":
             n_pass += 1
-            print(f"ok   {name}: {len(srows)} rows hash-match")
+            say(f"ok   {name}: {len(srows)} rows hash-match")
         else:
             n_fail += 1
-            print(
+            say(
                 f"FAIL {name}: rows {len(srows)}/{len(orows)} "
                 f"schema={schema_match} hash={hash_match}"
             )
-            if rows_match and schema_match:
+            if verbose and rows_match and schema_match:
                 # show a few differing rows to debug
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
                 sset = {
@@ -157,11 +159,26 @@ def main() -> int:
                     "\x1f".join(_canon(r[i]) for i in oorder) for r in orows
                 }
                 for d in list(sset - oset)[:3]:
-                    print("   spark-only:", d[:160])
+                    say("   spark-only: " + d[:160])
                 for d in list(oset - sset)[:3]:
-                    print("   oracle-only:", d[:160])
+                    say("   oracle-only: " + d[:160])
 
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    say(f"\n{n_pass} pass / {n_fail} fail")
+    con.close()
+    return results, n_fail
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from embedding_to_vectordatabase_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    only = set(args.only.split(",")) if args.only else None
+    results, n_fail = check_queries(spark, args.sf, only=only)
     with open("/tmp/oracle_check.json", "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
