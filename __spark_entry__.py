@@ -2258,6 +2258,58 @@ def _q_ingest_chunks(spark, sf_dir):
     return chunks.select("file_id", "block_id", "file_name", "content")
 
 
+def _q_topn_tokens(spark, sf_dir):
+    """Exact frequent-items: top 20 whitespace tokens across the
+    corpus, deterministic tie-break (count desc, token asc) —
+    TakeOrderedAndProject, no global sort (operators/sketches.py)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        top_n_by_count,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return top_n_by_count(toks, ["token"], 20)
+
+
+_SQL_TOPN_TOKENS = """
+SELECT token, n_occurrences FROM (
+  SELECT token, COUNT(*) AS n_occurrences FROM (
+    SELECT unnest(string_split_regex(
+             trim(lower(coalesce(text, ''))), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+) ORDER BY n_occurrences DESC, token ASC LIMIT 20
+"""
+
+
+def _q_sketch_distinct_users(spark, sf_dir):
+    """Per-event-type approximate distinct users via a mergeable HLL
+    sketch column — built per (event_type, day) then merged, the
+    persist-then-reaggregate shape (operators/sketches.py). Rows-only:
+    the DataSketches estimate is deterministic but engine-specific;
+    the 5%-of-exact bound is asserted in tests/test_sketches.py."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketches,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    daily = hll_sketches(ev, ["event_type", "day"], "user_id")
+    return hll_estimate(hll_merge(daily, ["event_type"])).orderBy(
+        "event_type"
+    )
+
+
 # ------------------------------------------------------------- registry
 
 # corpus_clean reuses the lang/quality oracle CTEs rebased onto the
@@ -2347,6 +2399,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),
     ("multimodal_features", _q_multimodal_features, None),
     ("ingest_chunks", _q_ingest_chunks, None),
+    ("topn_tokens", _q_topn_tokens, _SQL_TOPN_TOKENS),
+    ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 
 # The external correctness gate samples a bounded prefix of the registry, so

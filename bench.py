@@ -483,6 +483,96 @@ def main() -> None:
     finally:
         shutil.rmtree(SCRATCH, ignore_errors=True)
 
+    # ANN recall on CLUSTERED data: recall on the driver's near-random
+    # synthetic embeddings is a property of the data (no structure to
+    # prune on), so the recall fixture is a seeded mixture of
+    # Gaussians — the shape real embedding corpora have and the one
+    # ANN indexes are built for. recall@5 is measured against the
+    # exact dense_topk answer over the same parquet.
+    ann_recall: dict[str, object] = {}
+    try:
+        if time_left() < 40:
+            raise TimeoutError("bench deadline - skipping ANN recall")
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from embedding_to_vectordatabase_spark.operators.search import (
+            ann_topk_bucketed,
+            ann_topk_ivf,
+        )
+
+        K_CL, DIM, N_VEC = 20, 32, 100_000
+        progress(f"ann recall fixture ({N_VEC} vecs, {K_CL} Gaussians)")
+        centers = np.random.default_rng(7).standard_normal((K_CL, DIM)) * 5.0
+        cb = spark.sparkContext.broadcast(centers)
+
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def mk_vec(ids: pd.Series) -> pd.Series:
+            C = cb.value
+            out = []
+            for i in ids:
+                r = np.random.default_rng(int(i))  # per-row: partition-stable
+                v = C[int(i) % len(C)] + r.standard_normal(C.shape[1])
+                out.append(v.astype(np.float32))
+            return pd.Series(out, index=ids.index)
+
+        os.makedirs(SCRATCH, exist_ok=True)
+        vec_path = os.path.join(SCRATCH, "clustered100k.parquet")
+        (
+            spark.range(N_VEC)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col("id").alias("vec_id"), mk_vec("id").alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(vec_path)
+        )
+        cvecs = spark.read.parquet(vec_path)
+        qdf = cvecs.filter(F.col("vec_id").isin([11, 22, 33])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def topk_ids(df) -> dict[int, set]:
+            out: dict[int, set] = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return out
+
+        progress("ann recall: exact / lsh / ivf top-5")
+        exact = topk_ids(dense_topk(cvecs, qdf, k=5))
+        knobs = {
+            "lsh_bucketed": {"bits": 10, "probe_radius": 2},
+            "ivf": {"nlist": 64, "nprobe": 8},
+        }
+        lsh = topk_ids(
+            ann_topk_bucketed(cvecs, qdf, k=5, bits=10, probe_radius=2)
+        )
+        ivf = topk_ids(ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8))
+
+        def recall(m: dict[int, set]) -> float:
+            return round(
+                sum(
+                    len(m.get(q, set()) & e) / len(e)
+                    for q, e in exact.items()
+                )
+                / max(len(exact), 1),
+                3,
+            )
+
+        ann_recall = {
+            "n_vecs": N_VEC,
+            "dim": DIM,
+            "clusters": K_CL,
+            "recall_at_5": {
+                "lsh_bucketed": recall(lsh),
+                "ivf": recall(ivf),
+            },
+            "knobs": knobs,
+        }
+    except Exception:  # noqa: BLE001 — advisory, never lose the JSON line
+        pass
+    finally:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+
     # headline scale scalar: Spark/DuckDB total over the SAME-data
     # amplified set — the throughput regime the engine targets (the
     # per-query sf ratio above is dominated by Spark's fixed per-query
@@ -515,6 +605,7 @@ def main() -> None:
                 if scale_amplified
                 else None,
                 "scale_amplified": scale_amplified,
+                "ann_recall": ann_recall,
                 "notes": BENCH_NOTES,
             }
         )

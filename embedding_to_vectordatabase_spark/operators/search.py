@@ -193,18 +193,27 @@ def dense_topk_crossjoin(
     )
 
 
-def _bucket_udf(planes: np.ndarray):
-    """Vectorized sign-LSH bucket id: one matmul per Arrow batch
-    (numpy broadcast of the plane matrix — the fast corpus-side path;
-    both sides MUST use this same kernel so boundary signs agree)."""
-    pm = planes.T  # (dim, bits)
-    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+def _bucket_udf(bits: int, seed: int):
+    """Vectorized sign-LSH bucket id: one matmul per Arrow batch.
+    The hyperplane matrix is derived lazily from the FIRST batch's
+    vector width — seeded generation is deterministic, so every task
+    (and both join sides) materializes the identical planes without a
+    driver-side ``first()`` probe job. Both sides MUST use this same
+    kernel so boundary signs agree."""
+    state: dict[str, np.ndarray] = {}
+    weights = (1 << np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         if vecs.empty:
             return pd.Series([], dtype="int32")
         X = np.array(vecs.tolist(), dtype=np.float64)
+        pm = state.get("pm")
+        if pm is None or pm.shape[0] != X.shape[1]:
+            pm = np.array(
+                random_hyperplanes(bits, X.shape[1], seed)
+            ).T  # (dim, bits)
+            state["pm"] = pm
         signs = (X @ pm) > 0
         return pd.Series((signs @ weights).astype(np.int32), index=vecs.index)
 
@@ -239,9 +248,7 @@ def ann_topk_bucketed(
     """
     import itertools
 
-    dim = len(queries.select(query_vec).first()[0])
-    planes = np.array(random_hyperplanes(bits, dim, seed))
-    bucket = _bucket_udf(planes)
+    bucket = _bucket_udf(bits, seed)
 
     c = corpus.withColumn("__bucket", bucket(F.col(corpus_vec)))
     q = queries.select(
@@ -286,13 +293,18 @@ def _train_ivf_centroids(
 ):
     """Driver-side numpy k-means on a bounded sample.
 
-    No exact pre-count: the training scan is capped by an early-
-    terminating LIMIT, so a 100 TB corpus never pays a full pass just
-    to size the sample. Callers that know the corpus size (or want a
-    representative spread across partitions) pass n_corpus or
-    train_fraction; otherwise the capped prefix is used — fine for a
-    coarse quantizer. Returns the (nlist_eff, dim) centroid matrix.
+    No exact pre-count: the default sample takes a bounded HEAD OF
+    EVERY PARTITION (mapInPandas stops pulling Arrow batches once its
+    task's share of the cap is met), so a 100 TB corpus never pays a
+    full pass AND a corpus sorted/clustered by content still trains on
+    vectors spread across its whole range — a bare LIMIT would train
+    the quantizer on the first cluster only. Callers that know the
+    corpus size can pass n_corpus or train_fraction for a true
+    Bernoulli sample instead. Returns the (nlist_eff, dim) centroid
+    matrix.
     """
+    import math
+
     import numpy as np
 
     train_cap = max(nlist * 50, 256)
@@ -301,6 +313,19 @@ def _train_ivf_centroids(
     base = corpus.select(corpus_vec)
     if train_fraction is not None:
         base = base.sample(fraction=train_fraction, seed=seed)
+    else:
+        cores = corpus.sparkSession.sparkContext.defaultParallelism
+        per_part = max(1, math.ceil(train_cap / max(cores, 1)))
+
+        def _heads(batches):
+            taken = 0
+            for b in batches:
+                if taken >= per_part:
+                    break
+                yield b.head(per_part - taken)
+                taken += len(b)
+
+        base = base.mapInPandas(_heads, base.schema)
     sample = base.limit(train_cap).collect()
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     if len(X) == 0:

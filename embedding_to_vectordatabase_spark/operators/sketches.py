@@ -1,0 +1,95 @@
+"""Sketch operators: reusable HyperLogLog columns and frequent items.
+
+Beyond-reference extension (the reference has no approximate
+analytics; SURVEY §2 maps its only aggregate surface to A1-A4): at
+100 TB, distinct-count questions ("unique users per day / per event
+type / overall") are answered with mergeable sketches, not exact
+COUNT(DISTINCT) re-scans. Spark ships Apache DataSketches HLL
+natively (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``), so the sketch column is a first-class
+binary column: build once per partition/day in the ingest pass,
+persist next to the rollup, merge later at query time — a re-
+aggregation reads kilobytes of sketches instead of the raw store.
+
+Scale shape: one shuffle on the group keys to build; merging N
+sketches is an agg over N binary values of ~2^lg_k bytes each —
+independent of the row count they summarize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Per-group mergeable HLL sketch (binary) of ``value_col``'s
+    distinct values. lg_k=12 → ~4 KB per sketch, ~1.6% relative
+    standard error."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def hll_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Re-aggregate persisted sketches to a coarser grouping without
+    touching the raw data (hour sketches → day/total, per-file →
+    per-collection). Lossless: merging per-part sketches gives the
+    same estimate as sketching the union directly."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    sketch_col: str = "hll",
+    out_col: str = "n_distinct_approx",
+) -> DataFrame:
+    """Read the estimate off a sketch column (cheap expression)."""
+    return df.withColumn(
+        out_col, F.hll_sketch_estimate(F.col(sketch_col))
+    ).drop(sketch_col)
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One-shot: per-group approximate distinct count via HLL.
+    Output: group_cols + (n_distinct_approx long)."""
+    return hll_estimate(hll_sketches(df, group_cols, value_col, lg_k))
+
+
+def top_n_by_count(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """Exact frequent-items top-N: count per key, take the N largest
+    with a deterministic tie-break (count desc, then keys asc).
+
+    Plan: map-side partial count + one shuffle on the keys, then
+    orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps its local top N and the driver merges N-sized heaps, so no
+    global sort ever materializes. Output: key_cols +
+    (n_occurrences long).
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_occurrences")
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), *[F.asc(c) for c in key_cols]
+    ).limit(n)

@@ -34,8 +34,10 @@ def _marker_hits(words: Column, markers: list[str]) -> Column:
 def lang_marker_scores(words: Column) -> Column:
     """All four languages' marker-hit counts in ONE traversal of the
     token array, packed into 16-bit lanes of a single long (marker
-    sets are disjoint, so a token increments at most one lane; counts
-    saturate only past 65535 hits of one marker set in one document).
+    sets are disjoint, so a token increments at most one lane). Lanes
+    SATURATE at 65535: the increment is gated on the lane being below
+    the cap, so a ~300 KB stopword-heavy document can no longer carry
+    over into the next language's lane and flip the argmax.
 
     The per-language ``F.filter(...).size()`` form costs 4 traversals
     and 4 array allocations per row, and CASE WHEN argmax branches
@@ -46,8 +48,14 @@ def lang_marker_scores(words: Column) -> Column:
     def step(acc, w):
         out = F.lit(0).cast("long")
         for i, lang in enumerate(langs):
+            lane_open = (
+                F.shiftrightunsigned(acc, 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                < F.lit(0xFFFF)
+            )
             out = F.when(
-                w.isin(*LANG_MARKERS[lang]), F.lit(1 << (16 * i)).cast("long")
+                w.isin(*LANG_MARKERS[lang]) & lane_open,
+                F.lit(1 << (16 * i)).cast("long"),
             ).otherwise(out)
         return acc + out
 

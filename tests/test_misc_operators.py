@@ -48,6 +48,19 @@ def test_lang_id_and_profile(spark):
     assert fp2 == prof[1]["fingerprint"]
 
 
+def test_lang_id_lane_saturation_on_huge_stopword_doc(spark):
+    """>65535 hits of one marker set must saturate its 16-bit lane,
+    not carry into the next language's lane (a ~280 KB 'the ...' doc
+    used to come out 'de')."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        lang_id,
+    )
+
+    text = "the " * 70000 + "der die"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert df.select(lang_id(F.col("text")).alias("l")).first()["l"] == "en"
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"pretend-png-bytes")), (2, bytearray(b"x"))],
@@ -151,7 +164,8 @@ def test_harness_contract():
     assert set(sqls) <= set(qs)
     assert all(callable(f) for f in qs.values())
     # rows-only entries are exactly the model-boundary ops (seeded
-    # Python kernels a SQL oracle can't reproduce) — nothing else
+    # Python kernels / engine-specific sketch estimates a SQL oracle
+    # can't reproduce) — nothing else
     assert set(qs) - set(sqls) == {
         "ann_topk_bucketed",
         "ann_topk_ivf",
@@ -161,6 +175,7 @@ def test_harness_contract():
         "t2_semantic_chunks",
         "multimodal_features",
         "ingest_chunks",
+        "sketch_distinct_users",
     }
     # the gate samples a registry prefix: oracle-bearing queries first
     names = list(qs)

@@ -98,6 +98,29 @@ def test_ivf_recall_and_determinism(emb, queries):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded kmeans
 
 
+def test_ivf_training_sample_spreads_across_sorted_corpus(spark):
+    """Centroid training must not read only the corpus prefix: on a
+    corpus SORTED by cluster, a prefix sample sees one cluster and the
+    quantizer collapses. The per-partition-head sample must yield
+    centroids near both clusters."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((3000, 8)) + 20.0   # cluster A first
+    b = rng.standard_normal((3000, 8)) - 20.0   # cluster B second
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = _train_ivf_centroids(
+        df, "embedding", nlist=4, seed=1, train_fraction=None, n_corpus=None
+    )
+    means = cent.mean(axis=1)
+    assert (means > 10).any() and (means < -10).any()
+
+
 def test_ivf_prunes(emb, queries):
     out = ann_topk_ivf(
         emb, queries, k=5, metric="COSINE", nlist=16, nprobe=2
