@@ -733,6 +733,153 @@ LIMIT 100
 """
 
 
+def _q_tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (testdata lineitem carries no commit/receipt
+    dates, so the lateness predicate is l_shipdate > o_orderdate): a
+    non-equi LEFT SEMI join — the EXISTS subquery as one semi-join, no
+    distinct-then-inner rewrite materializing the key set."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (p_type here is a flat category, so PROMO is an
+    equality, not LIKE 'PROMO%'): broadcast part dim + conditional
+    aggregation; exact decimal sums, the ratio computed once at the
+    end in double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))
+                  ELSE 0 END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+"""
+
+
+def _q_tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between a nation pair (both directions)
+    by ship year. Both nation dims broadcast (25 rows); lineitem joins
+    orders on the orderkey — the only fact-fact shuffle — then
+    broadcast-joins supplier/customer/nations."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+    # nation-pair filter generalized to key-parity blocs so every SF
+    # (10 suppliers at sf0.001) produces trade in both directions
+    pair = (
+        (F.col("n1_key") % 2 == 0) & (F.col("n2_key") % 2 == 1)
+    ) | (
+        (F.col("n1_key") % 2 == 1) & (F.col("n2_key") % 2 == 0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n1_key)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.n2_key)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 def _q_o1_sorted_registry(spark, sf_dir):
     return (
         _t(spark, sf_dir, "supplier")
@@ -2363,6 +2510,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q3_shipping", _q_tpch_q3_shipping, _SQL_TPCH_Q3),
     ("tpch_q5_local_supplier", _q_tpch_q5_local_supplier, _SQL_TPCH_Q5),
     ("tpch_q6_forecast", _q_tpch_q6_forecast, _SQL_TPCH_Q6),
+    ("tpch_q4_order_priority", _q_tpch_q4_order_priority, _SQL_TPCH_Q4),
+    ("tpch_q7_volume_shipping", _q_tpch_q7_volume_shipping, _SQL_TPCH_Q7),
+    ("tpch_q14_promo_revenue", _q_tpch_q14_promo_revenue, _SQL_TPCH_Q14),
     ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
     ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),
     ("o1_sorted_registry", _q_o1_sorted_registry, _SQL_O1),

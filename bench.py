@@ -507,8 +507,10 @@ def main() -> None:
         centers = np.random.default_rng(7).standard_normal((K_CL, DIM)) * 5.0
         cb = spark.sparkContext.broadcast(centers)
 
-        @F.pandas_udf(T.ArrayType(T.FloatType()))
-        def mk_vec(ids: pd.Series) -> pd.Series:
+        # annotations assigned as OBJECTS: this module's `from
+        # __future__ import annotations` turns inline hints into
+        # strings pandas_udf can't resolve against main()'s locals
+        def _mk_vec(ids):
             C = cb.value
             out = []
             for i in ids:
@@ -516,6 +518,9 @@ def main() -> None:
                 v = C[int(i) % len(C)] + r.standard_normal(C.shape[1])
                 out.append(v.astype(np.float32))
             return pd.Series(out, index=ids.index)
+
+        _mk_vec.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        mk_vec = F.pandas_udf(_mk_vec, T.ArrayType(T.FloatType()))
 
         os.makedirs(SCRATCH, exist_ok=True)
         vec_path = os.path.join(SCRATCH, "clustered100k.parquet")
@@ -568,8 +573,8 @@ def main() -> None:
             },
             "knobs": knobs,
         }
-    except Exception:  # noqa: BLE001 — advisory, never lose the JSON line
-        pass
+    except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
+        progress(f"ann recall skipped: {e!r}")
     finally:
         shutil.rmtree(SCRATCH, ignore_errors=True)
 
