@@ -71,10 +71,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
-            # naive timestamp[us] fixture: with the session TZ pinned
-            # UTC above, NTZ→TIMESTAMP is epoch-exact vs DuckDB's
-            # epoch_us, and unix_micros/window accept it again
+        elif dict(df.dtypes).get("ts") in ("timestamp_ntz", "string"):
+            # naive timestamp[us] (or string) fixture: with the
+            # session TZ pinned UTC above, the cast is epoch-exact vs
+            # DuckDB's epoch_us, and unix_micros/window accept it again
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     except Exception:  # conf removed / read failed — driver-side Arrow
@@ -763,6 +763,77 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
+"""
+
+
+def _q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: even-keyed suppliers' share of STANDARD-part
+    revenue sold to region-0 customers, by order year. Fact-fact
+    shuffle only between lineitem and orders; part/customer/supplier/
+    nation all broadcast. Both sums exact decimal; the share ratio is
+    one double division per output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = _t(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 0
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == nc.cn_key)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(supp.s_nationkey % 2 == 0, rev).otherwise(0)
+            ).cast("double").alias("even_supp_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "even_supp_revenue",
+            "total_revenue",
+            F.round(
+                F.col("even_supp_revenue") / F.col("total_revenue"), 6
+            ).alias("market_share"),
+        )
+    )
+
+
+_SQL_TPCH_Q8 = """
+SELECT o_year, even_supp_revenue, total_revenue,
+       ROUND(even_supp_revenue / total_revenue, 6) AS market_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN s_nationkey % 2 = 0
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))
+                  ELSE 0 END) AS DOUBLE) AS even_supp_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD'
+    AND n_regionkey = 0
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+)
 """
 
 
@@ -2512,6 +2583,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q6_forecast", _q_tpch_q6_forecast, _SQL_TPCH_Q6),
     ("tpch_q4_order_priority", _q_tpch_q4_order_priority, _SQL_TPCH_Q4),
     ("tpch_q7_volume_shipping", _q_tpch_q7_volume_shipping, _SQL_TPCH_Q7),
+    ("tpch_q8_market_share", _q_tpch_q8_market_share, _SQL_TPCH_Q8),
     ("tpch_q14_promo_revenue", _q_tpch_q14_promo_revenue, _SQL_TPCH_Q14),
     ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
     ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),

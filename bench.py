@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
     "tpch_q18_large_orders",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
     # event analytics (window functions, sessionization, sequences)
     "st_windowed_event_counts",
     "st_sessionize",
