@@ -350,6 +350,7 @@ def main() -> None:
     # not scheduling floors. DuckDB gets a watchdog interrupt — a
     # recorded time equal to the cap means ">= cap" (lower bound).
     scale_amplified: dict[str, object] = {}
+    layout_skipping: dict[str, object] = {}
     try:
         if time_left() < 150:
             raise TimeoutError("bench deadline - skipping scale section")
@@ -480,6 +481,84 @@ def main() -> None:
                 throughput["dense_topk_500k_vecs_per_s"] = round(
                     scratch_emb.count() / max(spark_sec, 1e-9), 1
                 )
+
+        # layout evidence: the same 1-hour-band query over the same 5M
+        # events, raw (shuffled writer order) vs range-clustered by ts
+        # (sinks/layout.cluster_by) — the clustered footers let the
+        # scan skip row groups outside the band
+        if time_left() > 45:
+            from embedding_to_vectordatabase_spark.sinks.layout import (
+                cluster_by,
+            )
+
+            progress("layout skipping demo (raw vs ts-clustered 5M events)")
+            ev_clustered_path = os.path.join(SCRATCH, "ev5m_clustered.parquet")
+            cluster_by(
+                spark.read.parquet(ev5m_path),
+                ["ts"],
+                num_files=spark.sparkContext.defaultParallelism,
+            ).write.mode("overwrite").parquet(ev_clustered_path)
+            lo, hi = (
+                spark.read.parquet(ev5m_path)
+                .agg(F.min("ts"), F.max("ts"))
+                .first()
+            )
+            band_lo = lo + (hi - lo) / 2
+            band_hi = band_lo + (hi - lo) / 24
+
+            def band_count(p: str) -> float:
+                src = spark.read.parquet(p)
+                q = src.filter(
+                    (F.col("ts") >= F.lit(band_lo))
+                    & (F.col("ts") < F.lit(band_hi))
+                ).agg(F.count("*"), F.sum("value"))
+                q.collect()  # warmup
+                t0 = time.time()
+                q.collect()
+                return round(time.time() - t0, 3)
+
+            raw_sec = band_count(ev5m_path)
+            clus_sec = band_count(ev_clustered_path)
+
+            def rg_hit_ratio(p: str) -> tuple[int, int]:
+                # row groups whose footer ts min/max intersects the
+                # band = what any engine must READ; the rest are
+                # skipped from the footer alone
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                total = hits = 0
+                for fpath in _glob.glob(os.path.join(p, "*.parquet")):
+                    md = _pq.ParquetFile(fpath).metadata
+                    schema_names = [
+                        md.row_group(0).column(i).path_in_schema
+                        for i in range(md.num_columns)
+                    ]
+                    ts_i = schema_names.index("ts")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ts_i).statistics
+                        total += 1
+                        if st is None:  # no stats => must read
+                            hits += 1
+                            continue
+                        # pyarrow stats are tz-aware UTC; Spark's
+                        # collected datetimes are naive UTC wall
+                        st_min = st.min.replace(tzinfo=None)
+                        st_max = st.max.replace(tzinfo=None)
+                        if st_max >= band_lo and st_min < band_hi:
+                            hits += 1
+                return hits, total
+
+            raw_hits, raw_total = rg_hit_ratio(ev5m_path)
+            clus_hits, clus_total = rg_hit_ratio(ev_clustered_path)
+            layout_skipping.update(
+                raw_sec=raw_sec,
+                clustered_sec=clus_sec,
+                clustered_speedup=round(raw_sec / max(clus_sec, 1e-9), 2),
+                raw_row_groups_read=f"{raw_hits}/{raw_total}",
+                clustered_row_groups_read=f"{clus_hits}/{clus_total}",
+            )
     except Exception:  # noqa: BLE001 — advisory, never lose the JSON line
         pass
     finally:
@@ -612,6 +691,7 @@ def main() -> None:
                 if scale_amplified
                 else None,
                 "scale_amplified": scale_amplified,
+                "layout_skipping_band_scan": layout_skipping,
                 "ann_recall": ann_recall,
                 "notes": BENCH_NOTES,
             }

@@ -43,6 +43,12 @@ def get_spark(
         )
         # parquet scans: split files so 32 threads all get work at sf0.1
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # write timestamps as INT64 TIMESTAMP_MICROS, not legacy INT96:
+        # INT96 row groups carry no usable min/max stats, so every
+        # ts-predicate scan over files WE wrote would read every row
+        # group (no data skipping), and modern readers treat INT96 as
+        # deprecated anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # HotSpot refuses to JIT methods over 8000 bytecodes
         # (DontCompileHugeMethods), so a generated method past that
         # runs interpreted with wildly variable latency (measured
