@@ -76,6 +76,14 @@ SCRATCH = os.path.join(
 )
 
 BENCH_NOTES = {
+    "bench_vs_baseline": (
+        "Round 5 added tpch_q4_order_priority and tpch_q14_promo_revenue "
+        "to the benched set, so this scalar is not directly comparable "
+        "to rounds <= 4 (every added query contributes its own ~0.3-0.9 s "
+        "Spark scheduling floor against a 10-100 ms DuckDB time at this "
+        "SF). bench_vs_baseline_amplified is the throughput-regime "
+        "headline."
+    ),
     "windowed_counts_5m_events": (
         "Irreducible-floor analysis: DuckDB runs this tumbling-window "
         "agg over 5M rows in ~0.03-0.15 s (vectorized hash agg at "

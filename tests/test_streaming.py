@@ -243,3 +243,77 @@ def test_funnel_ordered_within_window(spark):
         ).collect()
     }
     assert out == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_streaming_hll_sketch_rollup_matches_direct(spark, tmp_path):
+    """Incremental distinct-count maintenance on a stream: each
+    micro-batch persists per-group HLL sketches (kilobytes), and the
+    rollup merges the sketch store instead of reprocessing events.
+    The merged estimate must equal the direct sketch over all data
+    (HLL merge is lossless at equal lg_k) — the property that lets a
+    100 TB store answer 'distinct users so far' from sketches alone."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        approx_distinct_by,
+        hll_estimate,
+        hll_merge,
+        hll_sketches,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    sketch_store = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, event_type string, user_id long"
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # two files => at least two micro-batches' sketches in the store
+    write("a.jsonl", [
+        {"event_id": i, "event_type": ["view", "click"][i % 2],
+         "user_id": i % 13} for i in range(200)
+    ])
+    write("b.jsonl", [
+        {"event_id": 1000 + i, "event_type": ["view", "click"][i % 2],
+         "user_id": i % 29} for i in range(200)
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def sink_sketches(batch_df, batch_id):
+        hll_sketches(batch_df, ["event_type"], "user_id").write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_store}/batch_id={batch_id}")
+
+    (
+        stream.writeStream.foreachBatch(sink_sketches)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    store = spark.read.parquet(sketch_store)
+    assert store.select("batch_id").distinct().count() >= 2
+    merged = {
+        r["event_type"]: r["n_distinct_approx"]
+        for r in hll_estimate(hll_merge(store, ["event_type"])).collect()
+    }
+    all_events = spark.createDataFrame(
+        [(i, ["view", "click"][i % 2], i % 13) for i in range(200)]
+        + [(1000 + i, ["view", "click"][i % 2], i % 29) for i in range(200)],
+        schema,
+    )
+    direct = {
+        r["event_type"]: r["n_distinct_approx"]
+        for r in approx_distinct_by(
+            all_events, ["event_type"], "user_id"
+        ).collect()
+    }
+    assert merged == direct
