@@ -2537,6 +2537,75 @@ _SQL_CORPUS_CLEAN = _SQL_CORPUS_CLEAN.format(
     qual=_nested(_SQL_QUALITY.replace("FROM documents", "FROM src")),
 )
 
+
+def _q_corpus_curate(spark, sf_dir):
+    """Full curation chain (plans/curate.py): clean (lang + quality +
+    exact dedup) then 3-gram Jaccard near-dup removal at 0.5 over the
+    truncated-copy corpus — the 80%-prefix copies survive exact dedup
+    but lose the near-dup anti-join to their originals."""
+    from embedding_to_vectordatabase_spark.plans.curate import (
+        curate_corpus,
+    )
+
+    return curate_corpus(
+        _dup_union(spark, sf_dir),
+        min_quality=0.5,
+        n=3,
+        jaccard_threshold=0.5,
+        max_doc_freq=None,  # tiny corpus; SQL mirrors the unpruned form
+    )
+
+
+# the clean stage rebased onto the truncated-copy corpus, then the
+# 3-gram jaccard pair CTEs rebased onto the clean survivors
+_SQL_CURATE = f"""
+WITH src AS ({_SQL_DUP_UNION}),
+clean AS (
+  WITH l AS ({_nested(_SQL_LANG_ID.replace("FROM documents", "FROM src"))}),
+  q AS ({_nested(_SQL_QUALITY.replace("FROM documents", "FROM src"))}),
+  keyed AS (
+    SELECT s.doc_id, s.text, l.pred_lang, q.quality,
+           md5({_NORM_SQL.format(c='s.text')}) AS ck
+    FROM src s
+    JOIN l ON l.doc_id = s.doc_id
+    JOIN q ON q.doc_id = s.doc_id
+    WHERE q.quality >= 0.5
+  )
+  SELECT doc_id, text, pred_lang, quality FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn = 1
+),
+words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM clean
+),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 2, 1))) AS i
+        FROM words)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM postings GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+)
+SELECT c.doc_id, c.text, c.pred_lang, c.quality
+FROM clean c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # Round-4 rotation: the external CORRECTNESS gate samples the first 50
     # registry entries, so the 17 queries that had only local verification in
@@ -2622,6 +2691,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("multimodal_features", _q_multimodal_features, None),
     ("ingest_chunks", _q_ingest_chunks, None),
     ("topn_tokens", _q_topn_tokens, _SQL_TOPN_TOKENS),
+    ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

@@ -1,0 +1,56 @@
+"""Full training-data curation — the complete pretraining filter chain
+as ONE lazy Spark plan:
+
+  documents → language filter → quality threshold → exact dedup
+  (plans/clean.py) → word-n-gram Jaccard near-dup removal
+  (operators/dedup.py) — the lowest doc id of each near-dup pair
+  survives.
+
+Shuffle inventory on top of ``clean_corpus``'s single content-hash
+shuffle: the shingle postings self-join (equi-join on shingle,
+df-pruned so no stop-phrase key explodes) and one broadcast-able
+anti-join on the loser id set. All stages remain one unexecuted plan —
+point a writer at the result and the whole chain streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import DEFAULT_MAX_DOC_FREQ, ngram_jaccard_pairs
+from .clean import DEFAULT_MIN_QUALITY, clean_corpus
+
+
+def curate_corpus(
+    df: DataFrame,
+    allowed_langs: list[str] | None = None,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving documents after the full chain, diagnostics attached.
+
+    Output: (<id_col>, <text_col>, pred_lang, quality). Near-dup
+    removal is the greedy lowest-id-wins rule: any document appearing
+    as the HIGHER id of a qualifying pair is dropped — deterministic,
+    one anti-join, no connected-components iteration (a doc that
+    near-dups only a dropped doc is still dropped; acceptable for
+    curation, where over-removal of near-dup chains is the safe side).
+    """
+    clean = clean_corpus(
+        df, allowed_langs, min_quality, text_col, id_col
+    )
+    pairs = ngram_jaccard_pairs(
+        clean,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=jaccard_threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return clean.join(losers, id_col, "left_anti")

@@ -360,3 +360,29 @@ def test_range_join_banding_exact(spark):
     }
     # [400, 1000] inclusive: 399 too old, 1001 in the future
     assert got == {10, 11, 12}
+
+
+def test_curate_corpus_full_chain(spark):
+    """clean (lang/quality/exact-dedup) then near-dup removal: the
+    exact copy dies in clean, the truncated near-copy dies in the
+    jaccard anti-join, low-quality dies at the threshold, and the
+    survivor keeps its diagnostics."""
+    from embedding_to_vectordatabase_spark.plans.curate import (
+        curate_corpus,
+    )
+
+    base = "the cat and the dog play in the park with the ball every day"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup -> clean drops (id 1 wins)
+        (3, base + " until sunset"),    # near-dup -> jaccard drops (id 1 wins)
+        (4, "xy"),                      # quality < threshold
+        (5, "der Hund und die Katze sind mit dem Ball und der Maus da"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate_corpus(
+        df, min_quality=0.4, jaccard_threshold=0.5, max_doc_freq=None
+    ).collect()}
+    assert set(got) == {1, 5}
+    assert got[1]["pred_lang"] == "en"
+    assert got[5]["pred_lang"] == "de"
