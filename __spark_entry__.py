@@ -2507,6 +2507,56 @@ SELECT token, n_occurrences FROM (
 """
 
 
+def _q_split_assignment(spark, sf_dir):
+    """Deterministic 90/5/5 split as a pure function of (seed, id) —
+    rerun/retry/engine-stable (operators/sampling.py). The oracle
+    reproduces every assignment from the same md5 bucket."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    return deterministic_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), seed=42
+    )
+
+
+_SQL_SPLIT_ASSIGNMENT = """
+SELECT doc_id,
+       CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Source-weighted corpus mixing: down-sample src0 to 40% and src1
+    to 10%, keep every other source whole — the same hash-threshold
+    family as the split, so assignments are engine-stable."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        mix_sources,
+    )
+
+    return mix_sources(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        {"src0": 0.4, "src1": 0.1},
+        seed=42,
+    )
+
+
+_SQL_CORPUS_MIX = """
+SELECT doc_id, source FROM documents
+WHERE CASE
+    WHEN source = 'src0'
+      THEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'
+    WHEN source = 'src1'
+      THEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    ELSE TRUE END
+"""
+
+
 def _q_sketch_distinct_users(spark, sf_dir):
     """Per-event-type approximate distinct users via a mergeable HLL
     sketch column — built per (event_type, day) then merged, the
@@ -2692,6 +2742,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ingest_chunks", _q_ingest_chunks, None),
     ("topn_tokens", _q_topn_tokens, _SQL_TOPN_TOKENS),
     ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
+    ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
+    ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

@@ -1,0 +1,94 @@
+"""Deterministic sampling: train/val/test splits and source mixing.
+
+Beyond-reference training-data extension. At 100 TB a split must be a
+PURE FUNCTION of the row id — never `rand()` (changes across retries/
+re-runs, breaks exactly-once semantics under task replay) and never a
+global sort/shuffle. Both operators here map each row through an md5
+of (seed, id) and compare the first 8 hex chars lexicographically
+against cumulative thresholds: uniform, stable across engines
+(the DuckDB oracle reproduces assignments bit-for-bit), map-only —
+no shuffle, no state, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS: list[tuple[str, float]] = [
+    ("train", 0.9),
+    ("val", 0.05),
+    ("test", 0.05),
+]
+
+_HEX_SPACE = 16**8
+
+
+def _bucket(id_col: str, seed: int) -> Column:
+    """Uniform 8-hex-char bucket from (seed, id) — engine-portable."""
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+
+
+def _thresholds(weights: list[tuple[str, float]]) -> list[tuple[str, str]]:
+    total = sum(w for _, w in weights)
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    cum = 0.0
+    out = []
+    for name, w in weights[:-1]:
+        cum += w / total
+        out.append(
+            (name, format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x"))
+        )
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label, proportional to ``weights``
+    (normalized), as a pure function of (seed, id): re-runs, task
+    retries, and other engines all agree row-for-row. Weights are an
+    ordered list — the LAST split takes the residual bucket range."""
+    weights = weights or DEFAULT_SPLITS
+    b = _bucket(id_col, seed)
+    expr = F.lit(weights[-1][0])
+    for name, thr in reversed(_thresholds(weights)):
+        expr = F.when(b < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Down-sample each source to its mixing fraction (the corpus-
+    weighting step of pretraining-data assembly): a row survives iff
+    its (seed, id) bucket falls below its source's threshold. Sources
+    absent from ``fractions`` are kept whole. Deterministic, map-only;
+    the filter pushes into the scan alongside any other predicate."""
+    b = _bucket(id_col, seed)
+    keep = F.lit(True)
+    for src, frac in fractions.items():
+        thr = format(
+            min(int(max(frac, 0.0) * _HEX_SPACE), _HEX_SPACE - 1), "08x"
+        )
+        keep = F.when(
+            F.col(source_col) == src, b < F.lit(thr)
+        ).otherwise(keep)
+    return df.filter(keep)

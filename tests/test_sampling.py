@@ -1,0 +1,63 @@
+"""Deterministic split / source-mixing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embedding_to_vectordatabase_spark.operators.sampling import (
+    deterministic_split,
+    mix_sources,
+)
+
+
+def test_split_proportions_determinism_and_stability(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = deterministic_split(df, seed=42)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = 20_000
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 0.9 * n) < 0.02 * n
+    assert abs(counts["val"] - 0.05 * n) < 0.01 * n
+    assert abs(counts["test"] - 0.05 * n) < 0.01 * n
+    # every row gets exactly one label, and a re-run agrees row-for-row
+    again = deterministic_split(df, seed=42)
+    assert out.join(
+        again.withColumnRenamed("split", "split2"), "doc_id"
+    ).filter(F.col("split") != F.col("split2")).count() == 0
+    # a different seed shuffles membership (not a constant function)
+    other = deterministic_split(df, seed=7).withColumnRenamed(
+        "split", "split2"
+    )
+    assert out.join(other, "doc_id").filter(
+        F.col("split") != F.col("split2")
+    ).count() > 0
+
+
+def test_split_custom_weights_normalized(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = deterministic_split(df, weights=[("a", 3.0), ("b", 1.0)])
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["a"] - 7500) < 200 and abs(counts["b"] - 2500) < 200
+
+
+def test_mix_sources_downsamples_only_listed(spark):
+    rows = [(i, "heavy" if i % 2 else "rare") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"heavy": 0.1}, seed=42)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["rare"] == 5000          # untouched source kept whole
+    assert abs(counts["heavy"] - 500) < 120
+    # survivors are a deterministic subset
+    again = mix_sources(df, {"heavy": 0.1}, seed=42)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
