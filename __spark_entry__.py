@@ -2507,6 +2507,31 @@ SELECT token, n_occurrences FROM (
 """
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """BPE-ish (GPT-2 pretokenizer, RE2-safe subset) token budget per
+    document — functions/text.py:bpe_token_count."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        bpe_token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _sql_bpe_token_count() -> str:
+    from embedding_to_vectordatabase_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''), "
+        f"'{pat}')) AS BIGINT) AS n_bpe_tokens FROM documents"
+    )
+
+
 def _q_split_assignment(spark, sf_dir):
     """Deterministic 90/5/5 split as a pure function of (seed, id) —
     rerun/retry/engine-stable (operators/sampling.py). The oracle
@@ -2744,6 +2769,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
     ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
+    ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

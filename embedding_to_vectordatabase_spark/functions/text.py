@@ -84,3 +84,26 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
+
+
+# GPT-2-style pretokenizer pattern, restricted to the RE2-compatible
+# subset (no lookahead) so Java (Spark) and RE2 (DuckDB/Go tooling)
+# engines match identically: contraction suffixes, letter runs, digit
+# runs, punctuation runs (each optionally space-prefixed), whitespace
+# runs. A budget ESTIMATOR for LLM token accounting — a real
+# tokenizer's merges happen offline; this per-row count stays inside
+# whole-stage codegen.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    pattern (the unit real BPE merges start from); empty/null-safe."""
+    t = F.coalesce(text, F.lit(""))
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0))

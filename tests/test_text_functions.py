@@ -107,3 +107,27 @@ def test_word_and_token_count(spark):
         token_count(F.col("t")).alias("k"),
     ).where((F.col("w") != F.col("wc")) | (F.col("k") != F.col("tc")))
     assert bad.count() == 0
+
+
+def test_bpe_token_count_pretokenizer_units(spark):
+    """GPT-2-style pretokenizer counts: contraction suffix, space-
+    prefixed word/number/punct runs, unicode letters; null/empty safe."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        bpe_token_count,
+    )
+
+    rows = [
+        (1, "it's a test-case, 42 tokens!"),
+        (2, ""),
+        (3, None),
+        (4, "héllo wörld 3.14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # it|'s| a| test|-|case|,| 42| tokens|! -> 10
+    assert got == {1: 10, 2: 0, 3: 0, 4: 5}
