@@ -837,6 +837,147 @@ FROM (
 """
 
 
+def _q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The scalar max is a one-row aggregate broadcast back over
+    the per-supplier revenue frame; ties all surface (exact decimal
+    equality, no double compare)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+        ).alias("__rev")
+    )
+    top = rev.agg(F.max("__rev").alias("__maxrev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.__rev == top.__maxrev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+"""
+
+
+def _q_tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of their part's average. The threshold compare is kept EXACT by
+    cross-multiplying integers/decimals (qty * 5 * cnt < sum) instead
+    of comparing against a rounded average — engine-portable with no
+    floating-point boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec2(F.col("l_quantity"))).alias("__qsum"),
+        F.count("*").alias("__qcnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.__pk)
+        .filter(
+            _dec2(F.col("l_quantity")) * 5 * F.col("__qcnt")
+            < F.col("__qsum")
+        )
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+         COUNT(*) AS qcnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part USING (l_partkey)
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum
+"""
+
+
+def _q_tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per nation, customers with above-average
+    positive balance and no RECENT orders (anti-join against the
+    2000+ order window — the fixture has no order-less customers, so
+    dormancy is time-scoped). The above-average compare is exact by
+    cross-multiplication (bal * cnt > sum)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(_dec2(F.col("c_acctbal"))).alias("__bsum"),
+        F.count("*").alias("__bcnt"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(_dec2(F.col("c_acctbal")) * F.col("__bcnt") > F.col("__bsum"))
+        .join(orders, pos.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_dec2(F.col("c_acctbal")))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_SQL_TPCH_Q22 = """
+WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
+stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bsum,
+         COUNT(*) AS bcnt
+  FROM pos
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal
+FROM pos, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bcnt > bsum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 def _q_tpch_q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape (p_type here is a flat category, so PROMO is an
     equality, not LIKE 'PROMO%'): broadcast part dim + conditional
@@ -2729,6 +2870,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q7_volume_shipping", _q_tpch_q7_volume_shipping, _SQL_TPCH_Q7),
     ("tpch_q8_market_share", _q_tpch_q8_market_share, _SQL_TPCH_Q8),
     ("tpch_q14_promo_revenue", _q_tpch_q14_promo_revenue, _SQL_TPCH_Q14),
+    ("tpch_q15_top_supplier", _q_tpch_q15_top_supplier, _SQL_TPCH_Q15),
+    ("tpch_q17_small_qty_revenue", _q_tpch_q17_small_qty_revenue, _SQL_TPCH_Q17),
+    ("tpch_q22_dormant_customers", _q_tpch_q22_dormant_customers, _SQL_TPCH_Q22),
     ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
     ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),
     ("o1_sorted_registry", _q_o1_sorted_registry, _SQL_O1),
