@@ -2648,6 +2648,60 @@ SELECT token, n_occurrences FROM (
 """
 
 
+def _q_event_value_quantiles(spark, sf_dir):
+    """Grouped exact quantiles: p50/p90/p99 of event value per type
+    (sorting `percentile`, percentile_cont interpolation — same parity
+    family as table_stats)."""
+    ev = _events(spark, sf_dir)
+    qs = F.percentile(F.col("value").cast("double"), [0.5, 0.9, 0.99])
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("__q"), F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.round(F.col("__q")[0], 6).alias("p50"),
+            F.round(F.col("__q")[1], 6).alias("p90"),
+            F.round(F.col("__q")[2], 6).alias("p99"),
+            "n_events",
+        )
+    )
+
+
+_SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def _q_cube_pricing(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in one pass with grouping_id disambiguating the NULL
+    of a rolled-up level from a NULL data value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        F.sum(_dec2(F.col("l_extendedprice")))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_SQL_CUBE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """BPE-ish (GPT-2 pretokenizer, RE2-safe subset) token budget per
     document — functions/text.py:bpe_token_count."""
@@ -2914,6 +2968,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
     ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
+    ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
+    ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 
