@@ -39,7 +39,10 @@ def cluster_by(
 
     Returns the re-laid-out DataFrame — write it with any writer.
     One shuffle; at scale this is the same exchange a sorted write
-    would need anyway.
+    would need anyway. With ``num_files=None`` the slice count follows
+    ``spark.sql.shuffle.partitions`` and AQE may coalesce small
+    outputs into few files — pin ``num_files`` when a minimum file
+    count (scan parallelism) matters more than file size.
     """
     key_cols = [F.col(c) for c in cols]
     parts = (
