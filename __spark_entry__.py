@@ -1351,6 +1351,32 @@ FROM (
 """
 
 
+def _q_st_running_counts(spark, sf_dir):
+    """Stateful running per-user totals (applyInPandasWithState on a
+    stream — tests/test_stateful.py proves cross-batch accumulation);
+    the batch degradation is the final totals, oracle-checkable."""
+    from embedding_to_vectordatabase_spark.streaming.stateful import (
+        running_counts_stateful,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return running_counts_stateful(ev, "user_id", "value").select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+_SQL_ST_RUNNING_COUNTS = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def _q_st_stateful_dedup(spark, sf_dir):
     """ST4 as a true stateful operator (applyInPandasWithState on a
     stream — tests/test_stateful.py proves cross-restart state); the
@@ -2941,6 +2967,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),
     ("st_session_window", _q_session_window, _SQL_SESSION_WINDOW),
     ("st_stateful_dedup", _q_st_stateful_dedup, _SQL_ST_STATEFUL_DEDUP),
+    ("st_running_counts", _q_st_running_counts, _SQL_ST_RUNNING_COUNTS),
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),

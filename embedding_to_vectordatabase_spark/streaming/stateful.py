@@ -92,9 +92,12 @@ def running_counts_stateful(
     Batch DataFrames degrade to a plain groupBy aggregate.
     Output: (key, n_events long, sum_value double)."""
     if not df.isStreaming:
+        # sum in the column's own type (exact for decimal inputs),
+        # cast once at the end — a pre-sum double cast would make the
+        # reduction order-dependent
         return df.groupBy(key_col).agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+            F.sum(value_col).cast("double").alias("sum_value"),
         )
 
     key_field = df.schema[key_col]
