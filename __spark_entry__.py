@@ -2674,6 +2674,81 @@ SELECT token, n_occurrences FROM (
 """
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction pass over a corpus seeded with known spans —
+    emails/SSNs/phone runs become typed placeholders
+    (operators/textanalysis.py:redact_pii; RE2-safe rules so the
+    oracle replaces identically)."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        redact_pii,
+    )
+
+    # salt the corpus with deterministic PII so the pass has real work
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id").cast("string"),
+            F.lit("1 ssn 123-45-6789."),
+        ).alias("text"),
+    )
+    return d.select("doc_id", redact_pii(F.col("text")).alias("text"))
+
+
+def _sql_redact_pii() -> str:
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        PII_RULES,
+    )
+
+    expr = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1 555 000 ' || CAST(doc_id AS VARCHAR)"
+        " || '1 ssn 123-45-6789.'"
+    )
+    for pat, repl in PII_RULES:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def _q_repetition_score(spark, sf_dir):
+    """Gopher-style within-document 3-gram repetition fraction
+    (operators/textanalysis.py:repetition_score) — the boilerplate
+    filter signal."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        repetition_score,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", repetition_score(F.col("text")).alias("repetition")
+    )
+
+
+_SQL_REPETITION = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, len(ws) AS nw,
+         CASE WHEN len(ws) >= 3 THEN
+           [array_to_string(ws[i:i+2], ' ')
+            FOR i IN generate_series(1, len(ws) - 2)]
+         ELSE [] END AS grams
+  FROM words
+)
+SELECT doc_id,
+       CASE WHEN nw < 3 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 6)
+       END AS repetition
+FROM sh
+"""
+
+
 def _q_event_value_quantiles(spark, sf_dir):
     """Grouped exact quantiles: p50/p90/p99 of event value per type
     (sorting `percentile`, percentile_cont interpolation — same parity
@@ -2997,6 +3072,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
     ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
     ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
+    ("redact_pii", _q_redact_pii, _sql_redact_pii()),
+    ("repetition_score", _q_repetition_score, _SQL_REPETITION),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

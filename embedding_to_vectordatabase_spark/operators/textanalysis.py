@@ -136,6 +136,49 @@ def doc_fingerprint(text: Column, words: Column | None = None) -> Column:
     )
 
 
+# RE2-compatible (no lookaround) so Java/Spark and RE2-based tooling
+# redact identically; ordered so the email rule wins before the
+# looser phone digits can eat parts of it
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\+?\d[\d()\- ]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub common PII spans (emails, SSNs, phone-like digit runs)
+    with typed placeholders — the standard pre-training redaction
+    pass. Chained native regexp_replace: map-only, whole-stage
+    codegen, rule order fixed (see PII_RULES)."""
+    out = F.coalesce(text, F.lit(""))
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Gopher-style within-document repetition: the fraction of
+    word n-grams that are repeats of an earlier n-gram in the SAME
+    document (0 = all distinct, → 1 = highly repetitive boilerplate).
+    Documents shorter than n words score 0. One native expression —
+    no shuffle, no UDF."""
+    words = F.split(normalize_text(text), " ")
+    nw = F.size(words)
+    total = nw - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # the WHEN guard keeps sequence() off the short-doc branch, where
+    # 1 > total would generate a DESCENDING sequence
+    return F.when(nw < F.lit(n), F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(sh)) / total.cast("double"), 6
+        )
+    )
+
+
 def profile_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

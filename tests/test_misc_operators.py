@@ -386,3 +386,51 @@ def test_curate_corpus_full_chain(spark):
     assert set(got) == {1, 5}
     assert got[1]["pred_lang"] == "en"
     assert got[5]["pred_lang"] == "de"
+
+
+def test_redact_pii_spans(spark):
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@foo.co.uk now"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "call +1 (555) 123-4567 today"),
+        (4, "clean text"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "ssn [SSN] leaked"
+    assert got[3] == "call [PHONE] today"
+    assert got[4] == "clean text"
+    assert got[5] == ""
+
+
+def test_repetition_score_bounds_and_boilerplate(spark):
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        repetition_score,
+    )
+
+    rows = [
+        (1, "spam " * 50),                          # one 3-gram repeated
+        (2, "all these words appear exactly once here"),
+        (3, "too short"),                           # < n words -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", repetition_score(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got[1] > 0.9          # boilerplate: nearly all grams repeat
+    assert got[2] == 0.0         # fully distinct
+    assert got[3] == 0.0
