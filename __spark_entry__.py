@@ -2674,6 +2674,36 @@ SELECT token, n_occurrences FROM (
 """
 
 
+def _q_v_normalize(spark, sf_dir):
+    """Unit-L2 normalization of the embedding column (the pre-step
+    for cosine == dot-product search at scale); elements rounded to
+    6dp on both engines (functions/vector.py:l2_normalize)."""
+    from embedding_to_vectordatabase_spark.functions.vector import (
+        l2_normalize,
+    )
+
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)
+        ).alias("unit"),
+    )
+
+
+_SQL_V_NORMALIZE = """
+SELECT vec_id,
+       CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
+            THEN list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))
+            ELSE list_transform(embedding,
+                 x -> ROUND(CAST(x AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
+       END AS unit
+FROM embeddings
+"""
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction pass over a corpus seeded with known spans —
     emails/SSNs/phone runs become typed placeholders
@@ -3074,6 +3104,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
     ("redact_pii", _q_redact_pii, _sql_redact_pii()),
     ("repetition_score", _q_repetition_score, _SQL_REPETITION),
+    ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

@@ -87,3 +87,57 @@ def test_random_hyperplanes_seeded():
     assert a == b
     assert a != c
     assert len(a) == 4 and len(a[0]) == 8
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    from embedding_to_vectordatabase_spark.functions.vector import (
+        dense_norm,
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    )
+    out = {r["id"]: r for r in df.select(
+        "id",
+        l2_normalize(F.col("v")).alias("u"),
+        dense_norm(l2_normalize(F.col("v"))).alias("n"),
+    ).collect()}
+    assert out[1]["u"] == [0.6, 0.8] and abs(out[1]["n"] - 1.0) < 1e-12
+    assert out[2]["u"] == [0.0, 0.0] and out[2]["n"] == 0.0
+
+
+def test_int8_quantization_roundtrip_and_cosine(spark):
+    """Dequantized vectors stay within the quantization step of the
+    original, and pairwise cosine survives within 1%."""
+    import math
+    import random
+
+    from embedding_to_vectordatabase_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(20)]
+    rows.append((99, [0.0] * 32))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r["id"]: (r["v"], r["dq"], r["q"])
+        for r in df.select(
+            "id", "v",
+            quantize_int8(F.col("v")).alias("q"),
+            dequantize_int8(quantize_int8(F.col("v"))).alias("dq"),
+        ).collect()
+    }
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x*x for x in a)) * math.sqrt(sum(x*x for x in b)))
+    for i, (v, dq, q) in got.items():
+        if i == 99:
+            assert q["scale"] == 0.0 and dq == [0.0] * 32
+            continue
+        step = q["scale"]
+        assert all(abs(x - y) <= step / 2 + 1e-12 for x, y in zip(v, dq))
+        assert cos(v, dq) > 0.99
+        assert all(-127 <= c <= 127 for c in q["codes"])
