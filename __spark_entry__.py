@@ -1648,7 +1648,10 @@ def _q_sparse_topk_inverted(spark, sf_dir):
         )
         .filter(F.col("weight") > 0.1)
     )
-    out = sparse_topk_inverted(corpus, queries, k=5)
+    # df-pruning cap ON (mirrored in the oracle below): 100 < the
+    # hottest token's df at sf0.01 (~129), so the cap genuinely prunes
+    # in the gate run rather than passing vacuously.
+    out = sparse_topk_inverted(corpus, queries, k=5, max_doc_freq=100)
     return out.select(
         "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
     )
@@ -1660,8 +1663,12 @@ WITH exploded AS (
   FROM (SELECT vec_id,
                unnest(list_transform(embedding, (x,i) -> {'tok': i, 'w': x})) AS u
         FROM embeddings)
-), cp AS (
+), cp0 AS (
   SELECT vec_id AS doc_id, token, weight FROM exploded WHERE weight > 0.1
+), cp AS (
+  SELECT doc_id, token, weight
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM cp0)
+  WHERE df <= 100
 ), qp AS (
   SELECT vec_id AS query_id, token, weight FROM exploded
   WHERE vec_id < 3 AND weight > 0.1

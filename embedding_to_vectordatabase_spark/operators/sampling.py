@@ -25,11 +25,20 @@ _HEX_SPACE = 16**8
 
 
 def _bucket(id_col: str, seed: int) -> Column:
-    """Uniform 8-hex-char bucket from (seed, id) — engine-portable."""
+    """Uniform 8-hex-char bucket from (seed, id) — engine-portable.
+
+    NULL ids produce a NULL bucket: F.concat propagates NULL exactly
+    like SQL's `'seed:' || CAST(id AS VARCHAR)` (concat_ws would
+    silently skip the NULL and hash the bare seed — an engine-
+    divergent real assignment). Downstream: every `bucket < thr`
+    comparison is NULL, so a NULL id deterministically takes the
+    CASE/when residual — the LAST split label in
+    ``deterministic_split``, dropped by ``mix_sources`` for any
+    source listed in ``fractions`` — identically in every engine."""
     return F.substring(
         F.md5(
-            F.concat_ws(
-                ":", F.lit(str(seed)), F.col(id_col).cast("string")
+            F.concat(
+                F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
             )
         ),
         1,
@@ -61,7 +70,8 @@ def deterministic_split(
     """Assign every row a split label, proportional to ``weights``
     (normalized), as a pure function of (seed, id): re-runs, task
     retries, and other engines all agree row-for-row. Weights are an
-    ordered list — the LAST split takes the residual bucket range."""
+    ordered list — the LAST split takes the residual bucket range.
+    NULL ids land in that residual split too (see ``_bucket``)."""
     weights = weights or DEFAULT_SPLITS
     b = _bucket(id_col, seed)
     expr = F.lit(weights[-1][0])

@@ -56,6 +56,30 @@ def _score_col(metric: str, a, b):
     return fn(a, b), order
 
 
+def _score_block(
+    X: np.ndarray, qmat: np.ndarray, metric: str, q2: np.ndarray | None = None
+) -> np.ndarray:
+    """(batch, dim) × (Q, dim) -> (batch, Q) scores, one BLAS matmul.
+
+    Peak extra memory is O(batch × Q) doubles for every metric — the
+    L2 branch uses ||x||² + ||q||² − 2x·q rather than materializing
+    the (batch × Q × dim) difference tensor (which at a 10k-row Arrow
+    batch × Q=1000 × dim=1024 would be ~80 GB per task). Cancellation
+    can dip microscopically below zero for near-identical vectors;
+    clamped before the sqrt. COSINE assumes qmat was pre-normalized.
+    """
+    if metric == "IP":
+        return X @ qmat.T
+    if metric == "COSINE":
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        xn[xn == 0] = 1.0
+        return (X / xn) @ qmat.T
+    x2 = (X**2).sum(axis=1, keepdims=True)
+    if q2 is None:
+        q2 = (qmat**2).sum(axis=1)
+    return np.sqrt(np.maximum(x2 + q2[None, :] - 2.0 * (X @ qmat.T), 0.0))
+
+
 def _query_matrix(
     queries: DataFrame, query_id: str, query_vec: str
 ) -> tuple[list, np.ndarray]:
@@ -113,21 +137,13 @@ def dense_topk(
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids, qmat = bc_queries.value
+        q2 = (qmat**2).sum(axis=1)  # reused across batches
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
             ids = pdf[corpus_id].to_numpy()
-            if metric == "IP":
-                S = X @ qmat.T
-            elif metric == "COSINE":  # qmat pre-normalized on the driver
-                xn = np.linalg.norm(X, axis=1, keepdims=True)
-                xn[xn == 0] = 1.0
-                S = (X / xn) @ qmat.T
-            else:  # L2 — elementwise form, no cancellation-prone expansion
-                S = np.sqrt(
-                    ((X[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
-                )
+            S = _score_block(X, qmat, metric, q2)
             kk = min(k, len(ids))
             out = []
             for qi in range(len(qids)):
@@ -601,10 +617,14 @@ def ann_similarity_join_mllib(
     )
 
 
+DEFAULT_SPARSE_MAX_DOC_FREQ = 1000
+
+
 def sparse_topk_inverted(
     corpus_postings: DataFrame,
     query_postings: DataFrame,
     k: int = DEFAULT_TOP_K,
+    max_doc_freq: int | None = DEFAULT_SPARSE_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Sparse IP top-k via the inverted relational form.
 
@@ -614,14 +634,32 @@ def sparse_topk_inverted(
     tokens of qw * dw; join on token, groupBy (query, doc), top-k.
     This is the reference's SPARSE_INVERTED_INDEX/IP expressed
     relationally (vector_database/milvus_connector.py:71-74).
+
+    ``max_doc_freq`` drops corpus postings for tokens appearing in
+    more than that many documents (df-pruning, same policy as
+    ``dedup.DEFAULT_MAX_DOC_FREQ``): a stop-token present in half the
+    corpus is a single hot join key whose posting list lands on one
+    task at scale. Stop-tokens carry near-zero IDF signal, so the
+    standard IR move is to cap them; scores then range over the
+    surviving token space — deterministic, and mirrored exactly by an
+    oracle that applies the same cap. Pass ``None`` to disable (exact
+    over all tokens; tiny corpora only).
     """
+    cp = corpus_postings
+    if max_doc_freq is not None:
+        dfc = cp.groupBy("token").agg(F.count("*").alias("__df"))
+        cp = (
+            cp.join(dfc, "token")
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     q = F.broadcast(
         query_postings.select(
             "query_id", "token", F.col("weight").alias("__qw")
         )
     )
     scored = (
-        corpus_postings.join(q, "token")
+        cp.join(q, "token")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(

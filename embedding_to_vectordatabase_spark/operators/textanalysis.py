@@ -138,11 +138,28 @@ def doc_fingerprint(text: Column, words: Column | None = None) -> Column:
 
 # RE2-compatible (no lookaround) so Java/Spark and RE2-based tooling
 # redact identically; ordered so the email rule wins before the
-# looser phone digits can eat parts of it
+# looser phone digits can eat parts of it.
+#
+# Phone rules require an explicit telephone cue — a leading +country
+# code, a parenthesized area code, or hyphenated 3-3/4-4 or 3-4 digit
+# groups — never a bare digit/space run (the earlier
+# \+?\d[\d()\- ]{7,}\d ate year lists like '2024 2025 2026', ID
+# sequences and tabular numbers, while missing 7-digit locals).
+# Residual false-positive risk, accepted and documented: a 3-4 digit
+# hyphenated range in prose ('pages 100-2000') reads as a local
+# number. Digit totals are bounded by the group widths (~3-19).
 PII_RULES: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    (r"\+?\d[\d()\- ]{7,}\d", "[PHONE]"),
+    # +intl, optional (area), 1-4 separated groups: +1 (555) 123-4567
+    (r"\+\d{1,4}([ -]?\(\d{1,4}\))?([ -]?\d{2,4}){1,4}", "[PHONE]"),
+    # parenthesized area code without +: (415) 555-1234
+    (r"\(\d{2,4}\)[ -]?\d{3,4}[ -]?\d{3,4}", "[PHONE]"),
+    # hyphenated groups: 415-555-1234 / 555-1234 (the SSN 3-2-4 shape
+    # was already consumed by the rule above; dates 2024-08-14 can't
+    # match the leading \b\d{3}-)
+    (r"\b\d{3}-\d{3,4}-\d{4}\b", "[PHONE]"),
+    (r"\b\d{3}-\d{4}\b", "[PHONE]"),
 ]
 
 

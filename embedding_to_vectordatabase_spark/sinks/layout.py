@@ -63,15 +63,30 @@ def compact(
     """Rewrite a many-small-files parquet store into ~target-sized
     files; optionally range-cluster by ``cluster_cols`` while at it
     (the rewrite pays the shuffle anyway, so clustering rides along
-    free). Returns the number of output files requested.
+    free). Returns the number of parquet data files actually written
+    (coalesce cannot split, so a source with fewer partitions than
+    the requested count yields fewer files).
 
-    File count = ceil(current bytes / target): sized from the Hadoop
-    FileSystem listing, not a data scan.
+    Compaction is an OUT-OF-PLACE rewrite: ``out_path`` must differ
+    from ``path`` (Spark refuses to overwrite a path it is reading,
+    and failing mid-write in place would lose the store) — swap
+    directories atomically at the catalog/orchestration layer after
+    the rewrite lands.
+
+    Requested file count = ceil(current bytes / target): sized from
+    the Hadoop FileSystem listing, not a data scan.
     """
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
+    jout = jvm.org.apache.hadoop.fs.Path(out_path)
+    if fs.makeQualified(jout).equals(fs.makeQualified(jpath)):
+        raise ValueError(
+            f"compact() is an out-of-place rewrite: out_path "
+            f"{out_path!r} resolves to the source path — write to a "
+            "sibling directory and swap after the rewrite lands"
+        )
     total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-int(total) // int(target_file_bytes)))
     df = spark.read.parquet(path)
@@ -80,4 +95,9 @@ def compact(
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(out_path)
-    return n_files
+    written = [
+        s
+        for s in fs.listStatus(fs.makeQualified(jout))
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    return len(written)

@@ -350,7 +350,6 @@ def delete_where_partitioned(
         if tuple(values) in survivors:
             continue
         cur = root
-        found = True
         for c, v in zip(partition_cols, tuple(values)):
             want = _partition_value_str(v)
             nxt = None
@@ -368,11 +367,19 @@ def delete_where_partitioned(
                     nxt = status.getPath()
                     break
             if nxt is None:
-                found = False
-                break
+                # The touched set came from reading this store, so a
+                # fully-deleted partition's directory MUST exist (the
+                # dynamic overwrite never writes it). A miss means the
+                # value→directory-name match failed and the stale
+                # directory would resurrect its rows on the next read
+                # — fail loudly rather than leave it behind.
+                raise IOError(
+                    f"partition directory for {c}={want!r} not found "
+                    f"under {cur}: refusing to leave a fully-deleted "
+                    "partition on disk"
+                )
             cur = nxt
-        if found:
-            fs.delete(cur, True)
+        fs.delete(cur, True)
     return len(touched)
 
 
@@ -382,12 +389,30 @@ _HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 def _partition_value_str(v) -> str | None:
     """The string Spark's partitioned writer spells a value as in the
     directory name (before escaping); None for NULL/empty, which both
-    land in __HIVE_DEFAULT_PARTITION__."""
+    land in __HIVE_DEFAULT_PARTITION__.
+
+    Only string/int/bool/date partition columns are supported: their
+    Python str() matches Spark's directory spelling exactly. Float/
+    decimal/timestamp spellings diverge (Python '1e-07' vs Spark
+    '1.0E-7'), and a mismatch here would silently leave a fully-
+    deleted partition directory in place — its rows resurrecting on
+    the next read — so unsupported types raise instead."""
+    import datetime
+
     if v is None or v == "":
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
-    return str(v)
+    if isinstance(v, int) or (
+        isinstance(v, datetime.date)
+        and not isinstance(v, datetime.datetime)
+    ) or isinstance(v, str):
+        return str(v)
+    raise TypeError(
+        f"unsupported partition-column value {v!r} "
+        f"({type(v).__name__}): directory-name matching is defined "
+        "for string/int/bool/date partition values only"
+    )
 
 
 def _unescape_path_name(name: str) -> str:

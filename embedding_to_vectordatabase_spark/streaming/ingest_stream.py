@@ -98,7 +98,18 @@ def windowed_event_counts(
         "1 second": "second", "1 minute": "minute",
         "1 hour": "hour", "1 day": "day",
     }.get(window_duration.strip().lower()) if not slide_duration else None
-    if trunc_unit is not None and not events.isStreaming:
+    # The fast path is valid ONLY under a UTC session time zone:
+    # date_trunc truncates in the session TZ while F.window is
+    # epoch-aligned, so under e.g. +05:30 an "1 hour" bucket (or any
+    # zone for "1 day") would differ between the batch and streaming
+    # paths of the same pipeline. session.py pins UTC; gate on the
+    # live conf so a caller who overrides it still gets identical
+    # batch/stream buckets (via the F.window branch) instead of a
+    # silent divergence.
+    tz_is_utc = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", ""
+    ).upper() in ("UTC", "ETC/UTC", "GMT", "Z", "+00:00")
+    if trunc_unit is not None and tz_is_utc and not events.isStreaming:
         return (
             src.groupBy(
                 F.date_trunc(trunc_unit, F.col(ts_col)).alias(

@@ -171,6 +171,59 @@ def test_sparse_topk_inverted(spark):
     assert got == [(2, 5.0, 1), (1, 2.0, 2)]  # doc 3 shares no token
 
 
+def test_score_block_l2_bounded_memory():
+    """VERDICT r5 item 5: the L2 kernel must stay O(batch × Q), never
+    materializing the (batch × Q × dim) difference tensor. At
+    batch=2000, Q=1000, dim=256 the tensor form would allocate ~4 GB;
+    the matmul identity stays under ~100 MB. numpy allocations are
+    tracemalloc-tracked, so assert the peak directly."""
+    import tracemalloc
+
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _score_block,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(2000, 256))
+    Q = rng.normal(size=(1000, 256))
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    S = _score_block(X, Q, "L2")
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 200 * 1024 * 1024, f"L2 kernel peak {peak/1e6:.0f} MB"
+    # and it is the exact L2: spot-check vs the elementwise form on a slice
+    ref = np.sqrt(((X[:5, None, :] - Q[None, :50, :]) ** 2).sum(axis=2))
+    assert np.allclose(S[:5, :50], ref)
+
+
+def test_sparse_topk_df_pruning_caps_hot_token(spark):
+    """VERDICT r5 item 6: a stop-token present in 50% of docs must be
+    pruned by max_doc_freq so its posting list never becomes a hot
+    join key; scores then range over the surviving token space."""
+    # 200 docs: token 7 in all even docs (df=100, the stop-token);
+    # token d in doc d only (df=1). Query hits both token spaces.
+    rows = []
+    for d in range(200):
+        if d % 2 == 0:
+            rows.append((d, 7, 1.0))
+        rows.append((d, 1000 + d, float(d + 1)))
+    cp = spark.createDataFrame(rows, "doc_id long, token int, weight double")
+    qp = spark.createDataFrame(
+        [(0, 7, 10.0), (0, 1003, 1.0)],
+        "query_id long, token int, weight double",
+    )
+    out = sparse_topk_inverted(cp, qp, k=5, max_doc_freq=50).collect()
+    # token 7 pruned (df=100 > 50): only doc 3 scores, via its own token
+    assert [(r["doc_id"], r["score"]) for r in out] == [(3, 4.0)]
+    # cap off: the stop-token floods back in (100 even docs score 10.0)
+    full = sparse_topk_inverted(cp, qp, k=5, max_doc_freq=None).collect()
+    assert len(full) == 5
+    assert all(r["score"] >= 10.0 for r in full)
+
+
 def test_rerank_ordering(spark):
     pairs = spark.createDataFrame(
         [(0, 10, 1.0, 1.0, 1.0), (0, 11, 0.0, 0.0, 0.0), (0, 12, 0.5, 0.5, 0.5)],
