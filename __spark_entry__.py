@@ -1702,6 +1702,26 @@ def _q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def _q_dense_topk_quantized(spark, sf_dir):
+    """Rows-only: the int8 stage-1 candidate scan is a numpy BLAS
+    pass whose float reassociation isn't bit-reproducible in SQL at
+    the candidate-set boundary; exactness of the final re-ranked
+    result vs dense_topk (id set AND float scores) is asserted in
+    tests/test_search.py::test_dense_topk_quantized_*."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = dense_topk_quantized(emb, q, k=5, metric="COSINE")
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_ann_mllib_join(spark, sf_dir):
     """Rows-only: MLlib LSH collision sets depend on seeded random
     projections (recall < 1 by design); behavior tested in
@@ -3090,6 +3110,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ann_topk_bucketed", _q_ann_topk, None),
     ("ann_topk_ivf", _q_ann_topk_ivf, None),
     ("ann_similarity_join_mllib", _q_ann_mllib_join, None),
+    ("dense_topk_quantized", _q_dense_topk_quantized, None),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),

@@ -171,6 +171,48 @@ def test_sparse_topk_inverted(spark):
     assert got == [(2, 5.0, 1), (1, 2.0, 2)]  # doc 3 shares no token
 
 
+@pytest.mark.parametrize("metric", ["IP", "COSINE", "L2"])
+def test_dense_topk_quantized_recall(emb, queries, metric):
+    """VERDICT r5 item 4: int8 scan + exact re-rank must recover the
+    exact top-k (recall@5 >= 0.99 contract; on this fixture exact)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk_quantized,
+    )
+
+    exact = _key_set(dense_topk(emb, queries, k=5, metric=metric).collect())
+    quant = _key_set(
+        dense_topk_quantized(emb, queries, k=5, metric=metric).collect()
+    )
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.99, f"{metric} recall {recall}"
+
+
+def test_dense_topk_quantized_materialized_codes(spark, emb, queries, tmp_path_factory):
+    """The production path: codes built once at write time (4x smaller
+    column), scan reads ONLY (id, codes, scale) — results must equal
+    the inline-quantization path, and re-ranked scores are the exact
+    float scores (match dense_topk's values, not just its id set)."""
+    from embedding_to_vectordatabase_spark.functions.vector import (
+        quantize_int8,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk_quantized,
+    )
+
+    path = str(tmp_path_factory.mktemp("quant") / "emb_q.parquet")
+    emb.select(
+        "vec_id", "embedding", quantize_int8(F.col("embedding")).alias("q8")
+    ).write.parquet(path)
+    store = spark.read.parquet(path)
+    out = dense_topk_quantized(
+        store, queries, k=5, metric="COSINE", quant_col="q8"
+    ).collect()
+    exact = dense_topk(emb, queries, k=5, metric="COSINE").collect()
+    got = {(r["query_id"], r["vec_id"]): round(r["score"], 9) for r in out}
+    want = {(r["query_id"], r["vec_id"]): round(r["score"], 9) for r in exact}
+    assert got == want
+
+
 def test_score_block_l2_bounded_memory():
     """VERDICT r5 item 5: the L2 kernel must stay O(batch × Q), never
     materializing the (batch × Q × dim) difference tensor. At
