@@ -1926,6 +1926,58 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def _q_st_minhash_dedup(spark, sf_dir):
+    """Streaming incremental near-dup dedup, batch-degraded for the
+    oracle (streaming/stateful.py:minhash_collisions_stateful): LSH
+    band buckets keyed in the state store so each micro-batch joins
+    only against prior state; the batch form degrades to claimant =
+    min doc_id per bucket — exactly the window the SQL mirrors.
+    Restart-survival proven in tests/test_stateful.py."""
+    from embedding_to_vectordatabase_spark.streaming.stateful import (
+        minhash_collisions_stateful,
+        minhash_dedup_reduce,
+    )
+
+    collisions = minhash_collisions_stateful(
+        _dup_union(spark, sf_dir), n=3, num_perm=16, bands=4, hash_fn="md5"
+    )
+    return minhash_dedup_reduce(collisions)
+
+
+_SQL_ST_MINHASH_DEDUP = f"""
+WITH corpus AS ({_SQL_DUP_UNION}),
+words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM corpus
+),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 2, 1))) AS i
+        FROM words)
+),
+hashes AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
+  FROM postings, generate_series(0, 15) perm(p)
+  GROUP BY doc_id, p
+),
+sigs AS (
+  SELECT doc_id, list(h ORDER BY p) AS sig FROM hashes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+  FROM sigs, generate_series(0, 3) t(b)
+),
+verdicts AS (
+  SELECT doc_id,
+         doc_id > MIN(doc_id) OVER (PARTITION BY band, bucket) AS dup
+  FROM banded
+)
+SELECT doc_id, BOOL_OR(dup) AS is_dup FROM verdicts GROUP BY doc_id
+"""
+
+
 def _q_simhash_signatures(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.dedup import (
         simhash_signatures,
@@ -3115,6 +3167,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     ("minhash_lsh_pairs", _q_minhash_lsh, _SQL_MINHASH),
+    ("st_minhash_dedup", _q_st_minhash_dedup, _SQL_ST_MINHASH_DEDUP),
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),
     ("simhash_pairs", _q_simhash_pairs, None),
     ("simhash_pairs_md5", _q_simhash_pairs_md5, _SQL_SIMHASH_PAIRS),

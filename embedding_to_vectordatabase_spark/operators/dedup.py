@@ -254,6 +254,79 @@ def minhash_signatures(
     )
 
 
+def minhash_bands_maponly(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band-signature rows computed
+    entirely ROW-LOCALLY: the shingle set, per-permutation minhash,
+    and band bucket are array expressions over the single row — no
+    explode-groupBy aggregation. That makes the same expression legal
+    on a STREAMING DataFrame as a stateless map stage (the groupBy-min
+    form in ``minhash_signatures`` would be its own stateful
+    aggregation and could not precede ``applyInPandasWithState`` in
+    one query). Signature-identical to ``minhash_signatures`` +
+    ``minhash_lsh_pairs``'s banding: same per-permutation seeds, same
+    distinct-shingle min, same band bucket hash — asserted in
+    tests/test_dedup.py.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    # mirror each groupBy form exactly: xxhash64 pre-hashes shingles
+    # to longs once (hashed_postings) and derives permutations from
+    # the 8-byte hash; md5 seeds the string directly. Factories, NOT
+    # `lambda s, p=p`: F.transform dispatches on lambda arity, so a
+    # two-parameter lambda would be called as (element, index) and
+    # the seed would silently become the array index.
+    if hash_fn == "xxhash64":
+        shingles = F.array_distinct(
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        )
+
+        def _perm_min(p: int) -> Column:
+            return F.array_min(
+                F.transform(shingles, lambda h: F.xxhash64(h, F.lit(p)))
+            )
+
+    else:
+        shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
+
+        def _perm_min(p: int) -> Column:
+            return F.array_min(
+                F.transform(shingles, lambda s: _hash64(s, p, hash_fn))
+            )
+
+    sig = [_perm_min(p) for p in range(num_perm)]
+
+    def _bucket(b: int) -> Column:
+        elems = sig[b * r : (b + 1) * r]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *elems))
+        return F.xxhash64(*elems)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -82,6 +82,110 @@ def dedup_stream_stateful(
     )
 
 
+def minhash_collisions_stateful(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+    state_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection for continuous ingest — the
+    streaming complement to the batch ``dedup.minhash_lsh_pairs``: a
+    100 TB corpus deduped once by the batch job stays deduped as new
+    documents stream in, WITHOUT re-joining each micro-batch against
+    the whole history. LSH band buckets are the state key: per-bucket
+    state is one boolean ("claimed"), so each micro-batch shuffles
+    only its own band rows to the state store's key partitions.
+
+    Emits one verdict row per (doc, band): ``dup`` is true iff the
+    band bucket was already claimed by an earlier document — an
+    earlier micro-batch (state store, checkpointed across restarts)
+    or a lower ``doc_id`` in the same batch. A document is a near-dup
+    candidate iff ANY of its bands collides — reduce with
+    ``minhash_dedup_reduce`` (chainable directly on batch frames; on
+    streams run the reduce inside ``foreachBatch``, since a second
+    stateful aggregation cannot follow applyInPandasWithState in the
+    same query).
+
+    On a batch DataFrame this degrades to the equivalent window form
+    (claimant = min doc_id per bucket) — the SQL-oracle path. Output:
+    (doc_id, band int, bucket, dup boolean).
+    """
+    from ..operators.dedup import minhash_bands_maponly
+
+    banded = minhash_bands_maponly(
+        df, text_col, id_col, n, num_perm, bands, hash_fn
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        return banded.withColumn(
+            "dup", F.col("doc_id") > F.min("doc_id").over(w)
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", banded.schema["doc_id"].dataType, True),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", banded.schema["bucket"].dataType, False),
+            T.StructField("dup", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("claimed", T.BooleanType(), False)]
+    )
+    timeout = (
+        "ProcessingTimeTimeout" if state_timeout_minutes else "NoTimeout"
+    )
+    timeout_ms = (state_timeout_minutes or 0) * 60 * 1000
+
+    def verdicts(key: Any, pdfs, state) -> Any:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        claimed = state.exists
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True)
+        if claimed:
+            dup = [True] * len(rows)
+        else:
+            first = rows["doc_id"].min()
+            dup = (rows["doc_id"] > first).tolist()
+        state.update((True,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "band": key[0],
+                "bucket": key[1],
+                "dup": dup,
+            }
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        verdicts, out_schema, state_schema, "append", timeout
+    )
+
+
+def minhash_dedup_reduce(collisions: DataFrame) -> DataFrame:
+    """(doc_id, is_dup): a document is a near-dup candidate iff ANY
+    band collided. Chain directly after
+    ``minhash_collisions_stateful`` on batch frames; on streams run
+    inside ``foreachBatch`` (or aggregate the persisted verdict
+    stream) — Spark cannot stack a second stateful aggregation after
+    applyInPandasWithState in one query."""
+    return collisions.groupBy("doc_id").agg(
+        F.max("dup").alias("is_dup")
+    )
+
+
 def running_counts_stateful(
     df: DataFrame,
     key_col: str = "user_id",

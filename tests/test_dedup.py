@@ -85,6 +85,62 @@ def test_minhash_md5_mode_matches_xxhash_pairs(corpus):
     assert (1, 2) in a and (1, 2) in b
 
 
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_bands_maponly_matches_groupby_form(corpus, hash_fn):
+    """The row-local (streaming-safe) band computation must be
+    signature-identical to the explode-groupBy form minhash_lsh_pairs
+    bands from."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        _hash64,
+        minhash_bands_maponly,
+        minhash_signatures,
+    )
+
+    num_perm, bands = 16, 4
+    r = num_perm // bands
+    got = {
+        (x["doc_id"], x["band"], x["bucket"])
+        for x in minhash_bands_maponly(
+            corpus, num_perm=num_perm, bands=bands, hash_fn=hash_fn
+        ).collect()
+    }
+    sig = minhash_signatures(
+        corpus, num_perm=num_perm, hash_fn=hash_fn
+    )
+    want = set()
+    for row in sig.collect():
+        for b in range(bands):
+            elems = row["sig"][b * r : (b + 1) * r]
+            want.add((row["doc_id"], b, tuple(elems)))
+    # recompute the bucket hash per band via a tiny Spark frame so the
+    # exact same hash expression is used
+    ref = {}
+    elems_df = corpus.sparkSession.createDataFrame(
+        [(d, b, list(e)) for d, b, e in want],
+        "doc_id long, band int, elems array<string>"
+        if hash_fn == "md5"
+        else "doc_id long, band int, elems array<long>",
+    )
+    bucket = (
+        F.md5(F.concat_ws(",", *[F.element_at("elems", j + 1) for j in range(r)]))
+        if hash_fn == "md5"
+        else F.xxhash64(*[F.element_at("elems", j + 1) for j in range(r)])
+    )
+    want_rows = {
+        (x["doc_id"], x["band"], x["bucket"])
+        for x in elems_df.select(
+            "doc_id", "band", bucket.alias("bucket")
+        ).collect()
+    }
+    assert got == want_rows
+    # dup docs 1/2/3 share every band; doc 5 shares none with doc 1
+    by_doc = {}
+    for d, b, v in got:
+        by_doc.setdefault(d, set()).add(v)
+    assert by_doc[1] == by_doc[2] == by_doc[3]
+    assert not (by_doc[1] & by_doc[5])
+
+
 def test_simhash_default_bits64_runs(corpus):
     """r1 regression: F.lit(2**63) overflowed LongType and crashed at
     the documented defaults (VERDICT r1 'what's wrong' #1)."""
