@@ -2912,6 +2912,87 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination flags (operators/dedup.py:
+    contamination_flags): GPT-3/PaLM-style 8-gram overlap against a
+    synthetic eval set (200-char prefixes of every 7th document — the
+    'benchmark question extracted from a training doc' shape). The
+    benchmark shingle set broadcasts; the oracle mirrors the string
+    form (hashed=False)."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    return contamination_flags(docs, benchmark, n=8, hashed=False)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM documents
+),
+cp AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 7, 1))) AS i
+        FROM words)
+),
+bwords AS (
+  SELECT string_split({_NORM_SQL.format(c='substr(text, 1, 200)')}, ' ') AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+bp AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM (SELECT ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 7, 1))) AS i
+        FROM bwords)
+),
+ov AS (
+  SELECT cp.doc_id, COUNT(*) AS n_overlap
+  FROM cp JOIN bp USING (shingle)
+  GROUP BY cp.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+"""
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic resampling (operators/
+    sampling.py:weighted_sample): keep probability = clamp(chars/1000)
+    as a pure function of (seed, doc_id) — the importance-sampling
+    step of corpus assembly, retry/engine-stable like the split/mix
+    operators."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, F.length("text") / F.lit(1000.0), id_col="doc_id", seed=42
+    )
+    return out.select("doc_id")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         LEAST(GREATEST(length(text) / 1000.0, 0.0), 1.0) AS p,
+         substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+  FROM documents
+)
+WHERE CASE WHEN p >= 1.0 THEN TRUE
+      ELSE b < lpad(lower(hex(CAST(floor(p * 4294967296.0) AS BIGINT))), 8, '0')
+      END
+"""
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """BPE-ish (GPT-2 pretokenizer, RE2-safe subset) token budget per
     document — functions/text.py:bpe_token_count."""
@@ -3180,6 +3261,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
     ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
+    ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
     ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
     ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),

@@ -402,6 +402,88 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination flags (GPT-3/PaLM-style n-gram
+    overlap): a training document is contaminated iff it shares at
+    least ``min_overlap`` distinct word ``n``-grams with ANY
+    evaluation-benchmark document. Output: (doc_id, n_overlap long,
+    contaminated boolean) — one row per corpus doc.
+
+    100 TB shape: the benchmark shingle set is small by construction
+    (eval sets are thousands of rows) and broadcasts; the corpus-side
+    postings stream map-joins against it, so the only shuffle is the
+    per-doc overlap count over MATCHING postings (a vanishing
+    fraction of the corpus). ``hashed=True`` pre-hashes shingles to
+    longs (xxhash64 — the production path); ``hashed=False`` joins on
+    raw shingle strings, reproducible in a SQL oracle.
+    """
+    if hashed:
+        cp = hashed_postings(corpus, text_col, id_col, n)
+        bp = (
+            hashed_postings(benchmark, bench_text_col, id_col, n)
+            .select("shingle_h")
+            .distinct()
+        )
+        key = "shingle_h"
+    else:
+        cp = shingle_postings(corpus, text_col, id_col, n)
+        bp = (
+            shingle_postings(benchmark, bench_text_col, id_col, n)
+            .select("shingle")
+            .distinct()
+        )
+        key = "shingle"
+    overlaps = (
+        cp.join(F.broadcast(bp), key)
+        .groupBy("doc_id")  # postings are distinct per doc already
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                >= F.lit(min_overlap)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Corpus rows surviving benchmark decontamination (all original
+    columns kept) — ``contamination_flags`` as a filter."""
+    flags = contamination_flags(
+        corpus, benchmark, text_col, id_col, bench_text_col, n,
+        min_overlap, hashed,
+    ).filter("contaminated")
+    return corpus.join(
+        flags.select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -102,3 +102,34 @@ def mix_sources(
             F.col(source_col) == src, b < F.lit(thr)
         ).otherwise(keep)
     return df.filter(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row independently with probability
+    ``clamp(weight, 0, 1)`` — quality-weighted corpus resampling (the
+    importance-sampling step of pretraining-data assembly: keep docs
+    proportionally to a quality/importance score) as a PURE FUNCTION
+    of (seed, id). No rand() (stable under task retries and across
+    engines), no shuffle — the filter is map-only and pushes into the
+    scan alongside other predicates.
+
+    Mechanism: the row's 8-hex (seed,id) bucket is compared against a
+    per-row hex threshold lpad(hex(floor(p·16^8)), 8, '0') — the
+    same lexicographic-hex comparison the fixed-fraction operators
+    use, so a SQL oracle reproduces the kept set bit-for-bit. NULL
+    weights and NULL ids drop the row (comparison is NULL)."""
+    p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.lpad(
+        F.lower(
+            F.hex(F.floor(p * F.lit(float(_HEX_SPACE))).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    b = _bucket(id_col, seed)
+    return df.filter(F.when(p >= 1.0, F.lit(True)).otherwise(b < thr))

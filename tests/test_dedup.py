@@ -171,6 +171,40 @@ def test_simhash_sign_bit_usable(spark):
     assert any(s < 0 for s in sigs)  # sign bit in use, no crash
 
 
+@pytest.mark.parametrize("hashed", [True, False])
+def test_contamination_flags_and_decontaminate(spark, hashed):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench q
+            (2, "totally unrelated words about nothing relevant here"),
+            (3, "ALPHA  beta GAMMA delta epsilon zeta"),  # normalized dup
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_flags(
+            corpus, benchmark, n=5, hashed=hashed
+        ).collect()
+    }
+    # docs 1 and 3 share the 5-gram; doc 2 shares nothing
+    assert flags[1][1] and flags[3][1] and not flags[2][1]
+    assert flags[2] == (0, False)
+    survivors = decontaminate(corpus, benchmark, n=5, hashed=hashed)
+    assert {r["doc_id"] for r in survivors.collect()} == {2}
+    # survivors keep all original columns
+    assert set(survivors.columns) == {"doc_id", "text"}
+
+
 def test_embedding_near_dup_requires_blocking(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], "a")], "vec_id long, embedding array<float>, label string"

@@ -61,3 +61,36 @@ def test_mix_sources_downsamples_only_listed(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # three weight strata: 0.0 (dropped), 0.5 (half), 1.0 (all kept)
+    rows = [(i, [0.0, 0.5, 1.0][i % 3]) for i in range(30_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, F.col("w"), seed=42)
+    counts = {
+        r["w"]: r["n"]
+        for r in out.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.0 not in counts                       # p=0 drops everything
+    assert counts[1.0] == 10_000                   # p>=1 keeps everything
+    assert abs(counts[0.5] - 5_000) < 300          # p=0.5 keeps ~half
+    # pure function of (seed, id): re-run identical, new seed differs
+    again = weighted_sample(df, F.col("w"), seed=42)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    other = weighted_sample(df, F.col("w"), seed=7)
+    assert {r["doc_id"] for r in out.collect()} != {
+        r["doc_id"] for r in other.collect()
+    }
+    # weights above 1 / below 0 clamp rather than error
+    clamped = weighted_sample(
+        spark.createDataFrame([(1, 5.0), (2, -3.0)], "doc_id long, w double"),
+        F.col("w"),
+    )
+    assert {r["doc_id"] for r in clamped.collect()} == {1}
