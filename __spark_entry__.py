@@ -2993,6 +2993,47 @@ WHERE CASE WHEN p >= 1.0 THEN TRUE
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/sampling.py:
+    pack_sequences): docs laid end-to-end in id order within 8 shards,
+    seq_id = the 512-token chunk each doc starts in — the assembly
+    step between curation and tokenization."""
+    from embedding_to_vectordatabase_spark.functions.text import token_count
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(
+        docs, budget_tokens=512, shards=8
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("__shard").alias("shard"),
+        "seq_id",
+    )
+
+
+_SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+              END AS BIGINT) AS n_tokens,
+         doc_id % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 512.0) AS BIGINT) AS seq_id
+FROM toks
+"""
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """BPE-ish (GPT-2 pretokenizer, RE2-safe subset) token budget per
     document — functions/text.py:bpe_token_count."""
@@ -3263,6 +3304,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
     ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
     ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
     ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
     ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),

@@ -104,6 +104,56 @@ def mix_sources(
     return df.filter(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    shards: int | None = None,
+    out_col: str = "seq_id",
+) -> DataFrame:
+    """Assign each document to a fixed-budget training sequence — the
+    concat-then-chunk packing step of pretraining-data assembly: docs
+    are laid end-to-end in (group, id) order and ``seq_id`` is the
+    index of the ``budget_tokens``-sized chunk the document STARTS in
+    (GPT-style packing with wraparound; a doc may straddle its chunk
+    boundary — the tokenizer downstream handles the split).
+
+    Deterministic (pure function of the sorted id order, no rand) and
+    SQL-mirrorable: seq = floor((cumsum(tokens) - tokens) / budget)
+    over a per-group window. Output: input columns + ``<out_col>``
+    (+ ``__shard`` when sharded); sequences are unique per
+    (group..., shard, seq_id).
+
+    Scale: the window partitions by ``group_cols`` — one group would
+    serialize into one task, so at corpus scale pass ``shards`` to
+    add a derived ``pmod(<id>, shards)`` subdivision: packing then
+    parallelizes shards-wide per group at the cost of at most one
+    underfilled trailing sequence per shard (negligible against
+    millions of sequences)."""
+    parts: list = list(group_cols or [])
+    out = df
+    if shards is not None:
+        out = out.withColumn(
+            "__shard", F.pmod(F.col(id_col).cast("long"), F.lit(shards))
+        )
+        parts.append("__shard")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*parts) if parts else Window.partitionBy()
+    ).orderBy(F.col(id_col))
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return out.withColumn(
+        out_col,
+        F.floor(
+            (cum - F.col(token_col).cast("long"))
+            / F.lit(int(budget_tokens))
+        ).cast("long"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

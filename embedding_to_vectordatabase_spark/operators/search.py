@@ -490,8 +490,15 @@ def _train_ivf_centroids(
     nlist = max(1, min(nlist, len(X)))
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=nlist, replace=False)]
+    x2 = (X**2).sum(axis=1, keepdims=True)
     for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # same O(n × k) BLAS identity as _score_block — the
+        # (n × k × dim) difference tensor would be ~1.7 GB/iter at
+        # the 1024-dim contract width (argmin unaffected by the
+        # constant x2 row shift, kept only for clamped magnitudes)
+        d2 = np.maximum(
+            x2 + (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T), 0.0
+        )
         assign = d2.argmin(axis=1)
         for c in range(nlist):
             m = assign == c

@@ -31,6 +31,7 @@ def curate_corpus(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Surviving documents after the full chain, diagnostics attached.
 
@@ -40,6 +41,8 @@ def curate_corpus(
     one anti-join, no connected-components iteration (a doc that
     near-dups only a dropped doc is still dropped; acceptable for
     curation, where over-removal of near-dup chains is the safe side).
+    ``hashed=True`` moves the shingle self-join onto 64-bit hashes
+    (the production path — see ``ngram_jaccard_pairs``).
     """
     clean = clean_corpus(
         df, allowed_langs, min_quality, text_col, id_col
@@ -51,6 +54,7 @@ def curate_corpus(
         n=n,
         threshold=jaccard_threshold,
         max_doc_freq=max_doc_freq,
+        hashed=hashed,
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return clean.join(losers, id_col, "left_anti")

@@ -85,6 +85,23 @@ def test_minhash_md5_mode_matches_xxhash_pairs(corpus):
     assert (1, 2) in a and (1, 2) in b
 
 
+def test_ngram_jaccard_hashed_matches_string_form(corpus):
+    """The 64-bit-hashed inverted index (production shuffle path) must
+    produce the same pairs and scores as the string form."""
+    a = sorted(
+        map(tuple, ngram_jaccard_pairs(corpus, threshold=0.5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                corpus, threshold=0.5, hashed=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 @pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
 def test_minhash_bands_maponly_matches_groupby_form(corpus, hash_fn):
     """The row-local (streaming-safe) band computation must be

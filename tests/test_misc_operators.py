@@ -170,6 +170,7 @@ def test_harness_contract():
         "ann_topk_bucketed",
         "ann_topk_ivf",
         "ann_similarity_join_mllib",
+        "dense_topk_quantized",
         "simhash_pairs",
         "t1_chunk_recursive",
         "t2_semantic_chunks",

@@ -94,3 +94,27 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         F.col("w"),
     )
     assert {r["doc_id"] for r in clamped.collect()} == {1}
+
+
+def test_pack_sequences_greedy_chunks(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300), (4, 50), (5, 600), (6, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, budget_tokens=512).collect()
+    }
+    # concat stream offsets: 0,300,600,900,950,1550
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 3}
+    # sharded: packing is independent per shard, ids deterministic
+    sharded = pack_sequences(df, budget_tokens=512, shards=2)
+    rows = {(r["doc_id"]): (r["__shard"], r["seq_id"]) for r in sharded.collect()}
+    # shard 0: ids 2,4,6 -> offsets 0,300,350 -> seqs 0,0,0
+    # shard 1: ids 1,3,5 -> offsets 0,300,600 -> seqs 0,0,1
+    assert rows == {2: (0, 0), 4: (0, 0), 6: (0, 0),
+                    1: (1, 0), 3: (1, 0), 5: (1, 1)}
