@@ -1869,6 +1869,41 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common
 """
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup pair graph → connected components (operators/dedup.py:
+    dup_clusters): cluster_id = min doc id of the component, computed
+    by iterative min-label propagation (O(diameter) rounds, one edge
+    shuffle per round). The oracle reproduces the fixpoint with a
+    recursive transitive-closure CTE — iterative Spark vs recursive
+    SQL, same answer."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _dup_union(spark, sf_dir), n=3, threshold=0.5, max_doc_freq=None
+    )
+    return dup_clusters(pairs)
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_SQL_NGRAM_JACCARD})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, other) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.other
+)
+SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -3288,6 +3323,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    ("dup_clusters", _q_dup_clusters, _SQL_DUP_CLUSTERS),
     ("minhash_lsh_pairs", _q_minhash_lsh, _SQL_MINHASH),
     ("st_minhash_dedup", _q_st_minhash_dedup, _SQL_ST_MINHASH_DEDUP),
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),

@@ -417,6 +417,81 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc that
+    appears in a pair gets ``cluster_id`` = the minimum doc id of its
+    component — the step that turns any pair-producing dedup family
+    (Jaccard / MinHash / SimHash / embedding) into dedup GROUPS, so
+    one representative per cluster survives instead of the greedy
+    pairwise-anti-join's over-removal.
+
+    Algorithm: iterative min-label propagation to fixpoint —
+    new_label(v) = min(label(v), min over neighbors' labels); each
+    round is one shuffle on the (symmetrized) edge list plus one on
+    doc_id, and the round count is the graph diameter. Near-dup
+    components are band-bucket near-cliques, so 2-3 rounds converge
+    in practice; for adversarial long-chain graphs the known
+    refinement is alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce"), which bounds rounds at
+    O(log n) with the same join shape. Lineage is truncated with an
+    eager localCheckpoint per round — an iterative plan would
+    otherwise grow by two joins per iteration.
+
+    Output: (doc_id, cluster_id). Raises if not converged within
+    ``max_iterations`` (never silently returns partial labels).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.withColumnRenamed("dst", "doc_id")
+            .join(labels, "doc_id")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "doc_id")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id")
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iterations} rounds — "
+        "pathological chain graph; raise max_iterations or use "
+        "large-star/small-star"
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

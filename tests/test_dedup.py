@@ -85,6 +85,32 @@ def test_minhash_md5_mode_matches_xxhash_pairs(corpus):
     assert (1, 2) in a and (1, 2) in b
 
 
+def test_dup_clusters_connected_components(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    # isolated pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+    # non-convergence surfaces as an error, never partial labels
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        dup_clusters(pairs, max_iterations=1)
+
+
 def test_ngram_jaccard_hashed_matches_string_form(corpus):
     """The 64-bit-hashed inverted index (production shuffle path) must
     produce the same pairs and scores as the string form."""
