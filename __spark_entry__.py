@@ -1685,6 +1685,69 @@ FROM (
 """
 
 
+def _q_hybrid_topk_rrf(spark, sf_dir):
+    """Retrieval-level hybrid: dense exact top-k and sparse inverted
+    top-k fused by reciprocal-rank fusion (operators/search.py:
+    hybrid_topk_rrf — the RRF ranker surface of a vector store). The
+    oracle composes the two retrievers' oracle SQL verbatim and fuses
+    in SQL."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk,
+        hybrid_topk_rrf,
+        sparse_topk_inverted,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = dense_topk(emb, qd, k=5, metric="IP")
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.col("embedding")).alias("token", "weight"),
+    ).filter(F.col("weight") > 0.1)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.col("embedding")).alias("token", "weight"),
+        )
+        .filter(F.col("weight") > 0.1)
+    )
+    sparse = sparse_topk_inverted(
+        corpus, queries, k=5, max_doc_freq=100
+    ).withColumnRenamed("doc_id", "vec_id")
+    out = hybrid_topk_rrf(dense, sparse, id_col="vec_id", k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "rank",
+    )
+
+
+_SQL_HYBRID_RRF = """
+WITH dense AS (SELECT * FROM ({dense_sql})),
+sparse AS (
+  SELECT query_id, doc_id AS vec_id, rank
+  FROM ({sparse_sql})
+),
+fused AS (
+  SELECT query_id, vec_id,
+         COALESCE(1.0 / (60.0 + d.rank), 0.0)
+         + COALESCE(1.0 / (60.0 + s.rank), 0.0) AS rrf_score
+  FROM dense d FULL OUTER JOIN sparse s USING (query_id, vec_id)
+)
+SELECT query_id, vec_id, ROUND(rrf_score, 6) AS rrf_score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, vec_id) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     """Rows-only: seeded-kmeans centroids aren't SQL-reproducible;
     recall + determinism asserted in tests/test_search.py."""
@@ -3316,6 +3379,15 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("v7_dense_l2", _q_v7_dense_l2, _SQL_V7),
     ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),
+    (
+        "hybrid_topk_rrf",
+        _q_hybrid_topk_rrf,
+        # .replace, not .format — the sparse SQL's struct literal
+        # braces would break str.format
+        _SQL_HYBRID_RRF.replace("{dense_sql}", _SQL_O4_TOPK).replace(
+            "{sparse_sql}", _SQL_SPARSE_TOPK
+        ),
+    ),
     ("ann_topk_bucketed", _q_ann_topk, None),
     ("ann_topk_ivf", _q_ann_topk_ivf, None),
     ("ann_similarity_join_mllib", _q_ann_mllib_join, None),

@@ -821,6 +821,52 @@ def sparse_topk_inverted(
     )
 
 
+def hybrid_topk_rrf(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = DEFAULT_TOP_K,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the
+    retrieval-level hybrid (dense + sparse) a vector store exposes as
+    an RRF ranker (the reference's stack does weighted fusion at the
+    rerank stage, m3_server.py:41-49; RRF is the rank-based,
+    score-scale-free retrieval twin). rrf(d) = sum over rankings of
+    1/(k0 + rank_d); docs absent from one ranking contribute 0 from
+    it. Inputs are the OUTPUTS of any two top-k operators here —
+    (query_id, <id_col>, rank) — so the fusion composes with
+    dense_topk / sparse_topk_inverted / the ANN paths unchanged.
+
+    Scale shape: both inputs are already pruned to <= Q x k_retriever
+    rows, so the full-outer join and the final per-query window run
+    on vanishing row counts regardless of corpus size. Output:
+    (query_id, <id_col>, rrf_score double, rank int).
+    """
+    fa = a.select("query_id", id_col, F.col("rank").alias("__ra"))
+    fb = b.select("query_id", id_col, F.col("rank").alias("__rb"))
+    fused = fa.join(fb, ["query_id", id_col], "full_outer").select(
+        "query_id",
+        id_col,
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("__ra")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("__rb")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def explode_sparse(
     df: DataFrame, sparse_col: str, id_col: str, id_alias: str = "doc_id"
 ) -> DataFrame:

@@ -266,6 +266,33 @@ def test_sparse_topk_df_pruning_caps_hot_token(spark):
     assert all(r["score"] >= 10.0 for r in full)
 
 
+def test_hybrid_topk_rrf_fusion(spark):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        hybrid_topk_rrf,
+    )
+
+    dense = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    sparse = spark.createDataFrame(
+        [(0, 2, 1), (0, 9, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = hybrid_topk_rrf(dense, sparse, k=4, k0=60).collect()
+    got = [(r["doc_id"], r["rrf_score"], r["rank"])
+           for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 2 appears in both rankings -> 1/62 + 1/61 tops the list;
+    # docs absent from one list contribute 0 from it
+    assert got[0][0] == 2
+    assert abs(got[0][1] - (1 / 62 + 1 / 61)) < 1e-9
+    assert [g[0] for g in got] == [2, 1, 9, 3]
+    # rank-1 of a single list (1/61) beats rank-2 (1/62): 1 before 9?
+    # no — doc 1 has dense rank 1 (1/61), doc 9 sparse rank 2 (1/62)
+    assert abs(got[1][1] - 1 / 61) < 1e-9
+    assert abs(got[2][1] - 1 / 62) < 1e-9
+
+
 def test_rerank_ordering(spark):
     pairs = spark.createDataFrame(
         [(0, 10, 1.0, 1.0, 1.0), (0, 11, 0.0, 0.0, 0.0), (0, 12, 0.5, 0.5, 0.5)],
