@@ -1967,6 +1967,45 @@ SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+def _q_near_dedup_representatives(spark, sf_dir):
+    """Cluster-aware near-dedup survivors (operators/dedup.py:
+    near_dedup_representatives): one representative per connected
+    component of the jaccard pair graph — the exact-coverage form of
+    near-dup removal."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        near_dedup_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _dup_union(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.5, max_doc_freq=None
+    )
+    return near_dedup_representatives(corpus, pairs).select("doc_id")
+
+
+_SQL_NEAR_DEDUP_REPS = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_SQL_NGRAM_JACCARD})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+reach(node_id, other) AS (
+  SELECT node_id, node_id FROM nodes
+  UNION
+  SELECT r.node_id, e.dst FROM reach r JOIN edges e ON e.src = r.other
+),
+clusters AS (
+  SELECT node_id, MIN(other) AS cluster_id FROM reach GROUP BY node_id
+),
+losers AS (SELECT node_id FROM clusters WHERE node_id <> cluster_id)
+SELECT doc_id FROM ({_SQL_DUP_UNION}) corpus
+WHERE doc_id NOT IN (SELECT node_id FROM losers)
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -3396,6 +3435,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     ("dup_clusters", _q_dup_clusters, _SQL_DUP_CLUSTERS),
+    ("near_dedup_representatives", _q_near_dedup_representatives,
+     _SQL_NEAR_DEDUP_REPS),
     ("minhash_lsh_pairs", _q_minhash_lsh, _SQL_MINHASH),
     ("st_minhash_dedup", _q_st_minhash_dedup, _SQL_ST_MINHASH_DEDUP),
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),

@@ -492,6 +492,28 @@ def dup_clusters(
     )
 
 
+def near_dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Corpus rows surviving cluster-aware near-dedup: exactly ONE
+    representative (the minimum id) per connected component of the
+    pair graph survives; docs in no pair survive untouched. Unlike
+    the greedy pairwise anti-join (drop every doc_b), a chain
+    a-b-c keeps a (and only a) rather than dropping both b and c
+    against possibly-already-dropped partners — the exact-coverage
+    form. One anti-join against the non-representative id set, which
+    is at most (cluster members - clusters) rows."""
+    clusters = dup_clusters(pairs, a_col, b_col)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -644,6 +644,56 @@ def build_ivf_index(
     return nlist_eff
 
 
+def upsert_ivf_index(
+    index_path: str,
+    new_vectors: DataFrame,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> int:
+    """Incremental IVF maintenance: assign a batch of NEW vectors to
+    the EXISTING centroids and append their (corpus_id, list_id) rows
+    to the assignments store — no retraining, no re-assignment of the
+    existing corpus (the vector-store lifecycle: DDL builds the index
+    once, inserts keep it current; reference inserts at
+    milvus_connector.py:100-117 never rebuild the index).
+
+    One map-only pass over the batch + an append write; searches via
+    ``ann_topk_ivf_index`` see the new vectors immediately. Quantizer
+    drift (centroids trained before the new data) is the standard
+    IVF upsert tradeoff — recall on new clusters degrades until the
+    next ``build_ivf_index``; a production store tracks the
+    append-to-rebuild ratio. Returns the number of rows appended.
+    """
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids.parquet")
+        .orderBy("list_id")
+        .collect()
+    )
+    cent = np.array(
+        [list(r["centroid"]) for r in cent_rows], dtype=np.float64
+    )
+    cm = cent.T
+    c2 = (cent**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ cm)
+        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    n = new_vectors.count()
+    new_vectors.select(
+        F.col(corpus_id),
+        nearest_list(F.col(corpus_vec)).alias("list_id"),
+    ).write.mode("append").parquet(f"{index_path}/assignments.parquet")
+    return n
+
+
 def ann_topk_ivf_index(
     spark,
     index_path: str,

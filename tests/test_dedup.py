@@ -111,6 +111,28 @@ def test_dup_clusters_connected_components(spark):
         dup_clusters(pairs, max_iterations=1)
 
 
+def test_near_dedup_representatives_chain(spark):
+    """A chain a-b-c must keep exactly a (the greedy pairwise
+    anti-join would also work here, but cluster-aware removal keeps
+    one representative per component by construction)."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        near_dedup_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]
+        for r in near_dedup_representatives(docs, pairs).collect()
+    }
+    assert got == {1, 9}
+
+
 def test_ngram_jaccard_hashed_matches_string_form(corpus):
     """The 64-bit-hashed inverted index (production shuffle path) must
     produce the same pairs and scores as the string form."""

@@ -155,6 +155,38 @@ def test_ivf_persisted_index_matches_inline(spark, emb, queries, tmp_path_factor
     assert sorted(map(tuple, inline)) == sorted(map(tuple, indexed))
 
 
+def test_ivf_index_upsert_searches_new_vectors(spark, emb, tmp_path_factory):
+    """upsert_ivf_index appends assignments for a new batch without
+    retraining: searching the index over the unioned corpus must
+    equal a fresh full build's results when the centroids are the
+    same (upsert reuses the stored quantizer)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivf_index,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path_factory.mktemp("ivf_up") / "index")
+    build_ivf_index(base, idx, nlist=16, seed=42)
+    n_before = spark.read.parquet(f"{idx}/assignments.parquet").count()
+    appended = upsert_ivf_index(idx, batch)
+    assigns = spark.read.parquet(f"{idx}/assignments.parquet")
+    assert appended == batch.count()
+    assert assigns.count() == n_before + appended
+    # a query vector FROM the new batch must now retrieve itself
+    full = base.unionByName(batch)
+    newq = batch.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_topk_ivf_index(
+        spark, idx, full, newq, k=1, metric="COSINE", nprobe=8
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["vec_id"] == got[0]["query_id"]
+
+
 def test_sparse_topk_inverted(spark):
     corpus = spark.createDataFrame(
         [(1, {1: 1.0, 2: 2.0}), (2, {2: 5.0}), (3, {9: 4.0})],
