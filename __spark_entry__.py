@@ -1092,6 +1092,460 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+def _q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated-min subquery): the cheapest supplier
+    per part. The testdata has no partsupp table, so the part-supplier
+    relation and its supply cost are derived from lineitem:
+    unit_cost(part, supp) = MIN(l_extendedprice / l_quantity) — double
+    division, IEEE-deterministic in both engines.
+
+    Plan: one shuffle for the (partkey, suppkey) groupBy; the
+    correlated MIN becomes a window over partkey (re-uses the shuffle
+    key, no self-join); part and supplier dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w))
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        best.filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_cost",
+        )
+    )
+
+
+_SQL_TPCH_Q2 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+FROM cost c
+JOIN part ON p_partkey = c.l_partkey
+JOIN supplier ON s_suppkey = c.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size <= 15 AND p_type = 'LARGE'
+  AND c.unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                     WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
+def _q_tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by nation and order year for a part-name
+    family. No ps_supplycost in the testdata, so cost is derived as
+    10% of p_retailprice x quantity. Revenue and cost are summed as
+    exact decimals, cast to double only for the final combine (double
+    subtraction is deterministic; decimal SUM is order-insensitive).
+
+    Plan: part filter broadcast (prunes lineitem early), supplier and
+    nation broadcast; the only fact-fact shuffle is lineitem ⋈ orders
+    on orderkey, then one agg shuffle on (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+    cost = _dec2(F.col("p_retailprice")) * _dec2(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.lit(0.1) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         - 0.1 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def _q_tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value (here: summed
+    lineitem extendedprice for a nation bloc's suppliers) exceeds a
+    fixed fraction of the grand total — the global-scalar-subquery
+    pattern. Per-part value is an exact decimal SUM; the threshold
+    compare happens in double with identical operand order on both
+    engines.
+
+    Plan: supplier dim broadcast; one agg shuffle on partkey; the
+    grand total is a 1-row agg crossJoin-broadcast back (no second
+    pass over lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec2(F.col("l_extendedprice"))).alias("value_dec"))
+    )
+    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(0.0008) * F.col("total_dec").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.col("value_dec").cast("double").alias("value"),
+        )
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 13
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM val
+WHERE CAST(value_dec AS DOUBLE)
+      > 0.0008 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val)
+"""
+
+
+def _q_tpch_q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 shape: priority-class counts of late shipments. The
+    testdata lacks l_shipmode/l_commitdate/l_receiptdate, so the group
+    key is l_returnflag and 'late' means shipped more than 90 days
+    after the order date.
+
+    Plan: shipdate-window filter pushed to the lineitem scan; one
+    shuffle joining orders on orderkey; conditional-sum agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def _q_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers — the outer-join-then-double-agg
+    pattern. The order filter (priority, substituting for the comment
+    LIKE) must live in the join condition, not a WHERE, to preserve
+    the NULL rows.
+
+    Plan: orders filtered then shuffled on custkey against customer;
+    first agg re-uses the custkey partitioning; the second agg (on
+    c_count) is a tiny shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def _q_tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    tuple, excluding a supplier blacklist via NOT IN (anti-join). The
+    part-supplier relation is the distinct (l_partkey, l_suppkey)
+    projection of lineitem (no partsupp table); the blacklist
+    (s_acctbal < 1000 substituting for the comment LIKE) broadcasts.
+
+    Plan: distinct is the one big shuffle; part dim broadcast; the
+    count-distinct agg shuffles the pruned attribute tuples only."""
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("MEDIUM", "PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 15, 23, 36, 45, 49))
+    )
+    return (
+        rel.join(
+            F.broadcast(bad),
+            rel.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT IN ('MEDIUM', 'PROMO')
+  AND p_size IN (1, 4, 9, 15, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q_tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/
+    quantity conjunctions. The disjunction can't be pushed into either
+    scan whole, but each disjunct's part predicate prunes the
+    broadcast side and Catalyst extracts the common l_quantity bounds.
+
+    Plan: part broadcast; single join + filter + 1-row agg, no
+    fact-fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & qty.between(20, 40)
+        )
+    )
+    rev = _dec2(F.col("l_extendedprice")) * _dec2(1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def _q_tpch_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part
+    family's flow — the nested-IN pattern. No ps_availqty, so a
+    supplier qualifies when its shipped quantity of some 'small%' part
+    exceeds 2.5x the mean per-supplier share of that part. Quantities
+    are summed as exact decimals; the share compare is double with
+    identical operand order ((qty*2)*n > total*5, all exact inputs).
+
+    Plan: part filter broadcast; one agg shuffle on (partkey,
+    suppkey); per-part totals via a window re-using the partkey
+    prefix; the qualifying-supplier set then broadcast-joins the
+    supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supplied = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).alias("qty_dec"))
+    )
+    w = Window.partitionBy("l_partkey")
+    share = (
+        supplied.withColumn(
+            "total_dec", F.sum("qty_dec").over(w)
+        ).withColumn("n_supp", F.count("*").over(w))
+    )
+    excess = (
+        share.filter(
+            (F.col("qty_dec").cast("double") * F.lit(2.0))
+            * F.col("n_supp")
+            > F.col("total_dec").cast("double") * F.lit(5.0)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return excess.join(
+        F.broadcast(supp), excess.l_suppkey == supp.s_suppkey
+    ).select("s_name", "s_acctbal")
+
+
+_SQL_TPCH_Q20 = """
+WITH supplied AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey),
+share AS (
+  SELECT l_suppkey, qty_dec,
+         SUM(qty_dec) OVER (PARTITION BY l_partkey) AS total_dec,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM supplied)
+SELECT s_name, s_acctbal
+FROM (SELECT DISTINCT l_suppkey FROM share
+      WHERE (CAST(qty_dec AS DOUBLE) * 2.0) * n_supp
+            > CAST(total_dec AS DOUBLE) * 5.0)
+JOIN supplier ON s_suppkey = l_suppkey
+"""
+
+
+def _q_tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    finished multi-supplier order. No l_commitdate/l_receiptdate, so
+    'late' means shipped more than 60 days after the order date. The
+    EXISTS / NOT EXISTS pair is rewritten as per-order distinct
+    counts: another supplier exists iff n_supp >= 2, and no OTHER
+    supplier is late iff the distinct late-supplier count is exactly 1
+    (this line's own supplier) — same semantics, one aggregate instead
+    of two lineitem self-joins.
+
+    Plan: one shuffle joining lineitem to F-status orders on orderkey;
+    the per-order agg and the agg-back join both re-use the orderkey
+    partitioning; supplier dim broadcast; final top-k is
+    TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("agg_okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 def _q_o1_sorted_registry(spark, sf_dir):
     return (
         _t(spark, sf_dir, "supplier")
@@ -3398,6 +3852,20 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q22_dormant_customers", _q_tpch_q22_dormant_customers, _SQL_TPCH_Q22),
     ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
     ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),
+    ("tpch_q2_min_cost_supplier", _q_tpch_q2_min_cost_supplier,
+     _SQL_TPCH_Q2),
+    ("tpch_q9_product_profit", _q_tpch_q9_product_profit, _SQL_TPCH_Q9),
+    ("tpch_q11_important_parts", _q_tpch_q11_important_parts,
+     _SQL_TPCH_Q11),
+    ("tpch_q12_late_lines", _q_tpch_q12_late_lines, _SQL_TPCH_Q12),
+    ("tpch_q13_custdist", _q_tpch_q13_custdist, _SQL_TPCH_Q13),
+    ("tpch_q16_supplier_cnt", _q_tpch_q16_supplier_cnt, _SQL_TPCH_Q16),
+    ("tpch_q19_disjunctive_revenue", _q_tpch_q19_disjunctive_revenue,
+     _SQL_TPCH_Q19),
+    ("tpch_q20_excess_suppliers", _q_tpch_q20_excess_suppliers,
+     _SQL_TPCH_Q20),
+    ("tpch_q21_waiting_suppliers", _q_tpch_q21_waiting_suppliers,
+     _SQL_TPCH_Q21),
     ("o1_sorted_registry", _q_o1_sorted_registry, _SQL_O1),
     ("o2_point_lookup", _q_o2_point_lookup, _SQL_O2),
     ("a1_file_stats", _q_a1_file_stats, _SQL_A1),
