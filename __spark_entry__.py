@@ -3344,6 +3344,125 @@ SELECT token, n_occurrences FROM (
 """
 
 
+_BM25_QUERY_TERMS = [
+    ("q1", "spark"),
+    ("q1", "stream"),
+    ("q1", "batch"),
+    ("q2", "join"),
+    ("q2", "hash"),
+    ("q2", "sort"),
+]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Classical BM25 lexical retrieval over the documents table —
+    exact corpus statistics (tf/df/doclen), Lucene idf, top-10 per
+    query with deterministic tie-break (operators/search.py:bm25_topk;
+    per-term scores rounded to 6dp and summed as DECIMAL(18,6) so the
+    cross-term sum is engine-exact)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, token string"
+    )
+    return bm25_topk(docs, qt, k=10)
+
+
+_SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           s -> s <> '')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+doclen AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+scal AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen),
+qt(query_id, token) AS (
+  VALUES ('q1','spark'),('q1','stream'),('q1','batch'),
+         ('q2','join'),('q2','hash'),('q2','sort')),
+tfq AS (
+  SELECT query_id, tf.doc_id, tf.token, tf.tf FROM tf JOIN qt USING (token)),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfq GROUP BY token),
+term AS (
+  SELECT query_id, tfq.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * CAST(tf AS DOUBLE) * 2.2
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+           6) AS DECIMAL(18,6)) AS ts
+  FROM tfq
+  JOIN dfreq USING (token)
+  JOIN doclen ON doclen.doc_id = tfq.doc_id
+  CROSS JOIN scal)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id,
+         CAST(SUM(ts) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(SUM(ts) AS DOUBLE) DESC, doc_id) AS rank
+  FROM term GROUP BY query_id, doc_id)
+WHERE rank <= 10
+"""
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Within-corpus exact span dedup (paragraph-dedup under
+    deterministic 10-word segmentation): first occurrence of each
+    repeated span survives, docs are rebuilt from their surviving
+    spans (operators/dedup.py:dedup_spans)."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    return dedup_spans(
+        _t(spark, sf_dir, "documents"), span_words=10
+    )
+
+
+_SQL_DEDUP_SPANS = """
+WITH parts AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           s -> s <> '') AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM parts)),
+spans AS (
+  SELECT doc_id, CAST(FLOOR(pos / 10) AS BIGINT) AS seg,
+         string_agg(word, ' ' ORDER BY pos) AS span
+  FROM words GROUP BY doc_id, CAST(FLOOR(pos / 10) AS BIGINT)),
+kept AS (
+  SELECT doc_id, seg, span
+  FROM (SELECT doc_id, seg, span,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(span) ORDER BY doc_id, seg) AS rn
+        FROM spans)
+  WHERE rn = 1)
+SELECT s.doc_id, s.n_spans,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.text_dedup, '') AS text_dedup
+FROM (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id) s
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+                  string_agg(span, ' ' ORDER BY seg) AS text_dedup
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 def _q_v_normalize(spark, sf_dir):
     """Unit-L2 normalization of the embedding column (the pre-step
     for cosine == dot-product search at scale); elements rounded to
@@ -3900,6 +4019,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ann_similarity_join_mllib", _q_ann_mllib_join, None),
     ("dense_topk_quantized", _q_dense_topk_quantized, None),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
+    ("dedup_spans", _q_dedup_spans, _SQL_DEDUP_SPANS),
+    ("bm25_topk", _q_bm25_topk, _SQL_BM25_TOPK),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     ("dup_clusters", _q_dup_clusters, _SQL_DUP_CLUSTERS),

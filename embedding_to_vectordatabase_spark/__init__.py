@@ -44,6 +44,7 @@ from .operators.chunking import (  # noqa: E402,F401
 )
 from .operators.dedup import (  # noqa: E402,F401
     dedup_exact,
+    dedup_spans,
     embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -59,6 +60,7 @@ from .operators.labeling import label_documents  # noqa: E402,F401
 from .operators.search import (  # noqa: E402,F401
     ann_topk_bucketed,
     ann_topk_ivf,
+    bm25_topk,
     dense_topk,
     rerank,
     sparse_topk_inverted,

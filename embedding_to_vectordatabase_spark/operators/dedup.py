@@ -96,6 +96,86 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    span_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact span dedup: the paragraph-dedup plan (keep
+    the FIRST occurrence of each repeated paragraph, drop the rest
+    in-place, keep the documents) applied under deterministic
+    segmentation — this corpus has no paragraph breaks, so a span is
+    ``span_words`` consecutive lowercase whitespace tokens. Complements
+    ``dedup_exact`` (whole-doc) and the near-dup families (whole-doc
+    similarity): repeated boilerplate INSIDE otherwise-unique docs is
+    what this removes from a training corpus.
+
+    First occurrence = min (doc_id, seg) over each span's md5; the
+    surviving spans are re-joined in segment order into
+    ``text_dedup``. Docs whose every span was first seen elsewhere
+    survive with ``n_kept = 0`` and empty text; docs with no tokens
+    produce no row.
+
+    Scale shape: posexplode -> one agg shuffle on (doc, seg) builds
+    spans; first-occurrence is a window over md5(span) (same plan as
+    ``dedup_exact`` — partial-agg on the hash, a pathological
+    million-fold span is one task's window, bounded by the span
+    count, not the corpus); reassembly is one agg shuffle on doc_id.
+    Output: (doc_id, n_spans, n_kept, text_dedup).
+    """
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+                    r"\s+",
+                ),
+                lambda s: s != "",
+            )
+        ).alias("pos", "word"),
+    )
+    spans = words.groupBy(
+        "doc_id",
+        F.floor(F.col("pos") / F.lit(span_words)).alias("seg"),
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("span")
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy("doc_id", "seg")
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_dedup"),
+    )
+    return per_doc.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def word_ngrams(text, n: int = 3):
     """array<string> of word n-gram shingles (native exprs)."""
     words = F.split(normalize_text(text), " ")

@@ -917,6 +917,105 @@ def hybrid_topk_rrf(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Classical BM25 lexical top-k over a raw text column — the
+    exact-statistics counterpart of the reference's learned sparse
+    retrieval (BGE-M3 sparse weights feed the same inverted-index/IP
+    plan, vector_database/milvus_connector.py:71-74; BM25 replaces the
+    model weights with corpus term statistics, so it needs no serving
+    boundary and is the standard lexical leg of a hybrid stack).
+
+    score(q, d) = sum over query terms t of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d / avgdl))
+    with the Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    positive).
+
+    ``query_terms`` is a (query_id, token) table; tokenization is
+    lowercase whitespace splitting, matching the corpus-wide token
+    ops (textanalysis/topn). Determinism across engines: each
+    per-term score is rounded to 6dp and cast DECIMAL(18,6) BEFORE
+    the per-document sum, so the sum is exact decimal arithmetic —
+    order-insensitive and bit-identical in any engine — and only the
+    final total is cast back to double. (A raw double sum would be
+    summation-order-dependent; ln() ulp noise is absorbed by the 6dp
+    round.)
+
+    Scale shape: one shuffle builds tf on (doc, token); doc lengths
+    reuse that output (groupBy doc). The query-term table broadcasts
+    and prunes tf to query tokens only before df/idf are computed, so
+    corpus-wide postings for non-query tokens never move. N and avgdl
+    are two scalars crossJoin-broadcast back. ``max_doc_freq``
+    optionally df-prunes hot query tokens (same policy as
+    ``sparse_topk_inverted``); stop-term postings are otherwise
+    bounded by the query vocabulary, not the corpus one.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    qt = F.broadcast(query_terms.select("query_id", "token"))
+    tf_q = tf.join(qt, "token")
+    dfreq = tf_q.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    term = (
+        tf_q.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scal))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = F.round(
+        idf * tf_d * F.lit(k1 + 1.0) / (tf_d + norm), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        term.select("query_id", "doc_id", term_score.alias("__ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__ts").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def explode_sparse(
     df: DataFrame, sparse_col: str, id_col: str, id_alias: str = "doc_id"
 ) -> DataFrame:

@@ -295,3 +295,51 @@ def test_embedding_near_dup_blocked(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}  # cross-block pair (1,4) invisible by design
+
+
+# --------------------------------------------------------- span dedup
+
+
+def _span(prefix, n=10):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    a, b, c = _span("a"), _span("b"), _span("c")
+    rows = [
+        (1, f"{a} {b}"),        # both spans novel
+        (2, f"{a} {c}"),        # span a already seen in doc 1
+        (3, f"{a} {b}"),        # fully duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in dedup_spans(df, span_words=10).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == f"{a} {b}"
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"] == c
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+
+
+def test_dedup_spans_partial_tail_and_case(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    a = _span("a")
+    tail = "x1 x2 x3"
+    rows = [
+        (1, f"{a} {tail}"),          # 13 words -> spans of 10 and 3
+        (2, f"  {a.upper()}  "),     # case/space-normalizes to span a
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in dedup_spans(df, span_words=10).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"].endswith(tail)
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 0

@@ -366,3 +366,68 @@ def test_point_query_expr_superset(spark, sf_dir):
     chunks = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = point_query(chunks, "doc_id == 42", ["doc_id", "source"]).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 42
+
+
+# --------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "spark shuffle join engine"),
+        (2, "spark spark shuffle plan"),    # higher tf for 'spark'
+        (3, "postgres btree index scan"),   # no query terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [("q", "spark")], "query_id string, token string"
+    )
+    out = bm25_topk(docs, qt, k=10).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    # doc 3 never scores; doc 2's double tf beats doc 1 at equal length
+    assert set(r["doc_id"] for r in out) == {1, 2}
+    assert by_rank[1] == 2
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_idf_prefers_rarer_term(spark):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    # 'common' appears in every doc, 'rare' in one: at equal tf and
+    # doc length a rare-term match must score above a common-term match
+    rows = [
+        (1, "common rare alpha beta"),
+        (2, "common gamma delta epsilon"),
+        (3, "common zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [("q_rare", "rare"), ("q_common", "common")],
+        "query_id string, token string",
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs, qt).collect()
+    }
+    assert out[("q_rare", 1)] > out[("q_common", 2)]
+
+
+def test_bm25_max_doc_freq_prunes(spark):
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    rows = [(i, "stop unique%d" % i) for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [("q", "stop"), ("q", "unique3")],
+        "query_id string, token string",
+    )
+    out = bm25_topk(docs, qt, max_doc_freq=3).collect()
+    # 'stop' (df=5) pruned: only the unique3 doc scores
+    assert [r["doc_id"] for r in out] == [3]
