@@ -3463,6 +3463,55 @@ LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
 """
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exactly 3 docs per source, chosen by the deterministic
+    (seed, id) hash order — eval-set construction with exact per-
+    stratum counts (operators/sampling.py:stratified_sample)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, ["source"], 3)
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id) AS rk
+  FROM documents WHERE doc_id IS NOT NULL)
+WHERE rk <= 3
+"""
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """Top 3 documents per source by n_chars (deterministic doc_id
+    tiebreak) — the 'best N per domain' curation primitive
+    (operators/sampling.py:topk_per_group)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        topk_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return topk_per_group(d, ["source"], "n_chars", 3)
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
 def _q_v_normalize(spark, sf_dir):
     """Unit-L2 normalization of the embedding column (the pre-step
     for cosine == dot-product search at scale); elements rounded to
@@ -4040,6 +4089,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
     ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
+    ("stratified_sample", _q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
     ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),

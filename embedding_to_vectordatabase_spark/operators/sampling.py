@@ -12,7 +12,7 @@ no shuffle, no state, embarrassingly parallel at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SPLITS: list[tuple[str, float]] = [
@@ -183,3 +183,63 @@ def weighted_sample(
     )
     b = _bucket(id_col, seed)
     return df.filter(F.when(p >= 1.0, F.lit(True)).otherwise(b < thr))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group by a score column, deterministic tiebreak
+    on ``id_col`` — the curation primitive behind "best N documents
+    per source/domain/language" selection. Adds a ``rk`` column
+    (1-based rank within the group).
+
+    Scale shape: one shuffle on the group key; within each group the
+    window is rank-and-filter (partial top-k does not apply to
+    per-group limits, but group sizes — docs per source — are
+    bounded by the grouping's own cardinality, and the filter prunes
+    to k x n_groups rows immediately). Skewed groups: a single giant
+    group serializes its own window; salt upstream if one group is
+    the whole corpus.
+    """
+    direction = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(direction, F.asc(id_col))
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per group, chosen by the
+    deterministic (seed, id) hash order — the eval-set construction
+    op ("300 held-out docs per language") where the fractional
+    ``deterministic_split`` cannot guarantee exact counts on small
+    strata. Pure function of (seed, id): stable across engines,
+    retries, and row order; never rand().
+
+    Mechanism: rank within group by (md5 bucket, id) and keep rank
+    <= n — i.e. ``topk_per_group`` ordered by the hash. Same one-
+    shuffle-on-group-key shape; the hash order is uniform so the
+    sample is unbiased within each stratum. NULL ids sort after all
+    real buckets (NULLS LAST in both engines' default ASC order is
+    NOT portable — so NULL ids are dropped, documented like
+    ``weighted_sample``)."""
+    b = _bucket(id_col, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.asc(b), F.asc(F.col(id_col))
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_group)
+    )

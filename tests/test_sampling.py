@@ -118,3 +118,53 @@ def test_pack_sequences_greedy_chunks(spark):
     # shard 1: ids 1,3,5 -> offsets 0,300,600 -> seqs 0,0,1
     assert rows == {2: (0, 0), 4: (0, 0), 6: (0, 0),
                     1: (1, 0), 3: (1, 0), 5: (1, 1)}
+
+
+def test_topk_per_group_rank_and_tiebreak(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        topk_per_group,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5),
+        (5, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = topk_per_group(df, ["source"], "score", 2).collect()
+    got = {(r["source"], r["rk"]): r["doc_id"] for r in out}
+    # score desc, doc_id asc on the 30/30 tie
+    assert got[("a", 1)] == 2 and got[("a", 2)] == 3
+    assert got[("b", 1)] == 5 and len(out) == 3
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)] + [(None, "s0")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = stratified_sample(df, ["source"], 5).collect()
+    b = stratified_sample(df, ["source"], 5).collect()
+    from collections import Counter
+
+    counts = Counter(r["source"] for r in a)
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    assert sorted((r["source"], r["doc_id"]) for r in a) == sorted(
+        (r["source"], r["doc_id"]) for r in b
+    )  # pure function of (seed, id)
+    assert all(r["doc_id"] is not None for r in a)
+    # different seed -> (almost surely) different pick somewhere
+    c = stratified_sample(df, ["source"], 5, seed=7).collect()
+    assert sorted(r["doc_id"] for r in a) != sorted(r["doc_id"] for r in c)
+
+
+def test_stratified_sample_small_stratum(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
+    )
+    assert stratified_sample(df, ["source"], 5).count() == 2
