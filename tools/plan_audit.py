@@ -89,6 +89,37 @@ CHECKS = {
         ("band-bucket window, no cartesian",
          lambda s: "CartesianProduct" not in s),
     ],
+    # round-6 additions (this session)
+    "bm25_topk": [
+        # the query-term prune and the df/scalar joins must all stay
+        # broadcast — a sort-merge here means corpus postings shuffle
+        ("query-term prune + stats joins broadcast",
+         lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
+        ("no cartesian beyond the 2-scalar crossJoin",
+         lambda s: "CartesianProduct" not in s),
+    ],
+    "dedup_spans": [
+        ("first-occurrence window not single-partition",
+         lambda s: "SinglePartition" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
+    "tpch_q9_product_profit": [
+        ("dims broadcast; only fact-fact shuffle is orders join",
+         lambda s: s.count("BroadcastHashJoin") >= 3),
+        ("part name filter pushed",
+         lambda s: "StringContains(p_name,widget)" in s),
+    ],
+    "tpch_q21_waiting_suppliers": [
+        ("exists/not-exists as aggregates, no nested-loop join",
+         lambda s: "BroadcastNestedLoopJoin" not in s
+         and "CartesianProduct" not in s),
+        ("final top-k is TakeOrderedAndProject",
+         lambda s: "TakeOrderedAndProject" in s),
+    ],
+    "stratified_sample": [
+        ("group window not single-partition",
+         lambda s: "SinglePartition" not in s),
+    ],
 }
 
 
