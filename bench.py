@@ -999,6 +999,63 @@ def main() -> None:
     finally:
         shutil.rmtree(SCRATCH, ignore_errors=True)
 
+    # round-6 operator throughput (ADVISORY, last so the deadline can
+    # only ever drop THIS section): BM25 retrieval and span dedup over
+    # the same 100k-doc amplified corpus on both engines — the
+    # session's new operators timed in the throughput regime, not just
+    # oracle-verified at tiny SFs. Replication is verbatim (the "many
+    # crawls of the same page" shape), so span dedup shows its real
+    # collapse behavior.
+    round6_ops: dict[str, object] = {}
+    try:
+        if time_left() < 60:
+            raise TimeoutError("bench deadline - skipping round6 ops")
+        os.makedirs(SCRATCH, exist_ok=True)
+        docs_dir = os.path.join(SCRATCH, "r6docs")
+        base_docs = entry._t(spark, sf_dir, "documents")
+        n_base = base_docs.count()
+        amp_times = max(1, round(100_000 / max(n_base, 1)))
+        progress(f"round6 ops fixture ({n_base} docs x {amp_times})")
+        (
+            amplify(base_docs, amp_times, "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(docs_dir, "documents.parquet"))
+        )
+        n_docs = spark.read.parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        ).count()
+        doc_paths = {
+            "documents": os.path.join(
+                docs_dir, "documents.parquet", "*.parquet"
+            )
+        }
+        for qname in ("bm25_topk", "dedup_spans"):
+            if time_left() < 30:
+                progress("bench deadline - stopping round6 ops")
+                break
+            progress(f"round6 ops {qname} ({n_docs} docs)")
+            mk = lambda: qs[qname](spark, docs_dir)  # noqa: B023,E731
+            materialize(mk())  # warmup
+            t0 = time.time()
+            materialize(mk())
+            spark_sec = round(time.time() - t0, 3)
+            duck_sec, capped = duck_timed(
+                oracles[qname], doc_paths, cap=60.0
+            )
+            round6_ops[f"{qname}_{n_docs // 1000}k_docs"] = {
+                "spark_sec": spark_sec,
+                "duckdb_sec": duck_sec,
+                "duckdb_hit_cap": capped,
+                "spark_speedup_over_duckdb": round(
+                    duck_sec / max(spark_sec, 1e-9), 2
+                ),
+                "docs_per_s": round(n_docs / max(spark_sec, 1e-9), 1),
+            }
+    except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
+        progress(f"round6 ops skipped: {e!r}")
+    finally:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+
     # headline scale scalar: Spark/DuckDB total over the SAME-data
     # amplified set — the throughput regime the engine targets (the
     # per-query sf ratio above is dominated by Spark's fixed per-query
@@ -1045,6 +1102,7 @@ def main() -> None:
                 "floor_amortization": floor_amortization,
                 "layout_skipping_band_scan": layout_skipping,
                 "ann_recall": ann_recall,
+                "round6_ops": round6_ops,
                 "notes": BENCH_NOTES,
             }
         )
@@ -1073,6 +1131,10 @@ def main() -> None:
                 },
                 "ann_recall_at_5": ann_recall.get("recall_at_5"),
                 "ann_dim": ann_recall.get("dim"),
+                "round6_ops_speedups": {
+                    k: v.get("spark_speedup_over_duckdb")
+                    for k, v in round6_ops.items()
+                },
                 "quantized_scan": {
                     "recall_at_5_vs_exact": scale_amplified.get(
                         "dense_topk_quantized_500k", {}

@@ -949,33 +949,43 @@ def bm25_topk(
     summation-order-dependent; ln() ulp noise is absorbed by the 6dp
     round.)
 
-    Scale shape: one shuffle builds tf on (doc, token); doc lengths
-    reuse that output (groupBy doc). The query-term table broadcasts
-    and prunes tf to query tokens only before df/idf are computed, so
-    corpus-wide postings for non-query tokens never move. N and avgdl
-    are two scalars crossJoin-broadcast back. ``max_doc_freq``
-    optionally df-prunes hot query tokens (same policy as
+    Scale shape: the corpus-wide (doc, token) tf relation is NEVER
+    materialized. Doc length is a map-only ``size(split(...))`` over
+    the raw text (no shuffle), so N and avgdl cost one scan + a 1-row
+    agg. The exploded token stream broadcast-joins the query terms
+    BEFORE any aggregation — non-query tokens are dropped map-side and
+    never shuffle — and only the pruned (query-token) postings are
+    aggregated into tf/df. Total: two map-only corpus scans + shuffles
+    over query-token postings only. ``max_doc_freq`` optionally
+    df-prunes hot query tokens (same policy as
     ``sparse_topk_inverted``); stop-term postings are otherwise
     bounded by the query vocabulary, not the corpus one.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(
-                F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
-            )
-        ).alias("token"),
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    words = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
+        ),
+        lambda s: s != "",
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(words).alias("dl")
+    ).filter(F.col("dl") > 0)
     scal = doclen.agg(
         F.count("*").alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count("*")
         ).alias("avgdl"),
     )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words).alias("token"),
+    )
     qt = F.broadcast(query_terms.select("query_id", "token"))
-    tf_q = tf.join(qt, "token")
+    tf_q = (
+        toks.join(qt, "token")
+        .groupBy("query_id", "doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
     dfreq = tf_q.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
