@@ -1672,6 +1672,94 @@ def _q_events_type_counts(spark, sf_dir):
     )
 
 
+def _q_user_set_ops(spark, sf_dir):
+    """Set-operator surface (INTERSECT / EXCEPT as Spark's native
+    intersect/subtract): purchasing viewers vs view-only users,
+    tagged and unioned. Both set ops are distinct-semantics
+    (hash-aggregate + co-partitioned join under the hood — no
+    sort-merge needed on the deduped key stream)."""
+    ev = _events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    both = viewers.intersect(buyers).select(
+        "user_id", F.lit("view_and_purchase").alias("relation")
+    )
+    only = viewers.subtract(buyers).select(
+        "user_id", F.lit("view_only").alias("relation")
+    )
+    return both.unionByName(only)
+
+
+_SQL_USER_SET_OPS = """
+SELECT user_id, 'view_and_purchase' AS relation FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'view_only' AS relation FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_event_counts(spark, sf_dir):
+    """PIVOT surface: per-user event counts widened to one column per
+    event type via Spark's groupBy().pivot() with an EXPLICIT value
+    list (no extra distinct-values job at scale; one agg shuffle —
+    the same plan as conditional aggregation, which is what the
+    oracle spells)."""
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def _q_unpivot_event_counts(spark, sf_dir):
+    """UNPIVOT surface: melt the pivoted per-user counts back to
+    (user_id, event_type, n) via stack() — map-only over the pivoted
+    agg, zero rows where the count is zero (round-trip inverse of
+    the pivot up to absent combinations)."""
+    p = _q_pivot_event_counts(spark, sf_dir)
+    pairs = ", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES)
+    return p.selectExpr(
+        "user_id",
+        f"stack({len(_EVENT_TYPES)}, {pairs}) AS (event_type, n)",
+    ).filter(F.col("n") > 0)
+
+
+_SQL_UNPIVOT_EVENTS = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
 _SQL_EVENTS_TYPE_COUNTS = """
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -4041,6 +4129,10 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("a3_load_metrics", _q_a3_load_metrics, _SQL_A3),
     ("a4_breakpoint_stats", _q_a4_breakpoint_stats, _SQL_A4),
     ("events_type_counts", _q_events_type_counts, _SQL_EVENTS_TYPE_COUNTS),
+    ("user_set_ops", _q_user_set_ops, _SQL_USER_SET_OPS),
+    ("pivot_event_counts", _q_pivot_event_counts, _SQL_PIVOT_EVENTS),
+    ("unpivot_event_counts", _q_unpivot_event_counts,
+     _SQL_UNPIVOT_EVENTS),
     ("st_windowed_event_counts", _q_windowed_event_counts, _SQL_WINDOWED),
     ("st_windowed_sliding", _q_windowed_sliding, _SQL_WINDOWED_SLIDING),
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),

@@ -343,3 +343,48 @@ def test_dedup_spans_partial_tail_and_case(spark):
     assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
     assert out[1]["text_dedup"].endswith(tail)
     assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 0
+
+
+def test_dedup_spans_global_uniqueness_invariant(spark):
+    """On a seeded corpus with heavy span repetition: every surviving
+    span occurs exactly once across the whole output, and the count
+    columns reconcile with the distinct-span inventory."""
+    import random
+
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    pool = [
+        " ".join(rng.choice(vocab) for _ in range(10)) for _ in range(8)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(pool) for _ in range(rng.randint(1, 5))))
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_spans(df, span_words=10).collect()
+
+    all_spans = []
+    for r in out:
+        if r["text_dedup"]:
+            words = r["text_dedup"].split(" ")
+            all_spans += [
+                " ".join(words[i : i + 10])
+                for i in range(0, len(words), 10)
+            ]
+    assert len(all_spans) == len(set(all_spans))  # global uniqueness
+
+    distinct_input_spans = set()
+    for _, text in rows:
+        w = text.split(" ")
+        distinct_input_spans |= {
+            " ".join(w[i : i + 10]) for i in range(0, len(w), 10)
+        }
+    assert set(all_spans) == distinct_input_spans
+    assert sum(r["n_kept"] for r in out) == len(distinct_input_spans)
+    assert sum(r["n_spans"] for r in out) == sum(
+        (len(t.split(" ")) + 9) // 10 for _, t in rows
+    )
