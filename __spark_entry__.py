@@ -1206,15 +1206,17 @@ GROUP BY n_name, year(o_orderdate)
 
 def _q_tpch_q11_important_parts(spark, sf_dir):
     """TPC-H Q11 shape: parts whose inventory value (here: summed
-    lineitem extendedprice for a nation bloc's suppliers) exceeds a
-    fixed fraction of the grand total — the global-scalar-subquery
-    pattern. Per-part value is an exact decimal SUM; the threshold
-    compare happens in double with identical operand order on both
-    engines.
+    lineitem extendedprice for a nation bloc's suppliers) exceeds
+    1.5x the mean per-part value — the global-scalar-subquery
+    pattern. (Q11's fixed fraction 0.0001/SF is SF-relative by
+    definition; a mean-share multiple keeps the filter selective AND
+    non-empty at every testdata SF.) Per-part value is an exact
+    decimal SUM; the threshold compare happens in double with
+    identical operand order on both engines.
 
     Plan: supplier dim broadcast; one agg shuffle on partkey; the
-    grand total is a 1-row agg crossJoin-broadcast back (no second
-    pass over lineitem)."""
+    grand total and part count are one 1-row agg crossJoin-broadcast
+    back (no second pass over lineitem)."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     val = (
@@ -1222,12 +1224,15 @@ def _q_tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_dec2(F.col("l_extendedprice"))).alias("value_dec"))
     )
-    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    total = val.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         val.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value_dec").cast("double")
-            > F.lit(0.0008) * F.col("total_dec").cast("double")
+            F.col("value_dec").cast("double") * F.col("n_parts")
+            > F.lit(1.5) * F.col("total_dec").cast("double")
         )
         .select(
             "l_partkey",
@@ -1244,8 +1249,8 @@ WITH val AS (
   GROUP BY l_partkey)
 SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
 FROM val
-WHERE CAST(value_dec AS DOUBLE)
-      > 0.0008 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val)
+WHERE CAST(value_dec AS DOUBLE) * (SELECT COUNT(*) FROM val)
+      > 1.5 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val)
 """
 
 
