@@ -3556,6 +3556,62 @@ LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
 """
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/joins.py:snapshot_diff): the
+    'new' snapshot is a deterministic md5-bucketed mutation of the
+    documents table — first hex of md5('snap:'||id) < '2' dropped
+    (-> removed), in ['2','4') text-appended (-> changed), >= 'e'
+    re-added under a shifted id (-> added) — so both engines derive
+    the same snapshot pair and the diff is exactly reproducible."""
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.substring(
+        F.md5(F.concat(F.lit("snap:"), F.col("doc_id").cast("string"))),
+        1,
+        1,
+    )
+    tagged = docs.withColumn("__h", h)
+    mutated = tagged.filter(F.col("__h") >= "2").select(
+        "doc_id",
+        F.when(
+            F.col("__h") < "4", F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = tagged.filter(F.col("__h") >= "e").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    return snapshot_diff(docs, mutated.unionByName(added))
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         substring(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents),
+new_snap AS (
+  SELECT doc_id,
+         CASE WHEN h < '4' THEN text || ' v2' ELSE text END AS text
+  FROM tagged WHERE h >= '2'
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM tagged WHERE h >= 'e'),
+o AS (SELECT doc_id, md5(coalesce(text, '')) AS h_old FROM documents),
+n AS (SELECT doc_id, md5(coalesce(text, '')) AS h_new FROM new_snap)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.h_old IS NULL THEN 'added'
+           WHEN n.h_new IS NULL THEN 'removed'
+           WHEN o.h_old <> n.h_new THEN 'changed' END IS NOT NULL
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exactly 3 docs per source, chosen by the deterministic
     (seed, id) hash order — eval-set construction with exact per-
@@ -4188,6 +4244,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
     ("stratified_sample", _q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
+    ("snapshot_diff", _q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),

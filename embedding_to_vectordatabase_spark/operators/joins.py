@@ -230,3 +230,44 @@ def range_join(
         .filter((rts >= lp + F.lit(lo_us)) & (rts <= lp + F.lit(hi_us)))
         .drop("__b")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots — the data-versioning
+    primitive behind incremental re-ingestion: re-embed only what
+    changed, delete what disappeared (the reference re-reads and
+    re-embeds the full corpus per run, embed_to_milvus.py:60-150; a
+    diff turns that into an incremental plan).
+
+    Output: (doc_id, change) with change in 'added' / 'removed' /
+    'changed'. Unchanged docs are dropped — at 100 TB the overwhelming
+    majority, so the result is small by construction.
+
+    Scale shape: each side reduces map-side to (id, md5(text)) — text
+    itself never shuffles — then one full-outer equi-join on id.
+    NULL text hashes as md5('') (a present-but-empty doc is distinct
+    from an absent row, which carries a NULL hash after the outer
+    join).
+    """
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(alias),
+        )
+
+    j = hashed(old, "__h_old").join(
+        hashed(new, "__h_new"), "doc_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return j.select("doc_id", change.alias("change")).filter(
+        F.col("change").isNotNull()
+    )

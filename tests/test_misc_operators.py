@@ -435,3 +435,36 @@ def test_repetition_score_bounds_and_boilerplate(spark):
     assert got[1] > 0.9          # boilerplate: nearly all grams repeat
     assert got[2] == 0.0         # fully distinct
     assert got[3] == 0.0
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, None), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # 1 unchanged (absent), 4 NULL==NULL unchanged (absent)
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_absent(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # NULL text hashes like '' (present-but-empty == present-NULL);
+    # doc 2 is genuinely new
+    assert out == {2: "added"}
