@@ -162,3 +162,57 @@ def ingest_with_quarantine(
         unmatched,
         chunks.filter(pred),
     )
+
+
+def ingest_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    registry: DataFrame,
+    id_col: str = "doc_id",
+    config: IngestConfig | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Snapshot-diff-driven incremental ingest: chunk + embed ONLY the
+    docs that are new or whose (title, content) changed, and report
+    what to delete. The reference re-reads and re-embeds the whole
+    corpus every run (embed_to_milvus.py:60-150); at 100 TB the
+    embedding boundary is the cost center, so re-embedding the ~0.1%
+    that changed instead of everything is the difference between an
+    hourly and a quarterly refresh.
+
+    Returns (chunks, unmatched, deletions): ``chunks`` is the standard
+    ingest output restricted to added/changed docs; ``deletions`` is
+    (<id_col>, change) for removed AND changed docs — delete their old
+    chunks from the store (``delete_where``/``merge_upsert``) before
+    loading the new ones, making the pair idempotent.
+
+    Scale shape: the diff reduces both snapshots map-side to
+    (id, md5(title+content)) — one full-outer join on id; the
+    to-ingest set then left-semi joins ``new_docs`` on id, and the
+    expensive chunk/embed plan runs only on that small side.
+    """
+    from ..operators.joins import snapshot_diff
+
+    snap_key = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("title"), F.lit("")),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+    diff = snapshot_diff(
+        old_docs.select(F.col(id_col), snap_key.alias("__snap")),
+        new_docs.select(F.col(id_col), snap_key.alias("__snap")),
+        id_col=id_col,
+        text_col="__snap",
+    ).withColumnRenamed("doc_id", "__diff_id")
+    to_ingest_ids = diff.filter(
+        F.col("change").isin("added", "changed")
+    ).select("__diff_id")
+    to_ingest = new_docs.join(
+        to_ingest_ids,
+        new_docs[id_col] == F.col("__diff_id"),
+        "left_semi",
+    )
+    chunks, unmatched = ingest(to_ingest, registry, config=config)
+    deletions = diff.filter(
+        F.col("change").isin("removed", "changed")
+    ).select(F.col("__diff_id").alias(id_col), "change")
+    return chunks, unmatched, deletions

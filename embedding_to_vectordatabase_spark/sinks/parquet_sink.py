@@ -420,3 +420,41 @@ def _unescape_path_name(name: str) -> str:
     from urllib.parse import unquote
 
     return unquote(name)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    out_path: str,
+) -> dict[str, int]:
+    """MERGE (upsert) on the plain-parquet store: rows in ``updates``
+    replace target rows with the same key; new keys are inserted —
+    the maintenance op incremental ingestion needs between full
+    rebuilds (pairs with ``delete_where``/``snapshot_diff``).
+
+    Same design decision as ``delete_where`` (no Delta/Iceberg jars in
+    this container): the rewrite IS plain-parquet MERGE semantics, and
+    it scales — survivors are a LEFT ANTI join of the target against
+    the (small) update key set, which broadcasts, so the target never
+    shuffles; on a partitioned store you would rewrite only touched
+    partitions; on Delta/Iceberg the same call maps to MERGE INTO 1:1.
+    The caller owns key uniqueness within ``updates`` (duplicates are
+    written as given). Returns {"updated", "inserted", "survivors"}.
+    """
+    target = spark.read.parquet(path)
+    keys = updates.select(key_col).distinct()
+    survivors = target.join(F.broadcast(keys), key_col, "left_anti")
+    survivors.unionByName(updates).write.mode("overwrite").parquet(
+        out_path
+    )
+    n_target = target.count()
+    n_out = spark.read.parquet(out_path).count()
+    n_updates = updates.count()
+    matched = n_target + n_updates - n_out
+    return {
+        "updated": matched,
+        "inserted": n_updates - matched,
+        "survivors": n_target - matched,
+    }

@@ -160,3 +160,53 @@ def test_mock_embedder_deterministic(corpus, registry):
     va = {(r["file_id"], r["block_id"]): r["dense_embedding"] for r in a.collect()}
     vb = {(r["file_id"], r["block_id"]): r["dense_embedding"] for r in b.collect()}
     assert va == vb
+
+
+def test_ingest_incremental_only_processes_changed(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.plans.ingest import (
+        IngestConfig,
+        ingest_incremental,
+    )
+    from embedding_to_vectordatabase_spark.sources.corpus import (
+        generate_corpus,
+        with_file_name,
+        with_row_numbers_scalable,
+    )
+
+    base = with_row_numbers_scalable(
+        generate_corpus(spark, 12), ["title", "content"]
+    ).withColumn("doc_id", F.col("row_no"))
+    # new snapshot: doc 3 changed, doc 5 removed, doc 100 added
+    changed = base.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == 3, F.concat(F.col("content"), F.lit(" v2"))
+        ).otherwise(F.col("content")),
+    ).filter(F.col("doc_id") != 5)
+    added = base.filter(F.col("doc_id") == 1).select(
+        *[
+            (F.col("doc_id") + 99).alias("doc_id")
+            if c == "doc_id"
+            else (F.col("row_no") + 99).alias("row_no")
+            if c == "row_no"
+            else c
+            for c in base.columns
+        ]
+    )
+    new = changed.unionByName(added)
+    registry = with_file_name(new).select(
+        F.col("row_no").alias("id"), F.col("file_name").alias("name")
+    )
+    chunks, unmatched, deletions = ingest_incremental(
+        base,
+        new,
+        registry,
+        config=IngestConfig(chunk_size=80, overlap=10, dense_dim=8),
+    )
+    dels = {(r["doc_id"], r["change"]) for r in deletions.collect()}
+    assert dels == {(3, "changed"), (5, "removed")}
+    ingested_ids = {r["file_id"] for r in chunks.select("file_id").distinct().collect()}
+    assert ingested_ids == {3, 100}
+    assert unmatched.count() == 0

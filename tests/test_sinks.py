@@ -258,3 +258,24 @@ def test_drop_collection(spark, store):
     assert drop_collection(spark, store) is True
     assert not os.path.exists(store)
     assert drop_collection(spark, store) is False  # already gone
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
+        merge_upsert,
+    )
+
+    tgt = str(tmp_path / "t")
+    out = str(tmp_path / "o")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    stats = merge_upsert(spark, tgt, updates, "id", out)
+    assert stats == {"updated": 1, "inserted": 1, "survivors": 2}
+    got = {
+        r["id"]: r["v"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
