@@ -329,6 +329,35 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         return con
 
+    # defined unconditionally (not inside any advisory section's try):
+    # every later section that compares against DuckDB depends on it,
+    # and a skipped/aborted earlier section must not take the name
+    # down with it
+    def duck_timed(
+        sql: str,
+        paths: dict[str, str],
+        cap: float = DUCKDB_WATCHDOG_SEC,
+    ) -> tuple[float, bool]:
+        con = duck_con(paths)
+        hit_cap = threading.Event()
+
+        def interrupt():
+            hit_cap.set()
+            con.interrupt()
+
+        timer = threading.Timer(cap, interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+        except Exception:  # noqa: BLE001 — interrupted => lower bound
+            dt = time.time() - t0
+        finally:
+            timer.cancel()
+            con.close()
+        return round(dt, 3), hit_cap.is_set()
+
     try:
         con = duck_con(
             {
@@ -393,31 +422,6 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(ev5m_path)
         )
-
-        def duck_timed(
-            sql: str,
-            paths: dict[str, str],
-            cap: float = DUCKDB_WATCHDOG_SEC,
-        ) -> tuple[float, bool]:
-            con = duck_con(paths)
-            hit_cap = threading.Event()
-
-            def interrupt():
-                hit_cap.set()
-                con.interrupt()
-
-            timer = threading.Timer(cap, interrupt)
-            timer.start()
-            t0 = time.time()
-            try:
-                con.execute(sql).fetchall()
-                dt = time.time() - t0
-            except Exception:  # noqa: BLE001 — interrupted => lower bound
-                dt = time.time() - t0
-            finally:
-                timer.cancel()
-                con.close()
-            return round(dt, 3), hit_cap.is_set()
 
         from embedding_to_vectordatabase_spark.operators.textanalysis import (
             profile_documents,
@@ -1030,17 +1034,24 @@ def main() -> None:
             )
         }
         for qname in ("bm25_topk", "dedup_spans"):
-            if time_left() < 30:
+            # each pass is a few seconds at 100k docs but is not
+            # hard-capped, so demand real headroom; skip the warmup
+            # (accept JIT noise) when the budget is tight rather than
+            # risk the summary JSON line
+            if time_left() < 45:
                 progress("bench deadline - stopping round6 ops")
                 break
             progress(f"round6 ops {qname} ({n_docs} docs)")
             mk = lambda: qs[qname](spark, docs_dir)  # noqa: B023,E731
-            materialize(mk())  # warmup
+            if time_left() > 90:
+                materialize(mk())  # warmup
             t0 = time.time()
             materialize(mk())
             spark_sec = round(time.time() - t0, 3)
             duck_sec, capped = duck_timed(
-                oracles[qname], doc_paths, cap=60.0
+                oracles[qname],
+                doc_paths,
+                cap=min(30.0, max(5.0, time_left() - 10.0)),
             )
             round6_ops[f"{qname}_{n_docs // 1000}k_docs"] = {
                 "spark_sec": spark_sec,

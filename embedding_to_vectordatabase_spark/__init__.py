@@ -55,6 +55,11 @@ from .operators.embedding import embed_text  # noqa: E402,F401
 from .operators.joins import (  # noqa: E402,F401
     anti_join_ingested,
     registry_lookup,
+    snapshot_diff,
+)
+from .operators.sampling import (  # noqa: E402,F401
+    stratified_sample,
+    topk_per_group,
 )
 from .operators.labeling import label_documents  # noqa: E402,F401
 from .operators.search import (  # noqa: E402,F401
@@ -66,5 +71,9 @@ from .operators.search import (  # noqa: E402,F401
     sparse_topk_inverted,
 )
 from .operators.textanalysis import profile_documents  # noqa: E402,F401
-from .plans.ingest import IngestConfig, ingest  # noqa: E402,F401
+from .plans.ingest import (  # noqa: E402,F401
+    IngestConfig,
+    ingest,
+    ingest_incremental,
+)
 from .session import get_spark  # noqa: E402,F401

@@ -950,16 +950,20 @@ def bm25_topk(
     round.)
 
     Scale shape: the corpus-wide (doc, token) tf relation is NEVER
-    materialized. Doc length is a map-only ``size(split(...))`` over
-    the raw text (no shuffle), so N and avgdl cost one scan + a 1-row
-    agg. The exploded token stream broadcast-joins the query terms
-    BEFORE any aggregation — non-query tokens are dropped map-side and
-    never shuffle — and only the pruned (query-token) postings are
-    aggregated into tf/df. Total: two map-only corpus scans + shuffles
-    over query-token postings only. ``max_doc_freq`` optionally
-    df-prunes hot query tokens (same policy as
-    ``sparse_topk_inverted``); stop-term postings are otherwise
-    bounded by the query vocabulary, not the corpus one.
+    materialized, and there is NO corpus-sized join anywhere. Doc
+    length rides the exploded token stream as a map-side column
+    (``size(split(...))`` computed once per doc before the explode),
+    so N and avgdl cost one map-only scan + a 1-row agg, and the
+    per-doc length reaches the scorer without joining a corpus-sized
+    doclen relation. The exploded token stream broadcast-joins the
+    query terms BEFORE any aggregation — non-query tokens are dropped
+    map-side and never shuffle — and only the pruned (query-token)
+    postings are aggregated into tf/df. Every join is broadcast
+    (query terms, per-token df, the 2-scalar crossJoin). Total: two
+    map-only corpus scans + shuffles over query-token postings only.
+    ``max_doc_freq`` optionally df-prunes hot query tokens (same
+    policy as ``sparse_topk_inverted``); stop-term postings are
+    otherwise bounded by the query vocabulary, not the corpus one.
     """
     words = F.filter(
         F.split(
@@ -978,23 +982,23 @@ def bm25_topk(
     )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
         F.explode(words).alias("token"),
     )
     qt = F.broadcast(query_terms.select("query_id", "token"))
     tf_q = (
         toks.join(qt, "token")
         .groupBy("query_id", "doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        # dl is functionally dependent on doc_id; min() is exact
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
     dfreq = tf_q.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
-    term = (
-        tf_q.join(F.broadcast(dfreq), "token")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(scal))
+    term = tf_q.join(F.broadcast(dfreq), "token").crossJoin(
+        F.broadcast(scal)
     )
     idf = F.log(
         F.lit(1.0)

@@ -206,8 +206,12 @@ def ingest_incremental(
     to_ingest_ids = diff.filter(
         F.col("change").isin("added", "changed")
     ).select("__diff_id")
+    # broadcast: the changed-id set is small by the diff's own
+    # contract (~0.1% of ids), while new_docs is corpus-sized — a
+    # sort-merge semi join here would shuffle the whole new snapshot
+    # just to select the small subset
     to_ingest = new_docs.join(
-        to_ingest_ids,
+        F.broadcast(to_ingest_ids),
         new_docs[id_col] == F.col("__diff_id"),
         "left_semi",
     )

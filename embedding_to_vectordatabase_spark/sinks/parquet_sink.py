@@ -441,20 +441,34 @@ def merge_upsert(
     shuffles; on a partitioned store you would rewrite only touched
     partitions; on Delta/Iceberg the same call maps to MERGE INTO 1:1.
     The caller owns key uniqueness within ``updates`` (duplicates are
-    written as given). Returns {"updated", "inserted", "survivors"}.
+    written as given). Returns {"updated", "inserted", "survivors"}:
+    ``updated`` counts target ROWS replaced (equals matched keys when
+    target keys are unique), ``inserted`` counts update KEYS absent
+    from the target. ``updates`` is persisted for the call — its
+    lineage (in the incremental-ingest pairing, the chunk+embed plan,
+    the cost center) executes once; every stat afterwards is a cheap
+    scan of the target or the written output, never a re-run of the
+    update lineage.
     """
     target = spark.read.parquet(path)
-    keys = updates.select(key_col).distinct()
-    survivors = target.join(F.broadcast(keys), key_col, "left_anti")
-    survivors.unionByName(updates).write.mode("overwrite").parquet(
-        out_path
-    )
-    n_target = target.count()
-    n_out = spark.read.parquet(out_path).count()
-    n_updates = updates.count()
-    matched = n_target + n_updates - n_out
+    updates = updates.persist()
+    try:
+        keys = updates.select(key_col).distinct()
+        survivors = target.join(F.broadcast(keys), key_col, "left_anti")
+        survivors.unionByName(updates).write.mode("overwrite").parquet(
+            out_path
+        )
+        n_target = target.count()
+        touched = target.join(F.broadcast(keys), key_col, "left_semi")
+        replaced = touched.count()
+        # matched keys derived from the (small) replaced subset — the
+        # corpus-sized target key stream never shuffles for stats
+        matched_keys = touched.select(key_col).distinct().count()
+        n_keys = keys.count()
+    finally:
+        updates.unpersist()
     return {
-        "updated": matched,
-        "inserted": n_updates - matched,
-        "survivors": n_target - matched,
+        "updated": replaced,
+        "inserted": n_keys - matched_keys,
+        "survivors": n_target - replaced,
     }
