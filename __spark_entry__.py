@@ -3173,6 +3173,41 @@ FROM ratios
 """
 
 
+def _q_percentile_filter(spark, sf_dir):
+    """Relative quality cut: keep docs at or above their LANGUAGE's
+    median quality score — the per-stratum threshold an absolute cut
+    can't express (operators/sampling.py:percentile_threshold_filter
+    over the rounded quality score; Spark percentile == DuckDB
+    quantile_cont on identical 6dp inputs)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        percentile_threshold_filter,
+    )
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return percentile_threshold_filter(d, ["lang"], "quality", 0.5)
+
+
+_SQL_PERCENTILE_FILTER = f"""
+WITH q AS ({_SQL_QUALITY}),
+scored AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+thr AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS t
+  FROM scored GROUP BY lang)
+SELECT doc_id, lang, quality
+FROM scored JOIN thr USING (lang)
+WHERE quality >= t
+"""
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.textanalysis import (
         doc_fingerprint,
@@ -4245,6 +4280,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("stratified_sample", _q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
     ("snapshot_diff", _q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    ("percentile_filter", _q_percentile_filter, _SQL_PERCENTILE_FILTER),
     ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),

@@ -243,3 +243,36 @@ def stratified_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n_per_group)
     )
+
+
+def percentile_threshold_filter(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    p: float = 0.5,
+) -> DataFrame:
+    """Keep rows whose score reaches their GROUP's p-quantile — the
+    relative quality cut ("keep above-median-quality docs per
+    language") that an absolute threshold can't express when score
+    distributions differ per stratum.
+
+    Exact interpolated percentile (Spark ``percentile`` ==
+    DuckDB/ANSI ``quantile_cont``). With an even group count the
+    threshold is a midpoint strictly between two samples, so an
+    engine's last-ulp interpolation difference cannot flip
+    membership; with an odd count it IS a sample value, exact in both.
+    Feed a rounded score column if the scores themselves are
+    engine-derived doubles.
+
+    Plan: one agg shuffle builds the per-group thresholds (one row
+    per group — tiny), broadcast back onto the corpus; the corpus
+    itself never shuffles and the filter composes with scan pruning.
+    """
+    thr = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({score_col}, {p})").alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_cols)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -168,3 +168,22 @@ def test_stratified_sample_small_stratum(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
     )
     assert stratified_sample(df, ["source"], 5).count() == 2
+
+
+def test_percentile_threshold_filter_per_group_median(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        percentile_threshold_filter,
+    )
+
+    rows = [
+        # group a: scores 1..4, median 2.5 -> keep 3,4
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+        # group b: scores 10,20,30 (odd count), median 20 -> keep 20,30
+        (5, "b", 10.0), (6, "b", 20.0), (7, "b", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    kept = {
+        r["doc_id"]
+        for r in percentile_threshold_filter(df, ["g"], "s", 0.5).collect()
+    }
+    assert kept == {3, 4, 6, 7}
