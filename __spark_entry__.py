@@ -3208,6 +3208,48 @@ WHERE quality >= t
 """
 
 
+def _q_bigram_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean log-prob under the
+    corpus's own add-1-smoothed bigram model
+    (operators/textanalysis.py:bigram_lm_scores — the CCNet/KenLM
+    filter role with no external model; per-bigram log terms rounded
+    6dp and summed as DECIMAL(18,6) for engine-exact means)."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+_SQL_BIGRAM_LM = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           s -> s <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM ws WHERE len(w) >= 2)),
+bc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+sc AS (SELECT w1, SUM(c_bg) AS c_start FROM bc GROUP BY w1),
+vc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+         SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+model AS (
+  SELECT bc.w1, bc.w2,
+         CAST(ROUND(ln((CAST(c_bg AS DOUBLE) + 1.0)
+                       / (CAST(c_start AS DOUBLE)
+                          + 1.0 * CAST(v AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS t
+  FROM bc JOIN sc USING (w1) CROSS JOIN vc)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(t) AS DOUBLE) / COUNT(*) AS lm_score
+FROM bg JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.textanalysis import (
         doc_fingerprint,
@@ -4281,6 +4323,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
     ("snapshot_diff", _q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     ("percentile_filter", _q_percentile_filter, _SQL_PERCENTILE_FILTER),
+    ("bigram_lm_score", _q_bigram_lm_score, _SQL_BIGRAM_LM),
     ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),

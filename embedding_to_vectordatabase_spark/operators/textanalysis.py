@@ -228,3 +228,93 @@ def profile_documents(
         quality_score(tt, ww).alias("quality"),
         doc_fingerprint(tt, ww).alias("fingerprint"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean log-probability under the corpus's OWN
+    add-alpha-smoothed bigram model — the perplexity-proxy quality
+    filter (the role CCNet gives a pretrained KenLM) computable with
+    no external model: boilerplate and fluent text score high,
+    gibberish and OCR noise score low, relative to the corpus itself.
+
+    score(d) = avg over adjacent token pairs (w1, w2) of
+      ln( (c(w1,w2) + alpha) / (start(w1) + alpha * V) )
+    where c is the corpus bigram count, start(w1) the count of w1 in
+    a bigram-initial position, and V the unigram vocabulary size.
+
+    Determinism across engines: each per-bigram log term is rounded
+    to 6dp and summed as DECIMAL(18,6) (exact, order-insensitive —
+    same technique as bm25_topk), with only the final mean cast back
+    to double. Docs with fewer than two tokens produce no row.
+
+    Scale shape: bigram extraction is map-only (array transform over
+    the split, no self-join). The model build aggregates bigrams with
+    map-side partial combine, then denormalizes start(w1) onto the
+    bigram table with a join whose cardinality is VOCABULARY-bounded
+    (distinct successors per w1), never corpus-bounded. Scoring is one
+    equi-join of doc bigrams against the model on (w1, w2) — a
+    well-distributed key. V is a 1-row agg crossJoin-broadcast.
+    Output: (<id_col>, n_bigrams, lm_score).
+    """
+    words = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
+        ),
+        lambda s: s != "",
+    )
+    ws = F.col("__ws")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("w1"),
+            F.element_at(ws, i + 2).alias("w2"),
+        ),
+    )
+    doc_bigrams = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("c_bg")
+    )
+    start_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_start")
+    )
+    vocab = doc_bigrams.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    model = bigram_counts.join(start_counts, "w1").crossJoin(
+        F.broadcast(vocab)
+    )
+    term = F.round(
+        F.log(
+            (F.col("c_bg").cast("double") + F.lit(alpha))
+            / (
+                F.col("c_start").cast("double")
+                + F.lit(alpha) * F.col("v").cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        doc_bigrams.join(model, ["w1", "w2"])
+        .select("doc_id", term.alias("__t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum("__t").cast("double") / F.count("*")
+            ).alias("lm_score"),
+        )
+    )

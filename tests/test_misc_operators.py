@@ -468,3 +468,24 @@ def test_snapshot_diff_null_vs_absent(spark):
     # NULL text hashes like '' (present-but-empty == present-NULL);
     # doc 2 is genuinely new
     assert out == {2: "added"}
+
+
+def test_bigram_lm_scores_orders_fluent_above_gibberish(spark):
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        bigram_lm_scores,
+    )
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(1, 9)]       # fluent: repeated pattern
+        + [(9, "zq xv jk wp mn bd")]             # gibberish: unique bigrams
+        + [(10, "solo")]                          # <2 tokens: no row
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 10 not in out
+    assert out[1]["n_bigrams"] == 5
+    # corpus-frequent bigrams score higher than one-off gibberish
+    assert out[1]["lm_score"] > out[9]["lm_score"]
+    # identical docs get identical scores
+    assert out[1]["lm_score"] == out[8]["lm_score"]
