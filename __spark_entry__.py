@@ -4115,6 +4115,232 @@ def _q_sketch_distinct_users(spark, sf_dir):
     )
 
 
+def _q_scd2_registry(spark, sf_dir):
+    """Type-2 SCD maintenance of a registry dimension
+    (operators/scd.py:scd2_apply). The history is the customer table
+    as a current-only dimension; the update batch derives
+    deterministically from md5 buckets — first hex of
+    md5('scd:'||key) < '3' changes the segment (close + insert),
+    ['3','6') is an identical no-op update, >= 'd' arrives under a
+    shifted brand-new key — so both engines construct identical
+    inputs and the full close/insert/no-op/new output is
+    value-comparable."""
+    from embedding_to_vectordatabase_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    hist = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("scd:"), F.col("c_custkey").cast("string"))),
+        1,
+        1,
+    )
+    tagged = cust.select("c_custkey", "c_mktsegment", h.alias("__h"))
+    changed = tagged.filter(F.col("__h") < "3").select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("seg"),
+    )
+    noop = tagged.filter(
+        (F.col("__h") >= "3") & (F.col("__h") < "6")
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    newk = tagged.filter(F.col("__h") >= "d").select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    upd = (
+        changed.unionByName(noop)
+        .unionByName(newk)
+        .withColumn("effective_ts", F.lit("2024-06-01").cast("date"))
+    )
+    return scd2_apply(hist, upd, "id", ["seg"])
+
+
+_SQL_SCD2 = """
+WITH hist AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+tagged AS (
+  SELECT c_custkey, c_mktsegment,
+         substring(md5('scd:' || CAST(c_custkey AS VARCHAR)), 1, 1) AS h
+  FROM customer),
+upd AS (
+  SELECT c_custkey AS id, c_mktsegment || '_v2' AS seg,
+         DATE '2024-06-01' AS eff
+  FROM tagged WHERE h < '3'
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, DATE '2024-06-01'
+  FROM tagged WHERE h >= '3' AND h < '6'
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment, DATE '2024-06-01'
+  FROM tagged WHERE h >= 'd'),
+cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+cur_out AS (
+  SELECT c.id, c.seg, c.valid_from,
+         CASE WHEN u.eff IS NOT NULL
+                   AND (c.seg IS DISTINCT FROM u.seg)
+              THEN u.eff END AS valid_to
+  FROM cur c LEFT JOIN upd u ON c.id = u.id),
+new_out AS (
+  SELECT u.id, u.seg, u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM upd u LEFT JOIN cur c ON u.id = c.id
+  WHERE c.id IS NULL OR (c.seg IS DISTINCT FROM u.seg))
+SELECT * FROM hist WHERE valid_to IS NOT NULL
+UNION ALL SELECT * FROM cur_out
+UNION ALL SELECT * FROM new_out
+"""
+
+
+def _q_validate_documents(spark, sf_dir):
+    """Single-pass data-quality expectation report over documents
+    (operators/validate.py:expectation_report): every rule is one
+    sum(case) in ONE scan+reduce; NULL predicates count as
+    violations, matching NOT coalesce(pred, FALSE)."""
+    from embedding_to_vectordatabase_spark.operators.validate import (
+        expectation_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return expectation_report(
+        d,
+        [
+            ("text_not_null", F.col("text").isNotNull()),
+            (
+                "lang_known",
+                F.col("lang").isin("en", "de", "es", "fr", "zh"),
+            ),
+            ("n_chars_positive", F.col("n_chars") > 0),
+            ("n_chars_consistent", F.length("text") == F.col("n_chars")),
+        ],
+    )
+
+
+_SQL_VALIDATE = """
+WITH agg AS (
+  SELECT count(*) AS total,
+    sum(CASE WHEN NOT coalesce(text IS NOT NULL, FALSE)
+             THEN 1 ELSE 0 END) AS v0,
+    sum(CASE WHEN NOT coalesce(lang IN ('en','de','es','fr','zh'), FALSE)
+             THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN NOT coalesce(n_chars > 0, FALSE)
+             THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN NOT coalesce(length(text) = n_chars, FALSE)
+             THEN 1 ELSE 0 END) AS v3
+  FROM documents)
+SELECT rule, CAST(total AS BIGINT) AS total,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(violations AS DOUBLE) / total AS violation_frac
+FROM (
+  SELECT 'text_not_null' AS rule, total, v0 AS violations FROM agg
+  UNION ALL SELECT 'lang_known', total, v1 FROM agg
+  UNION ALL SELECT 'n_chars_positive', total, v2 FROM agg
+  UNION ALL SELECT 'n_chars_consistent', total, v3 FROM agg)
+"""
+
+
+def _q_daily_event_anomalies(spark, sf_dir):
+    """Days whose per-type event count deviates >= 1.5 sample-stddevs
+    from the type's across-days mean (operators/anomaly.py) — the
+    pipeline-telemetry watchdog. Two-stage agg: daily counts (one
+    shuffle), then a broadcast join of the tiny per-type stats.
+    mean/std/z rounded to 6 dp for cross-engine float stability; the
+    threshold filter runs on the unrounded z in both engines."""
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        daily_count_anomalies,
+    )
+
+    out = daily_count_anomalies(
+        _events(spark, sf_dir), z_thresh=1.5
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("grp_mean", 6).alias("grp_mean"),
+        F.round("grp_std", 6).alias("grp_std"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+_SQL_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, avg(n) AS m, stddev_samp(n) AS s
+  FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.n,
+       round(s.m, 6) AS grp_mean, round(s.s, 6) AS grp_std,
+       round((d.n - s.m) / nullif(s.s, 0), 6) AS z
+FROM daily d JOIN stats s USING (event_type)
+WHERE abs((d.n - s.m) / nullif(s.s, 0)) >= 1.5
+"""
+
+
+def _q_props_k_counts(spark, sf_dir):
+    """Semi-structured props flattening: native get_json_object pulls
+    the 'k' field out of the events JSON props column (JVM-side,
+    whole-stage codegen — no UDF, no declared schema) and aggregates
+    counts per value (functions/text.py:json_int_field)."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        json_int_field,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        json_int_field(F.col("props"), "k").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_PROPS_K = """
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Typo-level near-dup pairs by Levenshtein distance on the
+    normalized 24-char text prefix with length-band blocking
+    (operators/dedup.py:edit_distance_pairs) — never all-pairs: each
+    row probes only its own and adjacent length buckets, and the
+    exact distance filter runs inside buckets."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return edit_distance_pairs(
+        docs, max_distance=3, prefix_len=24, band=4
+    )
+
+
+_SQL_EDIT_DISTANCE = r"""
+WITH base AS (
+  SELECT doc_id,
+         substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   1, 24) AS k
+  FROM documents),
+b AS (
+  SELECT doc_id, k, CAST(FLOOR(length(k) / 4) AS BIGINT) AS bk
+  FROM base)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       levenshtein(a.k, c.k) AS dist
+FROM b a, UNNEST([a.bk - 1, a.bk, a.bk + 1]) AS t(probe), b c
+WHERE c.bk = t.probe AND a.doc_id < c.doc_id
+  AND levenshtein(a.k, c.k) <= 3
+"""
+
+
 # ------------------------------------------------------------- registry
 
 # corpus_clean reuses the lang/quality oracle CTEs rebased onto the
@@ -4210,6 +4436,11 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("rollup_hierarchy", _q_rollup_hierarchy, _SQL_ROLLUP),
     ("retention_cohorts", _q_retention_cohorts, _SQL_RETENTION),
     ("rolling_daily_value", _q_rolling_daily_value, _SQL_ROLLING),
+    ("scd2_registry", _q_scd2_registry, _SQL_SCD2),
+    ("validate_documents", _q_validate_documents, _SQL_VALIDATE),
+    ("daily_event_anomalies", _q_daily_event_anomalies, _SQL_ANOMALIES),
+    ("props_k_counts", _q_props_k_counts, _SQL_PROPS_K),
+    ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
     ("multimodal_meta", _q_multimodal_meta, _SQL_MULTIMODAL_META),

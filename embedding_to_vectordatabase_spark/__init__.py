@@ -77,3 +77,13 @@ from .plans.ingest import (  # noqa: E402,F401
     ingest_incremental,
 )
 from .session import get_spark  # noqa: E402,F401
+from .operators.anomaly import (  # noqa: E402,F401
+    daily_count_anomalies,
+    group_zscore,
+)
+from .operators.dedup import edit_distance_pairs  # noqa: E402,F401
+from .operators.scd import scd2_apply  # noqa: E402,F401
+from .operators.validate import (  # noqa: E402,F401
+    duplicate_keys,
+    expectation_report,
+)

@@ -107,3 +107,18 @@ def bpe_token_count(text: Column) -> Column:
     pattern (the unit real BPE merges start from); empty/null-safe."""
     t = F.coalesce(text, F.lit(""))
     return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def json_field(col: Column, path: str) -> Column:
+    """Extract one field from a JSON string column as a string —
+    native `get_json_object` (whole-stage codegen'd JVM parse; no
+    Python, no schema declaration needed for ad-hoc props columns
+    like the events table's `{"k": 69}`). Returns NULL for missing
+    field or malformed JSON. ``path`` is the bare field name."""
+    return F.get_json_object(col, f"$.{path}")
+
+
+def json_int_field(col: Column, path: str) -> Column:
+    """`json_field` as bigint — try_cast, so a non-numeric value is
+    NULL rather than a task-killing ANSI cast error mid-corpus."""
+    return json_field(col, path).try_cast("bigint")

@@ -1,0 +1,66 @@
+"""Statistical anomaly detection over event streams.
+
+Beyond-reference training-data extension: a 100 TB ingest pipeline
+watches its own telemetry (the reference logs per-batch counts and
+timings ad hoc, `embed_to_milvus.py:129-133`); an anomalous day of
+`error` events or a collapsed `view` count is how corpus poisoning
+or a dead upstream shows up. Implemented as plain two-stage
+aggregation — no UDFs, no window sort over the raw events.
+
+Scale shape: stage 1 shuffles once on (group, bucket) with map-side
+partial counts (events-volume in, days×groups rows out); stage 2
+computes per-group mean/std over the TINY per-bucket table and
+broadcast-joins it back. Nothing corpus-sized is ever sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Attach per-group mean/stddev and the z-score of ``value_col``.
+
+    stddev is the sample stddev (stddev_samp — both Spark's and
+    DuckDB's default). Groups with one row or zero variance get a
+    NULL z (division by NULL/zero), which downstream thresholds
+    treat as not-anomalous.
+
+    Output: input columns + (grp_mean, grp_std, z) doubles.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("grp_mean"),
+        F.stddev_samp(value_col).alias("grp_std"),
+    )
+    joined = df.join(F.broadcast(stats), on=group_cols, how="left")
+    z = (F.col(value_col) - F.col("grp_mean")) / F.nullif(
+        F.col("grp_std"), F.lit(0.0)
+    )
+    return joined.withColumn("z", z)
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Days whose per-type event count is >= z_thresh sample-stddevs
+    from that type's across-days mean.
+
+    Output: (event_type, day date, n bigint, grp_mean double,
+    grp_std double, z double), anomalous rows only.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    scored = group_zscore(daily, ["event_type"], "n")
+    return scored.filter(F.abs(F.col("z")) >= z_thresh).select(
+        "event_type", "day", "n", "grp_mean", "grp_std", "z"
+    )

@@ -841,3 +841,57 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    prefix_len: int = 32,
+    band: int | None = None,
+) -> DataFrame:
+    """Near-identical pairs by Levenshtein distance on a fixed text
+    prefix, with length-band blocking — the fuzzy-title/URL dedup
+    family (typo-level duplicates that n-gram Jaccard over-merges
+    and exact hashing misses).
+
+    Blocking: two strings within edit distance d differ in length by
+    at most d, so with ``band >= max_distance`` any qualifying pair
+    lands in the same or adjacent length buckets. Each row emits its
+    bucket b and probes {b-1, b, b+1} from the left side; the join is
+    a plain equi-join on bucket (never all-pairs), and the exact
+    `levenshtein(prefix_a, prefix_b) <= d` filter runs only inside
+    buckets. The fixed ``prefix_len`` bounds per-pair cost at
+    O(prefix_len^2) regardless of document size.
+
+    Scale shape: one shuffle on the bucket key; bucket population is
+    corpus_len/band-ish and data-dependent — for heavily skewed
+    length distributions pre-filter or raise ``band`` resolution.
+    Output: (doc_a, doc_b, dist int), doc_a < doc_b, distinct.
+    """
+    band = band if band is not None else max(max_distance, 4)
+    key = F.substring(normalize_text(F.col(text_col)), 1, prefix_len)
+    base = df.select(
+        F.col(id_col).alias("__id"), key.alias("__key")
+    ).withColumn("__b", F.floor(F.length("__key") / band))
+    left = base.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__key").alias("__ka"),
+        F.explode(
+            F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)
+        ).alias("__probe"),
+    )
+    right = base.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__key").alias("__kb"),
+        F.col("__b").alias("__probe"),
+    )
+    return (
+        left.join(right, "__probe")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("__ka", "__kb"))
+        .filter(F.col("dist") <= max_distance)
+        .select("doc_a", "doc_b", "dist")
+        .distinct()
+    )
