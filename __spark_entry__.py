@@ -4341,6 +4341,111 @@ WHERE c.bk = t.probe AND a.doc_id < c.doc_id
 """
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """Greedy per-source fill to a 20k-char budget in deterministic
+    (seed,id) hash order (operators/sampling.py:token_budget_sample)
+    — the '~N tokens per source' mixture-construction primitive;
+    inclusive cumulative sum never overshoots."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_sample(d, ["source"], "n_chars", 20000)
+
+
+_SQL_TOKEN_BUDGET = """
+SELECT doc_id, source, n_chars, cum_weight FROM (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_weight
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+WHERE cum_weight <= 20000
+"""
+
+
+def _q_item_cooccurrence(spark, sf_dir):
+    """Distinct-user co-occurrence counts over the events props 'k'
+    items (operators/affinity.py:item_cooccurrence): per-user
+    distinct first (replays count once), power users above the
+    100-item cap dropped BEFORE the self-join so pair fan-out is
+    bounded at cap² — the df-pruning stance applied to
+    collaborative filtering."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        json_int_field,
+    )
+    from embedding_to_vectordatabase_spark.operators.affinity import (
+        item_cooccurrence,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", json_int_field(F.col("props"), "k").alias("item")
+    )
+    return item_cooccurrence(
+        ev, min_count=2, max_items_per_user=100
+    )
+
+
+_SQL_COOCCURRENCE = """
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+ok AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 100),
+f AS (SELECT ui.u, ui.i FROM ui JOIN ok USING (u))
+SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_users
+FROM f a JOIN f b ON a.u = b.u AND a.i < b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _q_winsorize_nchars(spark, sf_dir):
+    """Per-source winsorization of n_chars at the exact
+    interpolated [p10, p90] (operators/anomaly.py:winsorize) —
+    outlier conditioning before weighted sampling. Quantiles via
+    Spark `percentile` == DuckDB `quantile_cont`; 6dp rounding for
+    cross-engine float stability."""
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        winsorize,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = winsorize(d, ["source"], "n_chars", lo=0.1, hi=0.9)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("q_lo", 6).alias("q_lo"),
+        F.round("q_hi", 6).alias("q_hi"),
+        F.round("value_w", 6).alias("value_w"),
+    )
+
+
+_SQL_WINSORIZE = """
+WITH stats AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.1) AS q_lo,
+         quantile_cont(n_chars, 0.9) AS q_hi
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       round(s.q_lo, 6) AS q_lo, round(s.q_hi, 6) AS q_hi,
+       round(least(greatest(CAST(d.n_chars AS DOUBLE), s.q_lo), s.q_hi),
+             6) AS value_w
+FROM documents d LEFT JOIN stats s USING (source)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 # corpus_clean reuses the lang/quality oracle CTEs rebased onto the
@@ -4441,6 +4546,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("daily_event_anomalies", _q_daily_event_anomalies, _SQL_ANOMALIES),
     ("props_k_counts", _q_props_k_counts, _SQL_PROPS_K),
     ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
+    ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
+    ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
+    ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
     ("multimodal_meta", _q_multimodal_meta, _SQL_MULTIMODAL_META),

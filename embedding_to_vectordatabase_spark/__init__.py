@@ -87,3 +87,6 @@ from .operators.validate import (  # noqa: E402,F401
     duplicate_keys,
     expectation_report,
 )
+from .operators.affinity import item_cooccurrence  # noqa: E402,F401
+from .operators.anomaly import winsorize  # noqa: E402,F401
+from .operators.sampling import token_budget_sample  # noqa: E402,F401

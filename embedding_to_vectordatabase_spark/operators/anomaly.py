@@ -64,3 +64,32 @@ def daily_count_anomalies(
     return scored.filter(F.abs(F.col("z")) >= z_thresh).select(
         "event_type", "day", "n", "grp_mean", "grp_std", "z"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Clamp ``value_col`` to its per-group exact [lo, hi] quantiles
+    — outlier conditioning before quality-weighted sampling (one
+    10GB document must not soak up a source's whole token budget).
+
+    Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB/ANSI `quantile_cont`), computed per group in one agg and
+    broadcast-joined back: the fact table shuffles once for the
+    stats and never sorts. Output: input columns + (q_lo, q_hi,
+    value_w) — value_w is the clamped value.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("q_lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("q_hi"),
+    )
+    return df.join(F.broadcast(stats), on=group_cols, how="left").withColumn(
+        "value_w",
+        F.least(F.greatest(F.col(value_col), F.col("q_lo")), F.col("q_hi")),
+    )

@@ -276,3 +276,45 @@ def percentile_threshold_filter(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    budget: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy per-group fill to a weight budget: within each group,
+    rows are taken in the deterministic (seed, id) hash order until
+    the cumulative ``weight_col`` (e.g. token count) would exceed
+    ``budget`` — "give me ~1B tokens per source", the mixture-
+    construction primitive one level finer than row-count sampling.
+
+    A row is kept iff its INCLUSIVE cumulative sum is <= budget, so
+    the fill never overshoots; a single row larger than the whole
+    budget is dropped (its inclusive sum already exceeds it). NULL
+    weights and NULL ids drop the row (documented like
+    ``weighted_sample``).
+
+    Scale shape: one hash shuffle on the group key, then a
+    per-group sort window for the running sum — no global sort, no
+    driver state; the hash order makes re-runs and engine mirrors
+    bit-identical. Output: input columns + cum_weight.
+    """
+    b = _bucket(id_col, seed)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc("__tb"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.filter(
+            F.col(id_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .withColumn("__tb", b)
+        .withColumn("cum_weight", F.sum(weight_col).over(w))
+        .filter(F.col("cum_weight") <= budget)
+        .drop("__tb")
+    )

@@ -120,6 +120,52 @@ CHECKS = {
         ("group window not single-partition",
          lambda s: "SinglePartition" not in s),
     ],
+    # round-6 late additions
+    "scd2_registry": [
+        # the churn-sized update batch must broadcast into both the
+        # close-join and the new-key join; a sort-merge would shuffle
+        # the whole dimension history twice
+        ("update batch broadcast into both joins",
+         lambda s: s.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in s),
+    ],
+    "validate_documents": [
+        # the whole report is one scan + one 1-row reduce
+        ("single-scan report (one parquet scan)",
+         lambda s: s.count("Scan parquet") == 1),
+        ("no data-row shuffle (only the scalar agg exchange)",
+         lambda s: s.count("Exchange") <= 2),
+    ],
+    "daily_event_anomalies": [
+        ("per-type stats broadcast back (no second fact shuffle)",
+         lambda s: "BroadcastHashJoin" in s
+         and "SortMergeJoin" not in s),
+    ],
+    "props_k_counts": [
+        ("JSON extraction stays in whole-stage codegen (no UDF)",
+         lambda s: "WholeStageCodegen" in s
+         and "BatchEvalPython" not in s
+         and "MapInPandas" not in s),
+    ],
+    "edit_distance_pairs": [
+        ("band-blocked equi-join (never all-pairs)",
+         lambda s: "CartesianProduct" not in s
+         and "BroadcastNestedLoopJoin" not in s),
+    ],
+    "token_budget_sample": [
+        ("per-group running sum not single-partition",
+         lambda s: "SinglePartition" not in s),
+    ],
+    "item_cooccurrence": [
+        ("self-join equi on user (never all-pairs)",
+         lambda s: "CartesianProduct" not in s
+         and "BroadcastNestedLoopJoin" not in s),
+    ],
+    "winsorize_nchars": [
+        ("per-group quantile stats broadcast back",
+         lambda s: "BroadcastHashJoin" in s
+         and "SortMergeJoin" not in s),
+    ],
 }
 
 
