@@ -4446,6 +4446,83 @@ FROM documents d LEFT JOIN stats s USING (source)
 """
 
 
+def _q_lang_drift_psi(spark, sf_dir):
+    """Language-mix drift (PSI) between two deterministic md5 halves
+    of the corpus (operators/anomaly.py:category_drift_psi) — the
+    'did this week's crawl shift?' monitor. Shares and psi_term
+    rounded to 6dp (ln implementations differ in the last ulp
+    across engines)."""
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        category_drift_psi,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("psi:"), F.col("doc_id").cast("string"))),
+        1,
+        1,
+    )
+    a = d.filter(h < "8").select("lang")
+    b = d.filter(h >= "8").select("lang")
+    out = category_drift_psi(a, b, "lang")
+    return out.select(
+        "category",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+_SQL_LANG_DRIFT = """
+WITH tagged AS (
+  SELECT lang,
+         substring(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents),
+ca AS (SELECT lang AS category, count(*) AS n FROM tagged
+       WHERE h < '8' GROUP BY 1),
+cb AS (SELECT lang AS category, count(*) AS n FROM tagged
+       WHERE h >= '8' GROUP BY 1),
+sa AS (SELECT category, CAST(n AS DOUBLE) / (SELECT sum(n) FROM ca)
+              AS share_a FROM ca),
+sb AS (SELECT category, CAST(n AS DOUBLE) / (SELECT sum(n) FROM cb)
+              AS share_b FROM cb)
+SELECT category,
+       round(coalesce(share_a, 0), 6) AS share_a,
+       round(coalesce(share_b, 0), 6) AS share_b,
+       round((greatest(coalesce(share_a, 0), 1e-6)
+              - greatest(coalesce(share_b, 0), 1e-6))
+             * ln(greatest(coalesce(share_a, 0), 1e-6)
+                  / greatest(coalesce(share_b, 0), 1e-6)),
+             6) AS psi_term
+FROM sa FULL OUTER JOIN sb USING (category)
+"""
+
+
+def _q_nchars_histogram(spark, sf_dir):
+    """Fixed-range 20-bin histogram of document lengths in one pass
+    (operators/anomaly.py:value_histogram) — clamped edge bins,
+    map-side partial counts, at most n_bins rows shuffled."""
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        value_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return value_histogram(d, "n_chars", 0.0, 600.0, 20)
+
+
+_SQL_NCHARS_HIST = """
+SELECT bin,
+       0.0 + bin * 30.0 AS bin_lo,
+       0.0 + (bin + 1) * 30.0 AS bin_hi,
+       count(*) AS n
+FROM (SELECT CAST(least(greatest(
+               CAST(FLOOR((n_chars - 0.0) / 30.0) AS BIGINT), 0), 19)
+             AS INT) AS bin
+      FROM documents WHERE n_chars IS NOT NULL)
+GROUP BY bin
+"""
+
+
 # ------------------------------------------------------------- registry
 
 # corpus_clean reuses the lang/quality oracle CTEs rebased onto the
@@ -4549,6 +4626,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
+    ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),
+    ("nchars_histogram", _q_nchars_histogram, _SQL_NCHARS_HIST),
     ("w2_chunk_fixed", _q_w2_chunk_fixed, _SQL_W2_CHUNK_FIXED),
     ("split_sentences", _q_split_sentences, _SQL_SPLIT_SENTENCES),
     ("multimodal_meta", _q_multimodal_meta, _SQL_MULTIMODAL_META),

@@ -150,6 +150,139 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
+    # All result containers exist from t=0 so the watchdog below can
+    # emit a valid JSON line from partial state at ANY moment. Later
+    # `x: dict = {}` annotations rebind the same names before their
+    # sections populate them — harmless.
+    n_chunks = 0
+    ingest_sec = 0.0
+    throughput: dict[str, float] = {}
+    duckdb_baseline: dict[str, float] = {}
+    vs_duckdb: dict[str, float] = {}
+    scale_amplified: dict[str, object] = {}
+    layout_skipping: dict[str, object] = {}
+    floor_amortization: dict[str, object] = {}
+    ann_recall: dict[str, object] = {}
+    round6_ops: dict[str, object] = {}
+
+    emitted = threading.Event()
+
+    def emit_json() -> None:
+        """Print the full + compact JSON lines from CURRENT state.
+        Idempotent — the first caller (normal end or watchdog) wins."""
+        if emitted.is_set():
+            return
+        emitted.set()
+        spark_common = sum(
+            timings[n] for n in duckdb_baseline if n in timings
+        )
+        duck_common = sum(duckdb_baseline.values())
+        _amp_keys = [
+            "dense_topk_500k_vecs",
+            "profile_250k_docs",
+            "windowed_counts_5m_events",
+        ]
+        amp_entries = [
+            scale_amplified[k] for k in _amp_keys if k in scale_amplified
+        ]
+        amp_spark = sum(v["spark_sec"] for v in amp_entries)
+        amp_duck = sum(v["duckdb_sec"] for v in amp_entries)
+        bench_vs_baseline = (
+            round(spark_common / max(duck_common, 1e-9), 2)
+            if duckdb_baseline
+            else None
+        )
+        bench_vs_baseline_amplified = (
+            round(amp_spark / max(amp_duck, 1e-9), 2)
+            if amp_entries
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "total_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "ingest_chunks": n_chunks,
+                    "ingest_chunks_per_s": round(
+                        n_chunks / max(ingest_sec, 1e-9), 1
+                    ),
+                    **throughput,
+                    "duckdb_baseline": duckdb_baseline,
+                    "vs_duckdb": vs_duckdb,
+                    "bench_vs_baseline": bench_vs_baseline,
+                    "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
+                    "scale_amplified": scale_amplified,
+                    "floor_amortization": floor_amortization,
+                    "layout_skipping_band_scan": layout_skipping,
+                    "ann_recall": ann_recall,
+                    "round6_ops": round6_ops,
+                    "notes": BENCH_NOTES,
+                }
+            )
+        )
+        # compact scalars-only line LAST: the driver records a
+        # 2,000-char tail of stdout, which truncates the full line
+        # above mid-JSON — this line is small enough that the tail
+        # always captures it whole
+        print(
+            json.dumps(
+                {
+                    "metric": "total_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_bench_queries": len(timings),
+                    "bench_vs_baseline": bench_vs_baseline,
+                    "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
+                    "amplified_speedups": {
+                        k: v["spark_speedup_over_duckdb"]
+                        for k, v in scale_amplified.items()
+                        if v.get("spark_speedup_over_duckdb") is not None
+                    },
+                    "floor_amortization_speedups": {
+                        k: v.get("spark_speedup_over_duckdb")
+                        for k, v in floor_amortization.items()
+                    },
+                    "ann_recall_at_5": ann_recall.get("recall_at_5"),
+                    "ann_dim": ann_recall.get("dim"),
+                    "round6_ops_speedups": {
+                        k: v.get("spark_speedup_over_duckdb")
+                        for k, v in round6_ops.items()
+                    },
+                    "quantized_scan": {
+                        "recall_at_5_vs_exact": scale_amplified.get(
+                            "dense_topk_quantized_500k", {}
+                        ).get("recall_at_5_vs_exact"),
+                        "scan_bytes_reduction": scale_amplified.get(
+                            "dense_topk_quantized_500k", {}
+                        ).get("scan_bytes_reduction"),
+                    },
+                    "ingest_chunks_per_s": round(
+                        n_chunks / max(ingest_sec, 1e-9), 1
+                    ),
+                }
+            )
+        )
+        sys.stdout.flush()
+
+    def _watchdog() -> None:
+        # HARD stop: the in-line time_left() gates only run BETWEEN
+        # sections, so a Spark job caught in a hypervisor CPU-steal
+        # storm can carry a committed section far past the deadline
+        # and into the driver's outer kill (observed: rc=124, zero
+        # JSON — the r4 failure mode). At deadline+15 s this thread
+        # emits whatever has been collected and exits 0.
+        time.sleep(max(5.0, BENCH_DEADLINE_SEC + 15 - (time.time() - t_start)))
+        if not emitted.is_set():
+            progress("WATCHDOG deadline+15s: emitting partial results")
+            emit_json()
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     def timed(name: str, mk, runs: int = 3) -> None:
         nonlocal total
         progress(f"bench {name}")
@@ -396,8 +529,6 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — baseline is advisory, never fatal
         pass
 
-    spark_common = sum(timings[n] for n in duckdb_baseline)
-    duck_common = sum(duckdb_baseline.values())
 
     # Same-data scale comparison: both engines run the identical query
     # over the identical 1M-row (and 500k-doc) scratch parquet, so
@@ -691,9 +822,14 @@ def main() -> None:
                 progress(f"floor_amortization {label}")
                 mk = lambda: qs[qname](spark, dirpath)  # noqa: B023,E731
                 materialize(mk())  # warmup
-                t0 = time.time()
-                materialize(mk())
-                spark_sec = round(time.time() - t0, 3)
+                # best-of-2 when budget allows — a steal storm on a
+                # single shot would bend the curve itself
+                samples = []
+                for _ in range(2 if time_left() > 60 else 1):
+                    t0 = time.time()
+                    materialize(mk())
+                    samples.append(time.time() - t0)
+                spark_sec = round(min(samples), 3)
                 duck_sec, capped = duck_timed(
                     oracles[qname],
                     {
@@ -758,9 +894,12 @@ def main() -> None:
             )
             n_curate_in = curate_docs.count() * 2
             materialize(mk_curate())  # warmup
-            t0 = time.time()
-            materialize(mk_curate())
-            curate_sec = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(2 if time_left() > 150 else 1):
+                t0 = time.time()
+                materialize(mk_curate())
+                samples.append(time.time() - t0)
+            curate_sec = round(min(samples), 3)
             duck_sec, capped = duck_timed(
                 oracles["corpus_curate"],
                 {
@@ -1062,93 +1201,7 @@ def main() -> None:
     # the amplified scalar sums the SAME three entries as BENCH_r05
     # (round-over-round comparable); new round-6 entries (quantized,
     # curate) are reported per-entry, not folded into the scalar
-    _AMP_SCALAR_KEYS = [
-        "dense_topk_500k_vecs",
-        "profile_250k_docs",
-        "windowed_counts_5m_events",
-    ]
-    amp_entries = [
-        scale_amplified[k] for k in _AMP_SCALAR_KEYS if k in scale_amplified
-    ]
-    amp_spark = sum(v["spark_sec"] for v in amp_entries)
-    amp_duck = sum(v["duckdb_sec"] for v in amp_entries)
-    bench_vs_baseline = (
-        round(spark_common / max(duck_common, 1e-9), 2)
-        if duckdb_baseline
-        else None
-    )
-    bench_vs_baseline_amplified = (
-        round(amp_spark / max(amp_duck, 1e-9), 2) if amp_entries else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ingest_chunks": n_chunks,
-                "ingest_chunks_per_s": round(n_chunks / max(ingest_sec, 1e-9), 1),
-                **throughput,
-                "duckdb_baseline": duckdb_baseline,
-                "vs_duckdb": vs_duckdb,
-                "bench_vs_baseline": bench_vs_baseline,
-                "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
-                "scale_amplified": scale_amplified,
-                "floor_amortization": floor_amortization,
-                "layout_skipping_band_scan": layout_skipping,
-                "ann_recall": ann_recall,
-                "round6_ops": round6_ops,
-                "notes": BENCH_NOTES,
-            }
-        )
-    )
-    # compact scalars-only line LAST: the driver records a 2,000-char
-    # tail of stdout, which truncates the full line above mid-JSON
-    # (BENCH_r05 recorded "parsed": null for exactly this reason) —
-    # this line is small enough that the tail always captures it whole
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "n_bench_queries": len(timings),
-                "bench_vs_baseline": bench_vs_baseline,
-                "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
-                # spark-only entries (quantized scan) have no DuckDB
-                # ratio — omit them rather than emitting null
-                "amplified_speedups": {
-                    k: v["spark_speedup_over_duckdb"]
-                    for k, v in scale_amplified.items()
-                    if v.get("spark_speedup_over_duckdb") is not None
-                },
-                "floor_amortization_speedups": {
-                    k: v.get("spark_speedup_over_duckdb")
-                    for k, v in floor_amortization.items()
-                },
-                "ann_recall_at_5": ann_recall.get("recall_at_5"),
-                "ann_dim": ann_recall.get("dim"),
-                "round6_ops_speedups": {
-                    k: v.get("spark_speedup_over_duckdb")
-                    for k, v in round6_ops.items()
-                },
-                "quantized_scan": {
-                    "recall_at_5_vs_exact": scale_amplified.get(
-                        "dense_topk_quantized_500k", {}
-                    ).get("recall_at_5_vs_exact"),
-                    "scan_bytes_reduction": scale_amplified.get(
-                        "dense_topk_quantized_500k", {}
-                    ).get("scan_bytes_reduction"),
-                },
-                "ingest_chunks_per_s": round(
-                    n_chunks / max(ingest_sec, 1e-9), 1
-                ),
-            }
-        )
-    )
+    emit_json()
     spark.stop()
 
 

@@ -90,3 +90,7 @@ from .operators.validate import (  # noqa: E402,F401
 from .operators.affinity import item_cooccurrence  # noqa: E402,F401
 from .operators.anomaly import winsorize  # noqa: E402,F401
 from .operators.sampling import token_budget_sample  # noqa: E402,F401
+from .operators.anomaly import (  # noqa: E402,F401
+    category_drift_psi,
+    value_histogram,
+)

@@ -93,3 +93,85 @@ def winsorize(
         "value_w",
         F.least(F.greatest(F.col(value_col), F.col("q_lo")), F.col("q_hi")),
     )
+
+
+def category_drift_psi(
+    a: DataFrame,
+    b: DataFrame,
+    category_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of a categorical column between two
+    corpus snapshots/splits — the standard drift monitor ("did the
+    language/source mix of this week's crawl shift?"). PSI =
+    Σ (p_a − p_b)·ln(p_a/p_b) over categories; <0.1 stable, >0.25
+    action. ``eps`` floors each share so a category present in only
+    one side contributes a large-but-finite term instead of ±inf.
+
+    Scale shape: two count aggregations (one shuffle each over the
+    category key — category cardinality is tiny by definition) and a
+    full outer join of the two TINY share tables; nothing row-sized
+    survives past the first agg. Output: one row per category
+    (category, share_a, share_b, psi_term doubles) plus the
+    aggregate is a trivial sum over it.
+    """
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        counts = df.groupBy(
+            F.col(category_col).alias("category")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        total = counts.agg(F.sum("__n").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "category", (F.col("__n") / F.col("__t")).alias(out)
+        )
+
+    sa = shares(a, "share_a")
+    sb = shares(b, "share_b")
+    joined = sa.join(sb, "category", "full_outer").select(
+        "category",
+        F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
+        F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
+    )
+    pa = F.greatest(F.col("share_a"), F.lit(eps))
+    pb = F.greatest(F.col("share_b"), F.lit(eps))
+    return joined.withColumn(
+        "psi_term", (pa - pb) * F.log(pa / pb)
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-range histogram of a numeric column in ONE pass: bin =
+    floor((x − lo) / w) clamped to [0, n_bins−1], NULLs dropped —
+    the corpus-profiling primitive (length/quality/score
+    distributions) with explicit bounds so no second min/max scan is
+    needed. Map-side partial counts; the only shuffle carries at
+    most n_bins rows per partition.
+
+    Output: (bin int, bin_lo double, bin_hi double, n bigint),
+    bins with zero rows absent.
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    if n_bins < 1:
+        raise ValueError("need n_bins >= 1")
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -105,3 +105,72 @@ def test_winsorize_bad_bounds_raise(spark):
     df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
     with pytest.raises(ValueError):
         winsorize(df, ["grp"], "v", lo=0.9, hi=0.1)
+
+
+def test_category_drift_psi_detects_shift(spark):
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        category_drift_psi,
+    )
+
+    a = spark.createDataFrame(
+        [("en",)] * 80 + [("de",)] * 20, "lang string"
+    )
+    b_same = spark.createDataFrame(
+        [("en",)] * 80 + [("de",)] * 20, "lang string"
+    )
+    b_shift = spark.createDataFrame(
+        [("en",)] * 50 + [("de",)] * 50, "lang string"
+    )
+    psi_same = sum(
+        r.psi_term for r in category_drift_psi(a, b_same, "lang").collect()
+    )
+    psi_shift = sum(
+        r.psi_term
+        for r in category_drift_psi(a, b_shift, "lang").collect()
+    )
+    assert psi_same == pytest.approx(0.0, abs=1e-9)
+    assert psi_shift > 0.25
+
+
+def test_category_drift_psi_one_sided_category_finite(spark):
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        category_drift_psi,
+    )
+
+    a = spark.createDataFrame([("en",)] * 10, "lang string")
+    b = spark.createDataFrame(
+        [("en",)] * 5 + [("zz",)] * 5, "lang string"
+    )
+    rows = {r.category: r for r in category_drift_psi(a, b, "lang").collect()}
+    import math
+
+    assert math.isfinite(rows["zz"].psi_term) and rows["zz"].psi_term > 0
+
+
+def test_value_histogram_bins_and_clamp(spark):
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 5, 9, 10, 99]], "v double"
+    )
+    out = {r.bin: r for r in value_histogram(df, "v", 0.0, 10.0, 10).collect()}
+    # -5 clamps into bin 0; 10 and 99 clamp into bin 9
+    assert out[0].n == 2  # -5, 0
+    assert out[1].n == 1  # 1
+    assert out[9].n == 3  # 9, 10, 99
+    assert out[5].n == 1  # 5
+    assert out[0].bin_lo == 0.0 and out[0].bin_hi == 1.0
+
+
+def test_value_histogram_bad_args(spark):
+    from embedding_to_vectordatabase_spark.operators.anomaly import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        value_histogram(df, "v", 5.0, 5.0)
+    with pytest.raises(ValueError):
+        value_histogram(df, "v", 0.0, 1.0, 0)

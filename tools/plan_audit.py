@@ -166,6 +166,19 @@ CHECKS = {
          lambda s: "BroadcastHashJoin" in s
          and "SortMergeJoin" not in s),
     ],
+    "lang_drift_psi": [
+        # the full-outer join runs over two tiny share tables —
+        # corpus-sized rows must never reach it
+        ("share tables aggregated before the outer join",
+         lambda s: s.count("HashAggregate") >= 4
+         and "CartesianProduct" not in s),
+    ],
+    "nchars_histogram": [
+        ("one-pass partial-agg histogram (single scan, no UDF)",
+         lambda s: s.count("Scan parquet") == 1
+         and "BatchEvalPython" not in s
+         and "MapInPandas" not in s),
+    ],
 }
 
 
