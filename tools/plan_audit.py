@@ -27,6 +27,15 @@ def explain_str(df) -> str:
     return buf.getvalue()
 
 
+def n_scans(s: str) -> int:
+    """Count parquet scans by their numbered detail header. The tree
+    drawing at the top of a formatted explain repeats every node name,
+    so a bare substring count double-counts each scan."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", s, re.M))
+
+
 CHECKS = {
     "p10_expr_filter": [
         ("filter pushed to scan", lambda s: "GreaterThan(n_chars,200)" in s),
@@ -132,7 +141,7 @@ CHECKS = {
     "validate_documents": [
         # the whole report is one scan + one 1-row reduce
         ("single-scan report (one parquet scan)",
-         lambda s: s.count("Scan parquet") == 1),
+         lambda s: n_scans(s) == 1),
         ("no data-row shuffle (only the scalar agg exchange)",
          lambda s: s.count("Exchange") <= 2),
     ],
@@ -142,10 +151,13 @@ CHECKS = {
          and "SortMergeJoin" not in s),
     ],
     "props_k_counts": [
-        ("JSON extraction stays in whole-stage codegen (no UDF)",
-         lambda s: "WholeStageCodegen" in s
-         and "BatchEvalPython" not in s
-         and "MapInPandas" not in s),
+        # WholeStageCodegen markers don't print in pre-execution AQE
+        # formatted plans; "native" here means no Python eval node of
+        # any kind reaches the plan
+        ("JSON extraction stays JVM-native (no UDF)",
+         lambda s: "BatchEvalPython" not in s
+         and "MapInPandas" not in s
+         and "ArrowEvalPython" not in s),
     ],
     "edit_distance_pairs": [
         ("band-blocked equi-join (never all-pairs)",
@@ -175,7 +187,7 @@ CHECKS = {
     ],
     "nchars_histogram": [
         ("one-pass partial-agg histogram (single scan, no UDF)",
-         lambda s: s.count("Scan parquet") == 1
+         lambda s: n_scans(s) == 1
          and "BatchEvalPython" not in s
          and "MapInPandas" not in s),
     ],
