@@ -485,6 +485,90 @@ _SQL_J2 = (
 )
 
 
+def _q_bloom_anti_join(spark, sf_dir):
+    """J2 at scale: Bloom pre-filter in front of the exact anti-join —
+    only probable duplicates reach the shuffle; result is identical to
+    the plain anti-join (no false negatives, fp resolved exactly)."""
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        bloom_anti_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"), "source"
+    )
+    ingested = docs.filter(F.col("file_id") % 3 == 0).select("file_id")
+    return bloom_anti_join(docs, ingested, n_bits=1 << 16, n_hashes=4)
+
+
+_SQL_BLOOM_ANTI = (
+    "SELECT doc_id AS file_id, source FROM documents WHERE doc_id % 3 != 0"
+)
+
+
+def _q_skew_profile(spark, sf_dir):
+    """Heavy-hitter report on a prospective shuffle key — the
+    pre-flight diagnostic for salting/AQE-skew decisions."""
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        skew_profile,
+    )
+
+    return skew_profile(
+        _t(spark, sf_dir, "events"), "event_type", top_n=10
+    )
+
+
+_SQL_SKEW_PROFILE = """
+WITH c AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+),
+t AS (SELECT SUM(cnt) AS total, AVG(cnt) AS mean FROM c)
+SELECT event_type, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) / mean, 3) AS skew
+FROM c, t
+ORDER BY cnt DESC, event_type ASC
+LIMIT 10
+"""
+
+
+def _q_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label centroid embeddings — the
+    source-similarity / coverage-overlap report; the pairwise join
+    runs over n_groups rows, never the corpus."""
+    from embedding_to_vectordatabase_spark.operators.embedding import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+_SQL_CENTROID_SIM = """
+WITH comps AS (
+  SELECT grp, i, emb[i] AS v FROM (
+    SELECT label AS grp, embedding AS emb,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings)
+),
+cent AS (
+  SELECT grp, i, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+  FROM comps GROUP BY grp, i
+),
+norms AS (SELECT grp, SQRT(SUM(c*c)) AS nrm FROM cent GROUP BY grp),
+dots AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, SUM(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.i = b.i AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT d.group_a, d.group_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.grp = d.group_a
+JOIN norms nb ON nb.grp = d.group_b
+"""
+
+
 def _q_j3_kb_scope(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.joins import (
         kb_scoped_registry,
@@ -4751,6 +4835,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("redact_pii", _q_redact_pii, _sql_redact_pii()),
     ("repetition_score", _q_repetition_score, _SQL_REPETITION),
     ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
+    ("bloom_anti_join", _q_bloom_anti_join, _SQL_BLOOM_ANTI),
+    ("skew_profile", _q_skew_profile, _SQL_SKEW_PROFILE),
+    ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

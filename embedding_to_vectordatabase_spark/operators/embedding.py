@@ -209,3 +209,88 @@ def embed_text(
                 )
 
     return df.mapInPandas(run, out_schema)
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per group — the corpus-analytics
+    primitive behind source-similarity and snapshot-drift reports.
+
+    Scale shape: posexplode fans each vector into (group, pos, value)
+    rows, one map-side-combined groupBy on (group, pos) averages them,
+    and the centroid is reassembled with array_sort over collected
+    (pos, avg) structs — dim × n_groups rows after the partial agg, so
+    the shuffle is tiny regardless of corpus size. All JVM-native.
+
+    ``round_to`` rounds each centroid component so a SQL oracle's
+    independently-ordered float summation agrees bit-for-bit in the
+    downstream cosine (per-sum error ~1e-12 vs the 1e-6 grid).
+    """
+    comps = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("grp", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    c = F.round("c", round_to) if round_to is not None else F.col("c")
+    return (
+        comps.select("grp", F.struct("pos", c.alias("c")).alias("pc"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pc")), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroid embeddings —
+    which sources/labels cover the same region of embedding space
+    (near-1 pairs are merge/dedup candidates; near-0 pairs are the
+    diversity a training mix wants).
+
+    The pairwise join runs AFTER the centroid aggregation, over
+    n_groups rows — never over the corpus — so the cross join is a few
+    hundred rows even when the input is 100 TB. Output columns:
+    (group_a, group_b, cosine), group_a < group_b.
+    """
+    cents = group_centroids(df, group_col, vec_col, round_to)
+    a = cents.select(
+        F.col(group_col).alias("group_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col(group_col).alias("group_b"), F.col("centroid").alias("cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                dot / (nrm(F.col("ca")) * nrm(F.col("cb"))), 6
+            ).alias("cosine"),
+        )
+    )

@@ -271,3 +271,96 @@ def snapshot_diff(
     return j.select("doc_id", change.alias("change")).filter(
         F.col("change").isNotNull()
     )
+
+
+def _bloom_test_sql(key: str, i: int, n_bits: int) -> str:
+    """SQL fragment: bit i's membership test against the broadcast
+    bitmap column __bloom (1-based element_at). Written as expr()
+    strings because pyspark's shiftleft wrapper only takes a literal
+    shift amount, while the SQL ShiftLeft accepts an expression."""
+    pos = f"pmod(xxhash64(`{key}`, {i}), {n_bits}L)"
+    return (
+        f"(element_at(__bloom, CAST({pos} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+    )
+
+
+def bloom_anti_join(
+    docs: DataFrame,
+    ingested: DataFrame,
+    key: str = "file_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """J2 at scale: anti-join with a Bloom-filter pre-filter, so only
+    probable duplicates ever reach the exact anti-join's shuffle.
+
+    The result is EXACTLY ``docs ANTI JOIN ingested ON key`` — a Bloom
+    filter has no false negatives, and its false positives are resolved
+    by the exact anti-join behind it. What changes is the plan shape:
+    at 100 TB with a mostly-new corpus, the corpus side entering the
+    shuffle shrinks from 100% of rows to (duplicate rate + false-
+    positive rate); everything else is eliminated map-side by a native
+    bitmap test. Sized at the default 2^20 bits / 5 hashes, ~100k keys
+    give fp ≈ 0.6%; size n_bits ≈ 10 bits/key for ~1% fp.
+
+    Build: each ingested key sets ``n_hashes`` positions via
+    xxhash64(key, i) pmod n_bits; positions reduce to at most
+    n_bits/64 (word, OR-of-masks) rows through a map-side-combined
+    groupBy before a bounded n_bits/8-byte driver collect (same
+    bounded-driver-state contract as the IVF centroid sample,
+    search.py). Probe: the bitmap rides a one-row broadcast; the k bit
+    tests are native element_at + bitwise AND inside codegen — no
+    Python, no per-row driver work.
+
+    NULL keys: xxhash64 skips NULL inputs, so a NULL key hashes to the
+    seed-only positions on both sides; whether or not that collides,
+    the exact anti-join keeps NULL-keyed docs (NULL never equals), the
+    same semantics as ``anti_join_ingested``.
+
+    Reference parity: replaces the per-document Milvus existence query
+    (embed_to_milvus.py:87-89, milvus_connector.py:155-165) — the
+    reference's network round-trip per doc becomes a local bit test.
+    """
+    from functools import reduce
+
+    spark = docs.sparkSession
+    n_words = (n_bits + 63) // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    rows = (
+        ingested.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in rows:
+        bitmap[r["w"]] = r["bits"]
+    bm = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
+    probed = docs.crossJoin(F.broadcast(bm))
+    maybe = reduce(
+        lambda a, b: a & b,
+        [
+            F.expr(_bloom_test_sql(key, i, n_bits))
+            for i in range(n_hashes)
+        ],
+    )
+    definitely_new = probed.filter(~maybe).drop("__bloom")
+    candidates = probed.filter(maybe).drop("__bloom")
+    survivors = candidates.join(
+        ingested.select(key).distinct(), on=key, how="left_anti"
+    )
+    return definitely_new.unionByName(survivors)

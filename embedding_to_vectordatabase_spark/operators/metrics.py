@@ -133,3 +133,40 @@ def table_stats(
         "n_distinct long, min double, max double, mean double, "
         "p25 double, p50 double, p75 double, p95 double",
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report for a prospective join/groupBy key: the
+    top-N key values by row count, each with its share of the table
+    and its load relative to the mean key (``skew``). skew >> 1 on a
+    planned shuffle key is the signal to reach for ``util.salted_join``
+    or AQE skew handling BEFORE the job runs, instead of diagnosing a
+    straggler task after six hours at 100 TB.
+
+    Scale shape: one map-side-combined groupBy on the key, then the
+    per-key counts (already small) cross-joined with their own one-row
+    totals — the table itself is scanned once and never re-shuffled.
+    Top-N is TakeOrderedAndProject, not a global sort. Deterministic
+    tie-break on the key values.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.avg("cnt").alias("__mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__mean"), 3).alias("skew"),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+        .limit(top_n)
+    )
