@@ -92,12 +92,16 @@ BENCH_NOTES = {
         "below). speedup = duckdb_sec/spark_sec, >1 means Spark "
         "faster. If Spark's deficit is a fixed scheduling floor the "
         "speedup must rise with volume; if it is per-row cost it "
-        "will not. Measured verdict: windowed_counts 0.21@5M -> "
-        "~0.5@50M and sessionize 1.3@5M -> >11@50M CONFIRM the floor "
+        "will not. Measured verdict: windowed_counts 0.3@5M -> "
+        "~0.5@50M and sessionize 6.5@5M -> 9.7@50M CONFIRM the floor "
         "claim for the event family (Spark's window/agg per-row cost "
         "matches or beats DuckDB's once volume amortizes the "
         "2-stage exchange; DuckDB's single-node window sort degrades "
-        "super-linearly on sessionize). tpch_q1 stays ~0.09-0.11 at "
+        "super-linearly on sessionize: an uncapped dry run measured "
+        "96.3 s for DuckDB sessionize@50M vs Spark 9.9 s; production "
+        "runs cap DuckDB at 25 s here, so a recorded "
+        "duckdb_hit_cap=true 50M entry understates the true ratio). "
+        "tpch_q1 stays ~0.09-0.11 at "
         "6M AND 60M rows - for DECIMAL-sum aggregates the gap is "
         "per-row cost (DuckDB native decimal vs Spark Decimal128 in "
         "the JVM), NOT floor; the int64-penny rewrite that closes it "
@@ -283,23 +287,38 @@ def main() -> None:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    def timed(name: str, mk, runs: int = 3) -> None:
-        nonlocal total
-        progress(f"bench {name}")
-        materialize(mk())  # untimed warmup (see module docstring)
+    def sample_min(mk, runs: int, max_runs: int = 4) -> float:
+        """MIN of `runs` timed shots, extended up to `max_runs` while
+        the spread looks storm-poisoned. MIN, not median: this box is
+        a VM with measured hypervisor CPU-steal storms (30 s+ windows
+        where every task slows 5-10x uniformly, no GC, no code-cache
+        pressure — verified with -Xlog:gc and /proc/stat steal). A
+        storm inside the sample window poisons the median but rarely
+        all runs; the min is the standard least-interference estimate
+        of the plan's actual cost. When max/min > 3 ALL samples may
+        have straddled a storm (observed: 7.6/24.4/2.4 s for one
+        identical plan), so keep sampling while budget allows — the
+        first post-storm shot recovers the real number."""
         samples = []
         for _ in range(runs):
             t0 = time.time()
             materialize(mk())
             samples.append(time.time() - t0)
-        # MIN, not median: this box is a VM with measured hypervisor
-        # CPU-steal storms (30 s+ windows where every task slows
-        # 5-10x uniformly, no GC, no code-cache pressure — verified
-        # with -Xlog:gc and /proc/stat steal). A storm inside the
-        # sample window poisons the median but rarely all runs; the
-        # min is the standard least-interference estimate of the
-        # plan's actual cost.
-        dt = round(min(samples), 3)
+        while (
+            len(samples) < max_runs
+            and max(samples) / max(min(samples), 1e-9) > 3.0
+            and time_left() > 60 + 2 * min(samples)
+        ):
+            t0 = time.time()
+            materialize(mk())
+            samples.append(time.time() - t0)
+        return min(samples)
+
+    def timed(name: str, mk, runs: int = 2) -> None:
+        nonlocal total
+        progress(f"bench {name}")
+        materialize(mk())  # untimed warmup (see module docstring)
+        dt = round(sample_min(mk, runs), 3)
         timings[name] = dt
         total += dt
 
@@ -312,7 +331,7 @@ def main() -> None:
     progress("ingest_e2e")
     entry._q_ingest_chunks(spark, sf_dir).count()  # warmup
     ingest_samples = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         n_chunks = entry._q_ingest_chunks(spark, sf_dir).count()
         ingest_samples.append(time.time() - t0)
@@ -516,7 +535,7 @@ def main() -> None:
             progress(f"duckdb {name}")
             con.execute(oracles[name]).fetchall()  # warmup
             samples = []
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.time()
                 con.execute(oracles[name]).fetchall()
                 samples.append(time.time() - t0)
@@ -626,14 +645,12 @@ def main() -> None:
                 break
             progress(f"scale_amplified spark {key}")
             materialize(spark_mk())  # warmup
-            # best-of-2 when budget allows: a CPU-steal storm during
-            # a single shot would misreport the headline by 5-10x
-            samples = []
-            for _ in range(2 if time_left() > 150 else 1):
-                t0 = time.time()
-                materialize(spark_mk())
-                samples.append(time.time() - t0)
-            spark_sec = round(min(samples), 3)
+            # best-of-2, storm-adaptive (headline queries: a steal
+            # storm across both samples would misreport by 5-10x,
+            # so sample_min keeps shooting while spread > 3x)
+            spark_sec = round(
+                sample_min(spark_mk, 2 if time_left() > 150 else 1), 3
+            )
             progress(f"scale_amplified duckdb {key}")
             duck_sec, capped = duck_timed(sql, paths)
             scale_amplified[key] = {
@@ -804,32 +821,41 @@ def main() -> None:
                 os.path.join(ampsf1, "lineitem.parquet")
             ).count()
 
+            # (label, query, dir, table, rows, warm) — the 50m points
+            # skip their warmup run (the 5m variant of the same query
+            # JIT-warmed the identical plan) and take a single timed
+            # shot: at 50M rows a steal storm is visible in the
+            # progress log, and the 5m/50m RATIO is the evidence, not
+            # the absolute. DuckDB gets a tight 25 s cap — a capped
+            # run is already a complete answer ("duckdb >= cap") and
+            # the uncapped r6 dry run showed an interrupted 50M
+            # sessionize coasting to 96 s before aborting.
             curve_points = [
                 ("windowed_counts_5m", "st_windowed_event_counts",
-                 amp5m, "events", n_ev5),
+                 amp5m, "events", n_ev5, True),
                 ("windowed_counts_50m", "st_windowed_event_counts",
-                 amp50m, "events", n_ev50),
-                ("sessionize_5m", "st_sessionize", amp5m, "events", n_ev5),
+                 amp50m, "events", n_ev50, False),
+                ("sessionize_5m", "st_sessionize", amp5m, "events",
+                 n_ev5, True),
                 ("sessionize_50m", "st_sessionize", amp50m, "events",
-                 n_ev50),
+                 n_ev50, False),
                 ("tpch_q1_sf1", "tpch_q1_pricing", ampsf1, "lineitem",
-                 n_li_amp),
+                 n_li_amp, True),
             ]
-            for label, qname, dirpath, table, nrows in curve_points:
+            for label, qname, dirpath, table, nrows, warm in curve_points:
                 if time_left() < 40:
                     progress("bench deadline - stopping amortization curve")
                     break
                 progress(f"floor_amortization {label}")
                 mk = lambda: qs[qname](spark, dirpath)  # noqa: B023,E731
-                materialize(mk())  # warmup
-                # best-of-2 when budget allows — a steal storm on a
-                # single shot would bend the curve itself
-                samples = []
-                for _ in range(2 if time_left() > 60 else 1):
-                    t0 = time.time()
-                    materialize(mk())
-                    samples.append(time.time() - t0)
-                spark_sec = round(min(samples), 3)
+                if warm:
+                    materialize(mk())  # warmup
+                spark_sec = round(
+                    sample_min(
+                        mk, 2 if (warm and time_left() > 60) else 1
+                    ),
+                    3,
+                )
                 duck_sec, capped = duck_timed(
                     oracles[qname],
                     {
@@ -837,6 +863,7 @@ def main() -> None:
                             dirpath, f"{table}.parquet", "*.parquet"
                         )
                     },
+                    cap=25.0,
                 )
                 floor_amortization[label] = {
                     "rows": nrows,
@@ -893,13 +920,14 @@ def main() -> None:
                 hashed=True,
             )
             n_curate_in = curate_docs.count() * 2
-            materialize(mk_curate())  # warmup
-            samples = []
-            for _ in range(2 if time_left() > 150 else 1):
-                t0 = time.time()
-                materialize(mk_curate())
-                samples.append(time.time() - t0)
-            curate_sec = round(min(samples), 3)
+            if time_left() > 200:
+                materialize(mk_curate())  # warmup
+            curate_sec = round(
+                sample_min(
+                    mk_curate, 2 if time_left() > 200 else 1, max_runs=3
+                ),
+                3,
+            )
             duck_sec, capped = duck_timed(
                 oracles["corpus_curate"],
                 {
@@ -907,7 +935,7 @@ def main() -> None:
                         curate_dir, "documents.parquet", "*.parquet"
                     )
                 },
-                cap=30.0,
+                cap=20.0,
             )
             scale_amplified["corpus_curate_250k_docs"] = {
                 "spark_sec": curate_sec,
@@ -1040,15 +1068,18 @@ def main() -> None:
 
         # annotations assigned as OBJECTS: this module's `from
         # __future__ import annotations` turns inline hints into
-        # strings pandas_udf can't resolve against main()'s locals
+        # strings pandas_udf can't resolve against main()'s locals.
+        # One vectorized standard_normal per Arrow batch, seeded from
+        # the batch's first id: ~100x faster than a per-row rng at
+        # 100k x 1024, and within-run reproducibility (all three
+        # searches read the SAME written parquet) is all recall needs.
         def _mk_vec(ids):
             C = cb.value
-            out = []
-            for i in ids:
-                r = np.random.default_rng(int(i))  # per-row: partition-stable
-                v = C[int(i) % len(C)] + r.standard_normal(C.shape[1])
-                out.append(v.astype(np.float32))
-            return pd.Series(out, index=ids.index)
+            idx = ids.to_numpy().astype(np.int64)
+            r = np.random.default_rng(int(idx[0]) if len(idx) else 0)
+            noise = r.standard_normal((len(idx), C.shape[1]))
+            vecs = (C[idx % len(C)] + noise).astype(np.float32)
+            return pd.Series(list(vecs), index=ids.index)
 
         _mk_vec.__annotations__ = {"ids": pd.Series, "return": pd.Series}
         mk_vec = F.pandas_udf(_mk_vec, T.ArrayType(T.FloatType()))

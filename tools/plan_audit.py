@@ -57,7 +57,7 @@ CHECKS = {
         ("registry broadcast", lambda s: "BroadcastHashJoin" in s),
     ],
     "o4_dense_topk": [
-        ("local top-k prunes before shuffle", lambda s: "MapInPandas" in s),
+        ("local top-k prunes before shuffle", lambda s: "MapInArrow" in s),
         # exactly one Window op (WindowGroupLimit pre-prunes don't count)
         (
             "window over pruned stream only",
@@ -78,7 +78,7 @@ CHECKS = {
         # stage-1 scans only (id, codes, scale) — never the float col
         # on the wide path; the floats re-enter via the candidate join
         ("int8 stage keeps float col out of the scan it prunes",
-         lambda s: "MapInPandas" in s and s.count("BroadcastHashJoin") >= 1),
+         lambda s: "MapInArrow" in s and s.count("BroadcastHashJoin") >= 1),
         ("no cartesian anywhere", lambda s: "CartesianProduct" not in s),
     ],
     "decontaminate": [
@@ -190,6 +190,16 @@ CHECKS = {
          lambda s: n_scans(s) == 1
          and "BatchEvalPython" not in s
          and "MapInPandas" not in s),
+    ],
+    "bloom_anti_join": [
+        # the bitmap probe must stay JVM-native; the only nested-loop
+        # join allowed is the one-row bitmap broadcast
+        ("bitmap probe JVM-native (no Python eval)",
+         lambda s: "BatchEvalPython" not in s
+         and "ArrowEvalPython" not in s
+         and "MapInPandas" not in s),
+        ("no cartesian product",
+         lambda s: "CartesianProduct" not in s),
     ],
 }
 
