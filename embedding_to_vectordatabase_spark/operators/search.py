@@ -75,9 +75,13 @@ def _pa_matrix(arr, dtype=np.float64) -> np.ndarray:
         raise ValueError("vector column contains NULLs")
     t = arr.type
     if pa.types.is_fixed_size_list(t):
+        # .values is the UNsliced child: apply this array's offset
+        w = t.list_size
+        start = arr.offset * w
+        vals = arr.values.to_numpy(zero_copy_only=False)
         return (
-            arr.values.to_numpy(zero_copy_only=False)
-            .reshape(len(arr), t.list_size)
+            vals[start:start + len(arr) * w]
+            .reshape(len(arr), w)
             .astype(dtype, copy=False)
         )
     if pa.types.is_list(t) or pa.types.is_large_list(t):

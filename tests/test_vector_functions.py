@@ -141,3 +141,43 @@ def test_int8_quantization_roundtrip_and_cosine(spark):
         assert all(abs(x - y) <= step / 2 + 1e-12 for x, y in zip(v, dq))
         assert cos(v, dq) > 0.99
         assert all(-127 <= c <= 127 for c in q["codes"])
+
+
+def test_pa_matrix_layouts_and_errors():
+    """_pa_matrix must read list / large_list / fixed_size_list and
+    sliced arrays via the flat buffer, and refuse ragged/NULL input
+    (dense vectors are fixed-width by contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _pa_matrix,
+    )
+
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    want = np.array(rows)
+    for arr in (
+        pa.array(rows, type=pa.list_(pa.float32())),
+        pa.array(rows, type=pa.large_list(pa.float64())),
+        pa.array(rows, type=pa.list_(pa.float64(), 2)),  # fixed-size
+    ):
+        got = _pa_matrix(arr)
+        assert got.shape == (3, 2)
+        assert np.allclose(got, want)
+        # sliced view (non-zero offset) must still map the right rows
+        sl = arr.slice(1, 2)
+        got_sl = _pa_matrix(sl)
+        assert np.allclose(got_sl, want[1:])
+
+    chunked = pa.chunked_array(
+        [pa.array(rows[:2], type=pa.list_(pa.float64())),
+         pa.array(rows[2:], type=pa.list_(pa.float64()))]
+    )
+    assert np.allclose(_pa_matrix(chunked), want)
+
+    with pytest.raises(ValueError, match="ragged"):
+        _pa_matrix(pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float64())))
+    with pytest.raises(ValueError, match="NULL"):
+        _pa_matrix(pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64())))
+    assert _pa_matrix(pa.array([], type=pa.list_(pa.float64()))).size == 0
