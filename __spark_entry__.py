@@ -544,6 +544,70 @@ def _q_centroid_similarity(spark, sf_dir):
     )
 
 
+def _q_throttle_events(spark, sf_dir):
+    """Lag-based per-user rate limit: drop events arriving under
+    5 min after the user's previous raw event (first event kept)."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        throttle_events,
+    )
+
+    return throttle_events(
+        _events(spark, sf_dir), min_gap_seconds=300
+    ).select("event_id", "user_id", "event_type")
+
+
+_SQL_THROTTLE = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+  WHERE ts IS NOT NULL
+)
+WHERE gap IS NULL OR gap >= 300 * 1000000
+"""
+
+
+def _q_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency per day over [ts, ts+value sec)
+    intervals — +1/-1 deltas, per-day running sum, argmax."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        peak_concurrency,
+    )
+
+    return peak_concurrency(_events(spark, sf_dir))
+
+
+_SQL_PEAK_CONCURRENCY = """
+WITH base AS (
+  SELECT epoch_us(ts) AS t,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS d,
+         event_id
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+deltas AS (
+  SELECT t, 1 AS delta, event_id FROM base
+  UNION ALL
+  SELECT t + d AS t, -1 AS delta, event_id FROM base
+),
+swept AS (
+  SELECT CAST(make_timestamp(t) AS DATE) AS day, t,
+         CAST(SUM(delta) OVER (
+           PARTITION BY CAST(make_timestamp(t) AS DATE)
+           ORDER BY t ASC, delta ASC, event_id ASC
+         ) AS BIGINT) AS active
+  FROM deltas
+),
+m AS (SELECT day, MAX(active) AS peak FROM swept GROUP BY day)
+SELECT s.day, m.peak AS peak_concurrency, MIN(s.t) AS peak_at_us
+FROM swept s JOIN m ON m.day = s.day AND s.active = m.peak
+GROUP BY s.day, m.peak
+"""
+
+
 _SQL_CENTROID_SIM = """
 WITH comps AS (
   SELECT grp, i, emb[i] AS v FROM (
@@ -4838,6 +4902,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("bloom_anti_join", _q_bloom_anti_join, _SQL_BLOOM_ANTI),
     ("skew_profile", _q_skew_profile, _SQL_SKEW_PROFILE),
     ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
+    ("throttle_events", _q_throttle_events, _SQL_THROTTLE),
+    ("peak_concurrency", _q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

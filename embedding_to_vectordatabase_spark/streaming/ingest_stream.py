@@ -316,3 +316,112 @@ def rollup_hierarchy(
     return out.select(
         "grain", "bucket_start", type_col, "n_events", "sum_value"
     )
+
+
+def throttle_events(
+    events: DataFrame,
+    min_gap_seconds: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Telemetry rate-limit: drop an event arriving less than
+    ``min_gap_seconds`` after the user's PREVIOUS RAW event (lag
+    against the raw stream, ties kept). This is the stateless
+    window-function form — one shuffle on user, then a per-user sort.
+
+    Deliberately NOT the stateful "resets on every kept event"
+    debounce (that recurrence is iterative: whether event n survives
+    depends on which of 1..n-1 survived — the streaming state-store
+    shape, see stateful.py); the raw-lag form is the standard batch
+    throttle and is exactly reproducible by any SQL engine's LAG,
+    which keeps it oracle-checkable. The first event of a user (lag
+    NULL) is always kept. Ties on (ts) within a user are ordered by
+    event_id so the kept set is deterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        ts_micros(ts_col).asc(), F.col("event_id").asc()
+    )
+    gap_us = ts_micros(ts_col) - F.lag(ts_micros(ts_col)).over(w)
+    return (
+        # NULL-ts events dropped: they cannot be rate-limited, and
+        # NULL sort position differs across engines (oracle parity)
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("__gap_us", gap_us)
+        .filter(
+            F.col("__gap_us").isNull()
+            | (F.col("__gap_us") >= min_gap_seconds * 1_000_000)
+        )
+        .drop("__gap_us")
+    )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    duration_col: str = "value",
+    ts_col: str = "ts",
+    day_partitioned: bool = True,
+) -> DataFrame:
+    """Sweep-line concurrency: treating each event as an interval
+    [ts, ts + duration_col seconds), report per day the maximum
+    number of simultaneously-open intervals and when it first occurs
+    — the capacity-planning number for a serving fleet.
+
+    Plan shape: each interval becomes a +1 row at its start and a -1
+    row at its end (one projection + union, no join), then a running
+    sum ordered by (time, delta, event_id) inside each day partition
+    gives the active count at every boundary; a per-day argmax
+    finishes. Day partitioning keeps the sort distributed (no
+    single-partition global order) at the cost of not counting
+    intervals that straddle midnight toward the next day — the
+    documented tradeoff; pass day_partitioned=False for exact global
+    sweep on small inputs. Ends sort BEFORE starts at the same
+    instant (delta asc), so touching intervals [a,b) [b,c) never
+    double-count.
+    """
+    from pyspark.sql import Window
+
+    us = ts_micros(F.col(ts_col))
+    # floor, not cast-truncate: floor() is identical across engines
+    # for the oracle, while double->long casts round in some and
+    # truncate in others
+    dur_us = F.floor(
+        F.col(duration_col).cast("double") * 1_000_000
+    ).cast("long")
+    # NULL ts/duration rows are dropped up front: a NULL boundary
+    # would sort NULLS FIRST in Spark but NULLS LAST in most SQL
+    # engines, and an interval without both endpoints has no
+    # concurrency contribution anyway
+    base = events.filter(
+        F.col(ts_col).isNotNull() & F.col(duration_col).isNotNull()
+    ).select(us.alias("__t"), dur_us.alias("__d"), F.col("event_id"))
+    deltas = base.select(
+        F.col("__t"), F.lit(1).alias("__delta"), "event_id"
+    ).unionByName(
+        base.select(
+            (F.col("__t") + F.col("__d")).alias("__t"),
+            F.lit(-1).alias("__delta"),
+            "event_id",
+        )
+    )
+    day = F.to_date(F.timestamp_micros(F.col("__t"))).alias("day")
+    parts = [day] if day_partitioned else [F.lit(0).alias("day")]
+    deltas = deltas.select(*parts, "__t", "__delta", "event_id")
+    w = Window.partitionBy("day").orderBy(
+        F.col("__t").asc(), F.col("__delta").asc(), F.col("event_id").asc()
+    )
+    swept = deltas.withColumn(
+        "active", F.sum("__delta").over(w)
+    ).withColumn(
+        "__day_max", F.max("active").over(Window.partitionBy("day"))
+    )
+    return (
+        swept.filter(F.col("active") == F.col("__day_max"))
+        .groupBy("day")
+        .agg(
+            F.max("active").alias("peak_concurrency"),
+            F.min("__t").alias("peak_at_us"),
+        )
+        .select("day", "peak_concurrency", "peak_at_us")
+    )
