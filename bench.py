@@ -30,10 +30,13 @@ for "the same computation without Spark". Two regimes are reported:
   the regime the engine is built for.
 
 Timing policy: one untimed warmup (Janino/JIT compile is a per-JVM
-one-off that amortizes to nothing on a real cluster) then the MIN
-of 3 timed passes — this VM shows sporadic hypervisor CPU-steal
-storms (uniform 5-10x task slowdowns for 30 s+, no GC, verified via
-/proc/stat steal); the min is the least-interference estimate.
+one-off that amortizes to nothing on a real cluster) then the MIN of
+2+ timed passes, extended up to 4 while max/min spread exceeds 3x —
+this VM shows sporadic hypervisor CPU-steal storms (uniform 5-10x
+task slowdowns for 30 s+ to minutes, no GC, verified via /proc/stat
+steal); the min is the least-interference estimate, and the
+spread-adaptive extension recovers the true number when a storm
+spans the whole initial sample window.
 """
 
 from __future__ import annotations
@@ -41,7 +44,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import sys
 import threading
 import time
@@ -71,8 +73,21 @@ BENCH_QUERIES = [
     "profile_documents",
 ]
 
+# Persistent per-SF fixture cache (gitignored). Fixtures are pure
+# deterministic functions of the SF tables (seeded amplification /
+# generation), so a later run at the same SF reuses them instead of
+# re-writing ~110 s of parquet — the difference between every section
+# fitting the deadline and the tail sections starving whenever the
+# host VM throws a CPU-steal storm mid-run. Keyed by SF dir name so a
+# quick sf0.01 run can never poison the graded sf0.1 cache.
+_SF_TAG = re.sub(
+    r"[^A-Za-z0-9.]+", "_",
+    os.path.basename(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    ),
+)
 SCRATCH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_scratch"
+    os.path.dirname(os.path.abspath(__file__)), f".bench_scratch_{_SF_TAG}"
 )
 
 BENCH_NOTES = {
@@ -150,6 +165,23 @@ def main() -> None:
 
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
+
+    def ensure_fixture(path: str, build, expect: int | None = None) -> None:
+        """Build a deterministic scratch fixture only when the cached
+        copy is absent or fails its row-count check. Every fixture is
+        a pure seeded function of the SF tables, so reuse is exact."""
+        try:
+            got = spark.read.parquet(path).count()
+            if expect is None or got == expect:
+                progress(f"scratch reuse {os.path.basename(path)} ({got} rows)")
+                return
+            progress(
+                f"scratch stale {os.path.basename(path)} "
+                f"({got} != {expect}) - rebuilding"
+            )
+        except Exception:  # noqa: BLE001 — absent/corrupt => rebuild
+            pass
+        build()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -564,23 +596,33 @@ def main() -> None:
         emb500k_path = os.path.join(SCRATCH, "emb500k.parquet")
         docs250k_path = os.path.join(SCRATCH, "docs250k.parquet")
         ev5m_path = os.path.join(SCRATCH, "ev5m.parquet")
-        progress("scratch write emb500k/docs250k/ev5m")
-        emb500k.write.mode("overwrite").parquet(emb500k_path)
-        docs250k.write.mode("overwrite").parquet(docs250k_path)
+        progress("scratch ensure emb500k/docs250k/ev5m")
+        ensure_fixture(
+            emb500k_path,
+            lambda: emb500k.write.mode("overwrite").parquet(emb500k_path),
+        )
+        ensure_fixture(
+            docs250k_path,
+            lambda: docs250k.write.mode("overwrite").parquet(docs250k_path),
+        )
         ev = entry._events(spark, sf_dir)
         n_ev = ev.count()
         ev_times = max(1, round(5_000_000 / max(n_ev, 1)))
-        (
-            ev.repartition(spark.sparkContext.defaultParallelism)
-            .select(
-                "*",
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(ev_times - 1))
-                ).alias("__rep"),
-            )
-            .drop("__rep")
-            .write.mode("overwrite")
-            .parquet(ev5m_path)
+        ensure_fixture(
+            ev5m_path,
+            lambda: (
+                ev.repartition(spark.sparkContext.defaultParallelism)
+                .select(
+                    "*",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(ev_times - 1))
+                    ).alias("__rep"),
+                )
+                .drop("__rep")
+                .write.mode("overwrite")
+                .parquet(ev5m_path)
+            ),
+            expect=n_ev * ev_times,
         )
 
         from embedding_to_vectordatabase_spark.operators.textanalysis import (
@@ -707,11 +749,15 @@ def main() -> None:
                     .alias("embedding"),
                 )
             )
-            emb_varied.select(
-                "vec_id",
-                "embedding",
-                quantize_int8(F.col("embedding")).alias("q8"),
-            ).write.mode("overwrite").parquet(q8_path)
+            ensure_fixture(
+                q8_path,
+                lambda: emb_varied.select(
+                    "vec_id",
+                    "embedding",
+                    quantize_int8(F.col("embedding")).alias("q8"),
+                ).write.mode("overwrite").parquet(q8_path),
+                expect=500_000,
+            )
             q8_store = spark.read.parquet(q8_path)
             mk_quant = lambda: dense_topk_quantized(  # noqa: E731
                 q8_store, q3, k=5, quant_col="q8"
@@ -819,12 +865,19 @@ def main() -> None:
 
             os.makedirs(SCRATCH, exist_ok=True)
             vec_path = os.path.join(SCRATCH, "clustered100k.parquet")
-            (
-                spark.range(N_VEC)
-                .repartition(spark.sparkContext.defaultParallelism)
-                .select(F.col("id").alias("vec_id"), mk_vec("id").alias("embedding"))
-                .write.mode("overwrite")
-                .parquet(vec_path)
+            ensure_fixture(
+                vec_path,
+                lambda: (
+                    spark.range(N_VEC)
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .select(
+                        F.col("id").alias("vec_id"),
+                        mk_vec("id").alias("embedding"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(vec_path)
+                ),
+                expect=N_VEC,
             )
             cvecs = spark.read.parquet(vec_path)
             qdf = cvecs.filter(F.col("vec_id").isin([11, 22, 33])).select(
@@ -910,33 +963,43 @@ def main() -> None:
                 os.symlink(ev5m_path, link5m)
             ev5 = spark.read.parquet(ev5m_path)
             n_ev5 = ev5.count()
-            (
-                ev5.repartition(spark.sparkContext.defaultParallelism)
-                .select(
-                    "*",
-                    F.explode(
-                        F.sequence(F.lit(0), F.lit(9))
-                    ).alias("__rep"),
-                )
-                .withColumn(
-                    "event_id",
-                    F.col("event_id")
-                    + F.col("__rep").cast("long") * 100_000_000,
-                )
-                .withColumn(
-                    "ts",
-                    F.timestamp_add("SECOND", F.col("__rep"), F.col("ts")),
-                )
-                .drop("__rep")
-                .write.mode("overwrite")
-                .parquet(os.path.join(amp50m, "events.parquet"))
+            ensure_fixture(
+                os.path.join(amp50m, "events.parquet"),
+                lambda: (
+                    ev5.repartition(spark.sparkContext.defaultParallelism)
+                    .select(
+                        "*",
+                        F.explode(
+                            F.sequence(F.lit(0), F.lit(9))
+                        ).alias("__rep"),
+                    )
+                    .withColumn(
+                        "event_id",
+                        F.col("event_id")
+                        + F.col("__rep").cast("long") * 100_000_000,
+                    )
+                    .withColumn(
+                        "ts",
+                        F.timestamp_add(
+                            "SECOND", F.col("__rep"), F.col("ts")
+                        ),
+                    )
+                    .drop("__rep")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(amp50m, "events.parquet"))
+                ),
+                expect=n_ev5 * 10,
             )
             li_full = entry._t(spark, sf_dir, "lineitem")
             n_li = li_full.count()
             li_times = max(1, round(6_000_000 / max(n_li, 1)))
-            amplify(li_full, li_times, "l_orderkey").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(ampsf1, "lineitem.parquet"))
+            ensure_fixture(
+                os.path.join(ampsf1, "lineitem.parquet"),
+                lambda: amplify(li_full, li_times, "l_orderkey")
+                .write.mode("overwrite")
+                .parquet(os.path.join(ampsf1, "lineitem.parquet")),
+                expect=n_li * li_times,
+            )
             n_ev50 = spark.read.parquet(
                 os.path.join(amp50m, "events.parquet")
             ).count()
@@ -998,87 +1061,6 @@ def main() -> None:
                     ),
                 }
 
-        # full curation chain at scale (VERDICT r5 item 8): the
-        # flagship LLM-pipeline plan over 250k docs (125k + their
-        # truncated copies from the union inside the query). Spark
-        # runs the registry query verbatim; DuckDB runs the exact
-        # nested-CTE oracle over the same store (expected to hit the
-        # watchdog — recorded as a lower bound).
-        if time_left() > 90:
-            progress("corpus_curate_250k_docs")
-            curate_dir = os.path.join(SCRATCH, "curate_sf")
-            docs125k = amplify(
-                docs,
-                max(1, round(125_000 / max(n_docs, 1))),
-                "doc_id",
-                vary_text=True,
-            )
-            docs125k.write.mode("overwrite").parquet(
-                os.path.join(curate_dir, "documents.parquet")
-            )
-            from embedding_to_vectordatabase_spark.plans.curate import (
-                curate_corpus,
-            )
-
-            curate_docs = spark.read.parquet(
-                os.path.join(curate_dir, "documents.parquet")
-            )
-            curate_src = curate_docs.unionByName(
-                curate_docs.select(
-                    (F.col("doc_id") + 100_000_000).alias("doc_id"),
-                    F.substring(
-                        F.col("text"), 1, (F.length("text") * 0.8).cast("int")
-                    ).alias("text"),
-                )
-            )
-            # production knobs (df-pruning ON — the 100 TB path); the
-            # DuckDB oracle text is the unpruned registry form, so its
-            # capped time is a lower bound on DIFFERENT (strictly
-            # heavier) work — noted in the entry
-            mk_curate = lambda: curate_corpus(  # noqa: E731
-                curate_src,
-                min_quality=0.5,
-                n=3,
-                jaccard_threshold=0.5,
-                hashed=True,
-            )
-            n_curate_in = curate_docs.count() * 2
-            if time_left() > 200:
-                materialize(mk_curate())  # warmup
-            curate_sec = round(
-                sample_min(
-                    mk_curate, 2 if time_left() > 200 else 1, max_runs=3
-                ),
-                3,
-            )
-            duck_sec, capped = duck_timed(
-                oracles["corpus_curate"],
-                {
-                    "documents": os.path.join(
-                        curate_dir, "documents.parquet", "*.parquet"
-                    )
-                },
-                cap=20.0,
-            )
-            scale_amplified["corpus_curate_250k_docs"] = {
-                "spark_sec": curate_sec,
-                "duckdb_sec": duck_sec,
-                "duckdb_hit_cap": capped,
-                "spark_speedup_over_duckdb": round(
-                    duck_sec / max(curate_sec, 1e-9), 2
-                ),
-                "docs_in": n_curate_in,
-                "docs_per_s": round(n_curate_in / max(curate_sec, 1e-9), 1),
-                "note": (
-                    "spark runs production df-pruning "
-                    "(max_doc_freq=1000); duckdb runs the unpruned "
-                    "oracle text (strictly heavier), so a capped "
-                    "duckdb_sec is a lower bound on harder work"
-                ),
-            }
-            timings["corpus_curate_250k_docs"] = curate_sec
-            total += curate_sec
-
         # layout evidence: the same 1-hour-band query over the same 5M
         # events, raw (shuffled writer order) vs range-clustered by ts
         # (sinks/layout.cluster_by) — the clustered footers let the
@@ -1090,11 +1072,14 @@ def main() -> None:
 
             progress("layout skipping demo (raw vs ts-clustered 5M events)")
             ev_clustered_path = os.path.join(SCRATCH, "ev5m_clustered.parquet")
-            cluster_by(
-                spark.read.parquet(ev5m_path),
-                ["ts"],
-                num_files=spark.sparkContext.defaultParallelism,
-            ).write.mode("overwrite").parquet(ev_clustered_path)
+            ensure_fixture(
+                ev_clustered_path,
+                lambda: cluster_by(
+                    spark.read.parquet(ev5m_path),
+                    ["ts"],
+                    num_files=spark.sparkContext.defaultParallelism,
+                ).write.mode("overwrite").parquet(ev_clustered_path),
+            )
             lo, hi = (
                 spark.read.parquet(ev5m_path)
                 .agg(F.min("ts"), F.max("ts"))
@@ -1156,10 +1141,99 @@ def main() -> None:
                 raw_row_groups_read=f"{raw_hits}/{raw_total}",
                 clustered_row_groups_read=f"{clus_hits}/{clus_total}",
             )
+        # full curation chain at scale (VERDICT r5 item 8): the
+        # flagship LLM-pipeline plan over 250k docs (125k + their
+        # truncated copies from the union inside the query). Spark
+        # runs the registry query verbatim; DuckDB runs the exact
+        # nested-CTE oracle over the same store (expected to hit the
+        # watchdog — recorded as a lower bound).
+        # guard = one ~93 s curate pass + the 20 s DuckDB cap + slack;
+        # starting it with less would also starve the round6 section
+        if time_left() > 125:
+            progress("corpus_curate_250k_docs")
+            curate_dir = os.path.join(SCRATCH, "curate_sf")
+            docs125k = amplify(
+                docs,
+                max(1, round(125_000 / max(n_docs, 1))),
+                "doc_id",
+                vary_text=True,
+            )
+            ensure_fixture(
+                os.path.join(curate_dir, "documents.parquet"),
+                lambda: docs125k.write.mode("overwrite").parquet(
+                    os.path.join(curate_dir, "documents.parquet")
+                ),
+            )
+            from embedding_to_vectordatabase_spark.plans.curate import (
+                curate_corpus,
+            )
+
+            curate_docs = spark.read.parquet(
+                os.path.join(curate_dir, "documents.parquet")
+            )
+            curate_src = curate_docs.unionByName(
+                curate_docs.select(
+                    (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                    F.substring(
+                        F.col("text"), 1, (F.length("text") * 0.8).cast("int")
+                    ).alias("text"),
+                )
+            )
+            # production knobs (df-pruning ON — the 100 TB path); the
+            # DuckDB oracle text is the unpruned registry form, so its
+            # capped time is a lower bound on DIFFERENT (strictly
+            # heavier) work — noted in the entry
+            mk_curate = lambda: curate_corpus(  # noqa: E731
+                curate_src,
+                min_quality=0.5,
+                n=3,
+                jaccard_threshold=0.5,
+                hashed=True,
+            )
+            n_curate_in = curate_docs.count() * 2
+            # single shot, NO warmup: one curate pass at 250k docs
+            # measures ~93 s on a quiet box — a warmup + best-of-2
+            # here (~190 s+) is exactly the overrun that watchdogged
+            # two dry runs. JIT is warm from the earlier doc-family
+            # sections; the residual noise is acceptable for an
+            # entry whose DuckDB side is a capped lower bound anyway.
+            t0 = time.time()
+            materialize(mk_curate())
+            curate_sec = round(time.time() - t0, 3)
+            duck_sec, capped = duck_timed(
+                oracles["corpus_curate"],
+                {
+                    "documents": os.path.join(
+                        curate_dir, "documents.parquet", "*.parquet"
+                    )
+                },
+                cap=20.0,
+            )
+            scale_amplified["corpus_curate_250k_docs"] = {
+                "spark_sec": curate_sec,
+                "duckdb_sec": duck_sec,
+                "duckdb_hit_cap": capped,
+                "spark_speedup_over_duckdb": round(
+                    duck_sec / max(curate_sec, 1e-9), 2
+                ),
+                "docs_in": n_curate_in,
+                "docs_per_s": round(n_curate_in / max(curate_sec, 1e-9), 1),
+                "note": (
+                    "spark runs production df-pruning "
+                    "(max_doc_freq=1000); duckdb runs the unpruned "
+                    "oracle text (strictly heavier), so a capped "
+                    "duckdb_sec is a lower bound on harder work"
+                ),
+            }
+            timings["corpus_curate_250k_docs"] = curate_sec
+            total += curate_sec
+
     except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
         progress(f"scale section aborted: {e!r}")
-    finally:
-        shutil.rmtree(SCRATCH, ignore_errors=True)
+    # SCRATCH deliberately NOT deleted: it is a per-SF deterministic
+    # fixture cache (seeded builds, row-count validated on reuse) —
+    # keeping it lets the next run skip ~110 s of parquet writes,
+    # which is the storm headroom that keeps tail sections alive.
 
 
     # round-6 operator throughput (ADVISORY, last so the deadline can
@@ -1179,10 +1253,14 @@ def main() -> None:
         n_base = base_docs.count()
         amp_times = max(1, round(100_000 / max(n_base, 1)))
         progress(f"round6 ops fixture ({n_base} docs x {amp_times})")
-        (
-            amplify(base_docs, amp_times, "doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(docs_dir, "documents.parquet"))
+        ensure_fixture(
+            os.path.join(docs_dir, "documents.parquet"),
+            lambda: (
+                amplify(base_docs, amp_times, "doc_id")
+                .write.mode("overwrite")
+                .parquet(os.path.join(docs_dir, "documents.parquet"))
+            ),
+            expect=n_base * amp_times,
         )
         n_docs = spark.read.parquet(
             os.path.join(docs_dir, "documents.parquet")
@@ -1223,8 +1301,7 @@ def main() -> None:
             }
     except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
         progress(f"round6 ops skipped: {e!r}")
-    finally:
-        shutil.rmtree(SCRATCH, ignore_errors=True)
+    # (SCRATCH kept — see the fixture-cache note above)
 
     # headline scale scalar: Spark/DuckDB total over the SAME-data
     # amplified set — the throughput regime the engine targets (the
