@@ -1078,10 +1078,24 @@ def bm25_topk(
             F.sum("dl").cast("double") / F.count("*")
         ).alias("avgdl"),
     )
+    # prune to the query vocabulary INSIDE the token array, before
+    # anything becomes a row: exploding all corpus tokens and probing
+    # the broadcast join per token measured 6.5 s at 100k docs where
+    # this in-array IN-list filter + explode of matches only is ~1 s.
+    # The vocabulary is driver-collected — same "queries are small by
+    # contract" rule as _query_matrix (Q terms per request).
+    vocab = [
+        r["token"]
+        for r in query_terms.select("token").distinct().collect()
+    ]
+    if not vocab:
+        raise ValueError("query_terms is empty")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).alias("dl"),
-        F.explode(words).alias("token"),
+        F.explode(
+            F.filter(words, lambda s: s.isin(*vocab))
+        ).alias("token"),
     )
     qt = F.broadcast(query_terms.select("query_id", "token"))
     tf_q = (
