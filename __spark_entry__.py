@@ -2758,6 +2758,47 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def _q_dup_source_matrix(spark, sf_dir):
+    """Cross-source near-duplication matrix over the dup-union corpus
+    (copies inherit their base doc's source): which feeds mirror
+    which, counted from the md5-portable minhash pair stream."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dup_source_matrix,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _dup_union(spark, sf_dir),
+        n=3,
+        num_perm=16,
+        bands=4,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+    d = _t(spark, sf_dir, "documents")
+    srcs = d.select("doc_id", "source").unionByName(
+        d.select((F.col("doc_id") + 10000).alias("doc_id"), "source")
+    )
+    return dup_source_matrix(pairs, srcs)
+
+
+_SQL_DUP_SOURCE_MATRIX = f"""
+WITH pairs AS (SELECT * FROM ({_SQL_MINHASH})),
+srcs AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, source FROM documents
+)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN srcs a ON a.doc_id = p.doc_a
+JOIN srcs b ON b.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
 def _q_st_minhash_dedup(spark, sf_dir):
     """Streaming incremental near-dup dedup, batch-degraded for the
     oracle (streaming/stateful.py:minhash_collisions_stateful): LSH
@@ -4904,6 +4945,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
     ("throttle_events", _q_throttle_events, _SQL_THROTTLE),
     ("peak_concurrency", _q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
+    ("dup_source_matrix", _q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

@@ -1036,11 +1036,14 @@ def main() -> None:
                 mk = lambda: qs[qname](spark, dirpath)  # noqa: B023,E731
                 if warm:
                     materialize(mk())  # warmup
+                # best-of-2 with spread extension for EVERY point —
+                # a storm-poisoned single shot at 50M misreported
+                # the key amortization ratio by 13x in a dry run
+                # (0.046 vs 0.33-0.59); the extra ~2 s/7 s normal-
+                # case sample is cheap insurance on the one number
+                # the curve exists to measure
                 spark_sec = round(
-                    sample_min(
-                        mk, 2 if (warm and time_left() > 60) else 1
-                    ),
-                    3,
+                    sample_min(mk, 2 if time_left() > 60 else 1), 3
                 )
                 duck_sec, capped = duck_timed(
                     oracles[qname],

@@ -100,3 +100,4 @@ from .operators.embedding import (  # noqa: E402,F401
     centroid_similarity,
     group_centroids,
 )
+from .operators.dedup import dup_source_matrix  # noqa: E402,F401

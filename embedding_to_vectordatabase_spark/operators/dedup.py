@@ -895,3 +895,43 @@ def edit_distance_pairs(
         .select("doc_a", "doc_b", "dist")
         .distinct()
     )
+
+
+def dup_source_matrix(
+    pairs: DataFrame,
+    doc_sources: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source near-duplication matrix: how many qualifying
+    near-dup pairs span each (unordered) source pair — the curation
+    diagnostic that tells you WHICH feeds are mirroring which (a hot
+    off-diagonal cell means two crawls cover the same sites; a hot
+    diagonal cell means a feed re-serves its own content) before you
+    decide survivor policy or drop a source entirely.
+
+    ``pairs`` is any dedup pair stream with (doc_a, doc_b) — minhash,
+    simhash, n-gram Jaccard, or embedding near-dup all qualify.
+    Scale shape: the pair stream is dedup OUTPUT (vanishingly small
+    next to the corpus), so both id joins put the small side left and
+    AQE broadcasts it — the corpus-sized source table never shuffles;
+    the final matrix is |sources|² at most. Sources are ordered with
+    least/greatest so the matrix is upper-triangular and engine-
+    portable.
+    """
+    a = doc_sources.select(
+        F.col(id_col).alias("doc_a"), F.col(source_col).alias("__sa")
+    )
+    b = doc_sources.select(
+        F.col(id_col).alias("doc_b"), F.col(source_col).alias("__sb")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
