@@ -531,6 +531,35 @@ LIMIT 10
 """
 
 
+def _q_embedding_dispersion(spark, sf_dir):
+    """Per-label embedding dispersion (mean squared distance to the
+    centroid) — the redundancy-vs-diversity score per group."""
+    from embedding_to_vectordatabase_spark.operators.embedding import (
+        embedding_dispersion,
+    )
+
+    return embedding_dispersion(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+_SQL_EMBEDDING_DISPERSION = """
+WITH comps AS (
+  SELECT grp, i, CAST(emb[i] AS DOUBLE) AS v FROM (
+    SELECT label AS grp, embedding AS emb,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings)
+),
+per_pos AS (
+  SELECT grp, i, AVG(v) AS c, SUM(v * v) AS ss, COUNT(*) AS n
+  FROM comps GROUP BY grp, i
+)
+SELECT grp AS label, MAX(n) AS n_vecs,
+       ROUND(SUM(ss) / MAX(n) - SUM(c * c), 6) AS dispersion
+FROM per_pos GROUP BY grp
+"""
+
+
 def _q_centroid_similarity(spark, sf_dir):
     """Pairwise cosine between per-label centroid embeddings — the
     source-similarity / coverage-overlap report; the pairwise join
@@ -4790,6 +4819,89 @@ FROM clean c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
+
+def _q_corpus_curate_minhash(spark, sf_dir):
+    """The curation chain with the production-scale pair generator:
+    clean (lang + quality + exact dedup) then MinHash+LSH near-dup
+    removal (md5-portable signatures so the oracle reproduces them
+    bit-for-bit; production runs xxhash64)."""
+    from embedding_to_vectordatabase_spark.plans.curate import (
+        curate_corpus,
+    )
+
+    return curate_corpus(
+        _dup_union(spark, sf_dir),
+        min_quality=0.5,
+        n=3,
+        jaccard_threshold=0.5,
+        method="minhash",
+        num_perm=16,
+        bands=4,
+        hash_fn="md5",
+    )
+
+
+# same clean prefix as _SQL_CURATE; the pair CTEs are the md5 minhash
+# family (signatures -> band buckets -> estimated-jaccard filter)
+# rebased onto the clean survivors
+_SQL_CURATE_MINHASH = f"""
+WITH src AS ({_SQL_DUP_UNION}),
+clean AS (
+  WITH l AS ({_nested(_SQL_LANG_ID.replace("FROM documents", "FROM src"))}),
+  q AS ({_nested(_SQL_QUALITY.replace("FROM documents", "FROM src"))}),
+  keyed AS (
+    SELECT s.doc_id, s.text, l.pred_lang, q.quality,
+           md5({_NORM_SQL.format(c='s.text')}) AS ck
+    FROM src s
+    JOIN l ON l.doc_id = s.doc_id
+    JOIN q ON q.doc_id = s.doc_id
+    WHERE q.quality >= 0.5
+  )
+  SELECT doc_id, text, pred_lang, quality FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn = 1
+),
+words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM clean
+),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 2, 1))) AS i
+        FROM words)
+),
+hashes AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
+  FROM postings, generate_series(0, 15) perm(p)
+  GROUP BY doc_id, p
+),
+sigs AS (
+  SELECT doc_id, list(h ORDER BY p) AS sig FROM hashes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sig, b AS band,
+         md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+  FROM sigs, generate_series(0, 3) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand
+  WHERE list_sum(list_transform(sa, (x,i) ->
+          CASE WHEN x = sb[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+)
+SELECT c.doc_id, c.text, c.pred_lang, c.quality
+FROM clean c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # Round-4 rotation: the external CORRECTNESS gate samples the first 50
     # registry entries, so the 17 queries that had only local verification in
@@ -4946,6 +5058,10 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("throttle_events", _q_throttle_events, _SQL_THROTTLE),
     ("peak_concurrency", _q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
     ("dup_source_matrix", _q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX),
+    ("embedding_dispersion", _q_embedding_dispersion,
+     _SQL_EMBEDDING_DISPERSION),
+    ("corpus_curate_minhash", _q_corpus_curate_minhash,
+     _SQL_CURATE_MINHASH),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

@@ -294,3 +294,48 @@ def centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def embedding_dispersion(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group spread of embeddings around the group centroid:
+    dispersion = E[||x||²] − ||E[x]||² (the trace of the covariance,
+    equal to the mean squared distance to the centroid). Near-zero
+    means the group's documents are embedding-redundant (a dedup /
+    downsample candidate); large means diverse coverage — with
+    ``centroid_similarity`` this is the coverage-vs-redundancy pair a
+    training-mix review needs.
+
+    Scale shape: identical to ``group_centroids`` — one posexplode
+    fan-out, one map-side-combined (group, pos) aggregation carrying
+    (mean, sum-of-squares, count), then a groups × dim reduce. The
+    corpus shuffles only as (group, pos) partial aggregates. Output:
+    (<group_col>, n_vecs, dispersion), dispersion rounded to 6dp so
+    a SQL oracle's independently-ordered float summation agrees.
+    """
+    comps = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    per_pos = comps.groupBy("grp", "pos").agg(
+        F.avg("v").alias("c"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_pos.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(
+                F.sum("ss") / F.max("n")
+                - F.sum(F.col("c") * F.col("c")),
+                6,
+            ).alias("dispersion"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
