@@ -147,10 +147,15 @@ def skew_profile(
     or AQE skew handling BEFORE the job runs, instead of diagnosing a
     straggler task after six hours at 100 TB.
 
-    Scale shape: one map-side-combined groupBy on the key, then the
-    per-key counts (already small) cross-joined with their own one-row
-    totals — the table itself is scanned once and never re-shuffled.
-    Top-N is TakeOrderedAndProject, not a global sort. Deterministic
+    Scale shape: TWO column-pruned scans (both read only the key
+    columns) — the per-key counts, and the same subtree re-executed
+    for the one-row totals it cross-joins against. That re-execution
+    is deliberate: deriving totals from the counts relation lazily
+    re-runs it anyway (a DAG reuse duplicates the subtree), and the
+    one-pass alternative — a single-partition window over the counts
+    relation — melts on exactly the high-cardinality keys (user ids)
+    this profiler exists to check. Both scans are map-side-combined;
+    top-N is TakeOrderedAndProject, not a global sort; deterministic
     tie-break on the key values.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)

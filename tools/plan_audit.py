@@ -201,6 +201,40 @@ CHECKS = {
         ("no cartesian product",
          lambda s: "CartesianProduct" not in s),
     ],
+    "skew_profile": [
+        # counts cross-join their own one-row totals; top-N must be
+        # TakeOrderedAndProject, never a global sort. Two scans are
+        # the documented design (see skew_profile docstring) — what
+        # matters is that both are pruned to the key column only
+        ("top-N via TakeOrderedAndProject",
+         lambda s: "TakeOrderedAndProject" in s),
+        ("scans pruned to the key column",
+         lambda s: s.count("ReadSchema: struct<event_type:string>")
+         == n_scans(s)),
+    ],
+    "peak_concurrency": [
+        # the sweep sort is day-partitioned — no global single-
+        # partition ordering of the boundary stream
+        ("day-partitioned sweep (no single-partition sort)",
+         lambda s: "SinglePartition" not in s),
+        ("no Python eval", lambda s: "BatchEvalPython" not in s
+         and "MapInPandas" not in s),
+    ],
+    "throttle_events": [
+        ("user-partitioned lag (no single-partition sort)",
+         lambda s: "SinglePartition" not in s),
+    ],
+    "dup_source_matrix": [
+        ("pair-stream joins, no cartesian",
+         lambda s: "CartesianProduct" not in s
+         and "BroadcastNestedLoopJoin" not in s),
+    ],
+    "embedding_dispersion": [
+        ("partial-agg fan-out, no Python eval",
+         lambda s: s.count("HashAggregate") >= 2
+         and "BatchEvalPython" not in s
+         and "MapInPandas" not in s),
+    ],
 }
 
 
