@@ -273,6 +273,41 @@ def snapshot_diff(
     )
 
 
+def _bloom_bitmap(
+    ingested: DataFrame, key: str, n_bits: int, n_hashes: int
+) -> list[int]:
+    """Distributed Bloom bitmap build: each key sets n_hashes
+    positions via xxhash64(key, i) pmod n_bits; positions reduce to
+    at most n_bits/64 (word, OR-of-masks) rows through a map-side-
+    combined groupBy before the bounded n_bits/8-byte driver collect.
+    Shared by ``bloom_anti_join`` and its fp-bound test so the test
+    always exercises the production hashing scheme."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    rows = (
+        ingested.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * ((n_bits + 63) // 64)
+    for r in rows:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
 def _bloom_test_sql(key: str, i: int, n_bits: int) -> str:
     """SQL fragment: bit i's membership test against the broadcast
     bitmap column __bloom (1-based element_at). Written as expr()
@@ -318,6 +353,11 @@ def bloom_anti_join(
     the exact anti-join keeps NULL-keyed docs (NULL never equals), the
     same semantics as ``anti_join_ingested``.
 
+    Type safety: xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash
+    differently), so the ingested key is cast to the docs key's type
+    before hashing — without that, mismatched integral types would
+    silently keep every true duplicate (the plain anti-join coerces).
+
     Reference parity: replaces the per-document Milvus existence query
     (embed_to_milvus.py:87-89, milvus_connector.py:155-165) — the
     reference's network round-trip per doc becomes a local bit test.
@@ -325,30 +365,9 @@ def bloom_anti_join(
     from functools import reduce
 
     spark = docs.sparkSession
-    n_words = (n_bits + 63) // 64
-    pos = F.explode(
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
-                for i in range(n_hashes)
-            ]
-        )
-    ).alias("pos")
-    rows = (
-        ingested.select(pos)
-        .select(
-            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
-    )
-    bitmap = [0] * n_words
-    for r in rows:
-        bitmap[r["w"]] = r["bits"]
+    key_type = docs.schema[key].dataType
+    ingested = ingested.select(F.col(key).cast(key_type).alias(key))
+    bitmap = _bloom_bitmap(ingested, key, n_bits, n_hashes)
     bm = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
     probed = docs.crossJoin(F.broadcast(bm))
     maybe = reduce(

@@ -73,11 +73,21 @@ def _pa_matrix(arr, dtype=np.float64) -> np.ndarray:
         arr = arr.combine_chunks()
     if arr.null_count:
         raise ValueError("vector column contains NULLs")
+
+    def _no_element_nulls(start: int, length: int) -> None:
+        # top-level null_count misses nulls INSIDE vectors
+        # ([1.0, null]): those live on the child values array and
+        # would silently become NaN scores that distort top-k
+        # ordering. Checked on the slice this array actually covers.
+        if arr.values.slice(start, length).null_count:
+            raise ValueError("vector column contains NULL elements")
+
     t = arr.type
     if pa.types.is_fixed_size_list(t):
         # .values is the UNsliced child: apply this array's offset
         w = t.list_size
         start = arr.offset * w
+        _no_element_nulls(start, len(arr) * w)
         vals = arr.values.to_numpy(zero_copy_only=False)
         return (
             vals[start:start + len(arr) * w]
@@ -92,6 +102,7 @@ def _pa_matrix(arr, dtype=np.float64) -> np.ndarray:
         dim = widths[0]
         if not (widths == dim).all():
             raise ValueError("ragged vector column (rows differ in length)")
+        _no_element_nulls(int(offs[0]), int(offs[-1] - offs[0]))
         vals = arr.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
         return vals.reshape(len(arr), int(dim)).astype(dtype, copy=False)
     raise TypeError(f"not a list-of-number arrow array: {t}")
@@ -1083,19 +1094,21 @@ def bm25_topk(
     # the broadcast join per token measured 6.5 s at 100k docs where
     # this in-array IN-list filter + explode of matches only is ~1 s.
     # The vocabulary is driver-collected — same "queries are small by
-    # contract" rule as _query_matrix (Q terms per request).
+    # contract" rule as _query_matrix (Q terms per request); this
+    # makes plan CONSTRUCTION run one tiny Spark job. An empty query
+    # set keeps the pre-optimization unfiltered form, whose broadcast
+    # join matches nothing — an empty result, not an error.
     vocab = [
         r["token"]
         for r in query_terms.select("token").distinct().collect()
     ]
-    if not vocab:
-        raise ValueError("query_terms is empty")
+    qtokens = (
+        F.filter(words, lambda s: s.isin(*vocab)) if vocab else words
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).alias("dl"),
-        F.explode(
-            F.filter(words, lambda s: s.isin(*vocab))
-        ).alias("token"),
+        F.explode(qtokens).alias("token"),
     )
     qt = F.broadcast(query_terms.select("query_id", "token"))
     tf_q = (

@@ -323,6 +323,7 @@ def throttle_events(
     min_gap_seconds: int,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Telemetry rate-limit: drop an event arriving less than
     ``min_gap_seconds`` after the user's PREVIOUS RAW event (lag
@@ -336,12 +337,12 @@ def throttle_events(
     throttle and is exactly reproducible by any SQL engine's LAG,
     which keeps it oracle-checkable. The first event of a user (lag
     NULL) is always kept. Ties on (ts) within a user are ordered by
-    event_id so the kept set is deterministic.
+    ``id_col`` so the kept set is deterministic.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(
-        ts_micros(ts_col).asc(), F.col("event_id").asc()
+        ts_micros(ts_col).asc(), F.col(id_col).asc()
     )
     gap_us = ts_micros(ts_col) - F.lag(ts_micros(ts_col)).over(w)
     return (
@@ -362,6 +363,7 @@ def peak_concurrency(
     duration_col: str = "value",
     ts_col: str = "ts",
     day_partitioned: bool = True,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Sweep-line concurrency: treating each event as an interval
     [ts, ts + duration_col seconds), report per day the maximum
@@ -395,21 +397,25 @@ def peak_concurrency(
     # concurrency contribution anyway
     base = events.filter(
         F.col(ts_col).isNotNull() & F.col(duration_col).isNotNull()
-    ).select(us.alias("__t"), dur_us.alias("__d"), F.col("event_id"))
+    ).select(
+        us.alias("__t"),
+        dur_us.alias("__d"),
+        F.col(id_col).alias("__eid"),
+    )
     deltas = base.select(
-        F.col("__t"), F.lit(1).alias("__delta"), "event_id"
+        F.col("__t"), F.lit(1).alias("__delta"), "__eid"
     ).unionByName(
         base.select(
             (F.col("__t") + F.col("__d")).alias("__t"),
             F.lit(-1).alias("__delta"),
-            "event_id",
+            "__eid",
         )
     )
     day = F.to_date(F.timestamp_micros(F.col("__t"))).alias("day")
     parts = [day] if day_partitioned else [F.lit(0).alias("day")]
-    deltas = deltas.select(*parts, "__t", "__delta", "event_id")
+    deltas = deltas.select(*parts, "__t", "__delta", "__eid")
     w = Window.partitionBy("day").orderBy(
-        F.col("__t").asc(), F.col("__delta").asc(), F.col("event_id").asc()
+        F.col("__t").asc(), F.col("__delta").asc(), F.col("__eid").asc()
     )
     swept = deltas.withColumn(
         "active", F.sum("__delta").over(w)

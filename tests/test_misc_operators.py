@@ -527,34 +527,14 @@ def test_bloom_anti_join_exact_and_prefilter(spark):
     assert keyed(got) == keyed(want)
 
     # candidate bound: dupes ≈ 2000/7 ≈ 286; fp should add only a few
-    # at 16384 bits / ~1430 set keys
-    bm_rows = got  # rebuild the probe side to count candidates
-    n_bits, n_hashes = 1 << 14, 5
-    bloom = bloom_anti_join  # noqa: F841  (documented path above)
-    # count docs passing all bloom tests using the same bitmap build
-    pos = F.explode(
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.col("file_id"), F.lit(i)), F.lit(n_bits))
-                for i in range(n_hashes)
-            ]
-        )
-    ).alias("pos")
-    rows = (
-        ingested.select(pos)
-        .select(
-            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
+    # at 16384 bits / ~1430 set keys. Uses the PRODUCTION bitmap
+    # build (_bloom_bitmap) so the bound always tests the real scheme.
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        _bloom_bitmap,
     )
-    bitmap = [0] * ((n_bits + 63) // 64)
-    for r in rows:
-        bitmap[r["w"]] = r["bits"]
+
+    n_bits, n_hashes = 1 << 14, 5
+    bitmap = _bloom_bitmap(ingested, "file_id", n_bits, n_hashes)
     bm = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
     maybe = reduce(
         lambda a, b: a & b,
@@ -566,6 +546,36 @@ def test_bloom_anti_join_exact_and_prefilter(spark):
     ).count()
     assert n_candidates >= n_true_dupes  # no false negatives
     assert n_candidates <= n_true_dupes + 60  # fp stays a few percent
+
+
+def test_bloom_anti_join_mixed_key_types(spark):
+    """xxhash64 is type-sensitive, so bloom_anti_join must cast the
+    ingested key to the docs key's type — mismatched integral types
+    would otherwise keep every true duplicate."""
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        anti_join_ingested,
+        bloom_anti_join,
+    )
+
+    docs = spark.range(0, 500).select(
+        F.col("id").cast("int").alias("file_id")
+    )
+    ingested = spark.range(0, 500).filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("file_id")  # bigint side
+    )
+    got = sorted(
+        r["file_id"]
+        for r in bloom_anti_join(
+            docs, ingested, n_bits=1 << 12, n_hashes=4
+        ).collect()
+    )
+    want = sorted(
+        r["file_id"]
+        for r in anti_join_ingested(docs, ingested).collect()
+    )
+    assert got == want and len(got) == 400
 
 
 def test_bloom_anti_join_probe_is_jvm_native(spark):

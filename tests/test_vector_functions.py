@@ -180,4 +180,14 @@ def test_pa_matrix_layouts_and_errors():
         _pa_matrix(pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float64())))
     with pytest.raises(ValueError, match="NULL"):
         _pa_matrix(pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64())))
+    # element-level nulls hide from the top-level null_count
+    with pytest.raises(ValueError, match="NULL element"):
+        _pa_matrix(
+            pa.array([[1.0, None], [1.0, 2.0]], type=pa.list_(pa.float64()))
+        )
+    # ...but an element null OUTSIDE a slice's window must not raise
+    sl = pa.array(
+        [[1.0, None], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float64())
+    ).slice(1, 2)
+    assert _pa_matrix(sl).tolist() == [[3.0, 4.0], [5.0, 6.0]]
     assert _pa_matrix(pa.array([], type=pa.list_(pa.float64()))).size == 0
