@@ -2656,6 +2656,50 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common
 """
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Directed n-gram containment at 0.9 over the truncated-copy
+    corpus: each 80%-prefix copy is contained in its original
+    (copy→orig ≈ 1.0) but NOT vice versa (orig→copy ≈ 0.8) — the
+    asymmetry Jaccard structurally cannot express."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        _dup_union(spark, sf_dir),
+        n=3,
+        threshold=0.9,
+        max_doc_freq=None,  # tiny corpus; SQL mirrors the unpruned form
+    )
+
+
+_SQL_CONTAINMENT = f"""
+WITH corpus AS ({_SQL_DUP_UNION}),
+words AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+  FROM corpus
+),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, GREATEST(len(ws) - 2, 1))) AS i
+        FROM words)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM postings GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) >= 0.9
+"""
+
+
 def _q_dup_clusters(spark, sf_dir):
     """Near-dup pair graph → connected components (operators/dedup.py:
     dup_clusters): cluster_id = min doc id of the component, computed
@@ -5062,6 +5106,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
      _SQL_EMBEDDING_DISPERSION),
     ("corpus_curate_minhash", _q_corpus_curate_minhash,
      _SQL_CURATE_MINHASH),
+    ("containment_pairs", _q_containment_pairs, _SQL_CONTAINMENT),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

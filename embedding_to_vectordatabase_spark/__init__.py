@@ -101,3 +101,4 @@ from .operators.embedding import (  # noqa: E402,F401
     group_centroids,
 )
 from .operators.dedup import dup_source_matrix  # noqa: E402,F401
+from .operators.dedup import containment_pairs  # noqa: E402,F401

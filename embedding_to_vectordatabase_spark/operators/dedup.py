@@ -935,3 +935,73 @@ def dup_source_matrix(
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    hashed: bool = False,
+) -> DataFrame:
+    """Directed near-dup pairs by n-gram CONTAINMENT: rows
+    (doc_a, doc_b, containment) where containment =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — doc_a
+    is (mostly) a subset of doc_b. The asymmetric complement of
+    Jaccard: a short quote inside a long article scores near 1.0
+    here but near 0 on Jaccard (the union is article-sized), so this
+    is the excerpt/quote/boilerplate-inclusion detector Jaccard
+    structurally cannot be.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (postings
+    self-join on shingle, df-pruned; sizes over the pruned space;
+    ``hashed=True`` for the 64-bit production shuffle) — only the
+    final formula and the emission of BOTH directions of each
+    intersecting pair differ. Self-pairs are excluded; a < b ordering
+    is NOT imposed, since direction is the point.
+    """
+    postings = (
+        hashed_postings(df, text_col, id_col, n).withColumnRenamed(
+            "shingle_h", "shingle"
+        )
+        if hashed
+        else shingle_postings(df, text_col, id_col, n)
+    )
+    if max_doc_freq is not None:
+        df_counts = postings.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        )
+        postings = (
+            postings.join(df_counts, "shingle")
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double") / F.col("__na"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

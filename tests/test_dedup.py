@@ -388,3 +388,37 @@ def test_dedup_spans_global_uniqueness_invariant(spark):
     assert sum(r["n_spans"] for r in out) == sum(
         (len(t.split(" ")) + 9) // 10 for _, t in rows
     )
+
+
+def test_containment_pairs_detects_quotes_jaccard_misses(spark):
+    """A short quote inside a long article: containment(quote→article)
+    ≈ 1.0 while Jaccard is union-dominated and tiny — the asymmetric
+    detector working where the symmetric one structurally cannot."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    article = " ".join(f"tok{i}" for i in range(200))
+    quote = " ".join(f"tok{i}" for i in range(50, 60))  # 10 words
+    df = spark.createDataFrame(
+        [(1, article), (2, quote)], "doc_id long, text string"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, n=3, threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    # quote (doc 2) contained in article (doc 1); never the reverse
+    assert cont.get((2, 1)) == 1.0
+    assert (1, 2) not in cont
+    # Jaccard at any useful threshold misses it entirely
+    assert (
+        ngram_jaccard_pairs(
+            df, n=3, threshold=0.3, max_doc_freq=None
+        ).count()
+        == 0
+    )
