@@ -560,6 +560,94 @@ FROM per_pos GROUP BY grp
 """
 
 
+def _q_conversion_time(spark, sf_dir):
+    """Funnel latency: first view -> first purchase at-or-after it,
+    exact quantiles over the per-user latency relation."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        conversion_time_stats,
+    )
+
+    return conversion_time_stats(
+        _events(spark, sf_dir), "view", "purchase"
+    )
+
+
+_SQL_CONVERSION_TIME = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_from
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+lat AS (
+  SELECT e.user_id,
+         (MIN(epoch_us(e.ts)) - MIN(f.t_from)) / 1000000.0 AS lat_s
+  FROM events e
+  JOIN f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t_from
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converters,
+       ROUND(AVG(lat_s), 6) AS mean_seconds,
+       ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_seconds,
+       ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_seconds,
+       ROUND(quantile_cont(lat_s, 0.99), 6) AS p99_seconds
+FROM lat
+"""
+
+
+def _q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per active day (WAU):
+    reduce to (day, user) activity first, then fan each activity row
+    into the <=7 later days it covers."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        rolling_active_users,
+    )
+
+    return rolling_active_users(_events(spark, sf_dir), window_days=7)
+
+
+_SQL_ROLLING_ACTIVE = """
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+fanned AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM activity
+),
+active_days AS (SELECT DISTINCT d AS day FROM activity)
+SELECT f.day, COUNT(DISTINCT f.user_id) AS active_users
+FROM fanned f JOIN active_days a ON a.day = f.day
+GROUP BY f.day
+"""
+
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order (from_type -> to_type) transition counts over each
+    user's time-ordered event stream — the Markov view of behavior."""
+    from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+        event_transitions,
+    )
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+_SQL_EVENT_TRANSITIONS = """
+SELECT prev AS from_type, event_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events WHERE ts IS NOT NULL
+)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _q_centroid_similarity(spark, sf_dir):
     """Pairwise cosine between per-label centroid embeddings — the
     source-similarity / coverage-overlap report; the pairwise join
@@ -5107,6 +5195,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("corpus_curate_minhash", _q_corpus_curate_minhash,
      _SQL_CURATE_MINHASH),
     ("containment_pairs", _q_containment_pairs, _SQL_CONTAINMENT),
+    ("conversion_time", _q_conversion_time, _SQL_CONVERSION_TIME),
+    ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
+    ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

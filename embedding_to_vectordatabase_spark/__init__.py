@@ -102,3 +102,10 @@ from .operators.embedding import (  # noqa: E402,F401
 )
 from .operators.dedup import dup_source_matrix  # noqa: E402,F401
 from .operators.dedup import containment_pairs  # noqa: E402,F401
+from .streaming.ingest_stream import (  # noqa: E402,F401
+    conversion_time_stats,
+    event_transitions,
+    peak_concurrency,
+    rolling_active_users,
+    throttle_events,
+)

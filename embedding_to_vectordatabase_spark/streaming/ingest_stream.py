@@ -431,3 +431,148 @@ def peak_concurrency(
         )
         .select("day", "peak_concurrency", "peak_at_us")
     )
+
+
+def conversion_time_stats(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel latency: per converting user, the time from their FIRST
+    ``from_type`` event to their first ``to_type`` event AT OR AFTER
+    it, summarized as exact quantiles + mean + count — the
+    how-long-does-conversion-take number behind any funnel report.
+
+    Plan: two per-user min-aggregations (each one map-side-combined
+    shuffle on user, the same key, so co-partitioning is reused), an
+    inner join keeping converters only, then a single global
+    aggregate over n_converters rows. Exact sorting quantiles
+    (percentile, not approx) — at 100 TB the per-user latencies
+    relation is users-sized, and the one-row result makes the final
+    exchange trivial. Output: one row
+    (n_converters, mean_seconds, p<q>_seconds ...), seconds at
+    microsecond precision.
+    """
+    us = ts_micros(F.col(ts_col))
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t_from"))
+    )
+    to_events = events.filter(F.col(type_col) == to_type).select(
+        F.col(user_col), us.alias("__t_to")
+    )
+    latencies = (
+        first_from.join(to_events, user_col)
+        .filter(F.col("__t_to") >= F.col("__t_from"))
+        .groupBy(user_col)
+        .agg(
+            # __t_from is constant per user (it came from a min agg);
+            # min() keeps the expression deterministic where first()
+            # would be ordering-dependent
+            (
+                (F.min("__t_to") - F.min("__t_from")) / 1_000_000.0
+            ).alias("__lat_s")
+        )
+    )
+    aggs = [
+        F.count("*").alias("n_converters"),
+        F.round(F.avg("__lat_s"), 6).alias("mean_seconds"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.round(F.expr(f"percentile(__lat_s, {q})"), 6).alias(
+                f"p{int(q * 100)}_seconds"
+            )
+        )
+    return latencies.agg(*aggs)
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Rolling N-day distinct active users per day (the WAU/DAU
+    family): for each day with activity, how many distinct users
+    appeared in the ``window_days`` ending that day.
+
+    Distinct-over-sliding-window does not decompose into partial
+    aggregates, so the plan reduces FIRST (distinct (day, user) —
+    corpus-sized shuffle happens once, on activity not raw events),
+    then fans each activity row into the ≤N later days it keeps a
+    user active in (explode over a day sequence — activity × N rows,
+    tiny next to the raw stream), and counts distinct users per
+    target day. Days with zero activity are absent (no dense day
+    spine — join one in downstream if needed). Output:
+    (day, active_users).
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(day.alias("__day"), F.col(user_col).alias("__user"))
+        .distinct()
+    )
+    fanned = activity.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("day"),
+        "__user",
+    )
+    # only days that themselves had activity are reportable windows
+    active_days = activity.select(F.col("__day").alias("day")).distinct()
+    return (
+        fanned.join(active_days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("__user").alias("active_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    top_n: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order behavioral transition counts: for consecutive
+    events of the same user (ordered by time, id tie-break), how
+    often each (from_type → to_type) adjacency occurs — the Markov
+    view of user behavior that funnels sample one path of.
+
+    One shuffle on user for the lag window, then a map-side-combined
+    count per (from, to) pair (≤ |types|² groups). Output:
+    (from_type, to_type, n_transitions), optionally top-N by count
+    (deterministic tie-break on the pair).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        ts_micros(F.col(ts_col)).asc(), F.col(id_col).asc()
+    )
+    out = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("n_transitions").desc(),
+            F.col("from_type").asc(),
+            F.col("to_type").asc(),
+        ).limit(top_n)
+    return out
