@@ -560,6 +560,32 @@ FROM per_pos GROUP BY grp
 """
 
 
+def _q_rank_normalize(spark, sf_dir):
+    """Within-source percent-rank calibration of a per-doc score —
+    the cross-source normalizer for quality-weighted sampling."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        rank_normalize,
+    )
+
+    return rank_normalize(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        value_col="n_chars",
+        group_col="source",
+    )
+
+
+_SQL_RANK_NORMALIZE = """
+SELECT doc_id, source, n_chars,
+       PERCENT_RANK() OVER (
+         PARTITION BY source ORDER BY n_chars ASC
+       ) AS pct_rank
+FROM documents
+WHERE n_chars IS NOT NULL
+"""
+
+
 def _q_conversion_time(spark, sf_dir):
     """Funnel latency: first view -> first purchase at-or-after it,
     exact quantiles over the per-user latency relation."""
@@ -5198,6 +5224,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("conversion_time", _q_conversion_time, _SQL_CONVERSION_TIME),
     ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
     ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
+    ("rank_normalize_nchars", _q_rank_normalize, _SQL_RANK_NORMALIZE),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 

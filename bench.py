@@ -1066,9 +1066,21 @@ def main() -> None:
                 ("tpch_q1_sf1", "tpch_q1_pricing", ampsf1, "lineitem",
                  n_li_amp, True),
             ]
+            # section time box on top of the global deadline: under a
+            # multi-minute steal storm the adaptive re-sampling can
+            # legitimately stretch each point to 100 s+, and an
+            # unbounded curve then starves the (cheap) layout/curate/
+            # round6 sections behind it — observed once eating 339 s
+            amort_t0 = time.time()
             for label, qname, dirpath, table, nrows, warm in curve_points:
                 if time_left() < 40:
                     progress("bench deadline - stopping amortization curve")
+                    break
+                if time.time() - amort_t0 > 200:
+                    progress(
+                        "amortization section time box hit - "
+                        "stopping curve"
+                    )
                     break
                 progress(f"floor_amortization {label}")
                 mk = lambda: qs[qname](spark, dirpath)  # noqa: B023,E731

@@ -109,3 +109,4 @@ from .streaming.ingest_stream import (  # noqa: E402,F401
     rolling_active_users,
     throttle_events,
 )
+from .operators.sampling import rank_normalize  # noqa: E402,F401

@@ -318,3 +318,32 @@ def token_budget_sample(
         .filter(F.col("cum_weight") <= budget)
         .drop("__tb")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percent-rank calibration of a score within each group — the
+    cross-source normalizer for quality-weighted sampling: raw
+    quality/perplexity scores from different sources (or different
+    scorer models) are not comparable on their native scales, but
+    their within-source percent ranks are. pct = (rank-1)/(n-1) in
+    [0,1]; ties share a rank (engine-portable), single-row groups get
+    0.0. Rows with a NULL score are dropped (NULL sort position is
+    engine-specific, and an unscored row has no rank).
+
+    Scale shape: one shuffle on the group key, per-group sort inside
+    the window — distributed across groups. With ``group_col=None``
+    the rank is global and the sort single-partition: fine for
+    registry-sized frames, wrong for a corpus (pass a group).
+    """
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.col(value_col).asc())
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(out_col, F.percent_rank().over(w))
+    )
