@@ -182,7 +182,11 @@ def main() -> None:
             prev = None
         if prev == sf_dir:
             return
-        if prev is not None:
+        # an unmarked dir WITH fixtures is exactly the case the
+        # marker exists to catch (populated by an unknown source) —
+        # adopting it would reintroduce the poisoning, so wipe unless
+        # the dir is empty
+        if prev is not None or any(os.scandir(SCRATCH)):
             progress(
                 f"scratch cache bound to {prev!r} - wiping for {sf_dir!r}"
             )

@@ -234,6 +234,61 @@ def hashed_postings(
     )
 
 
+def _postings_inter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    hashed: bool,
+    symmetric: bool,
+):
+    """Shared inverted-index stage behind ``ngram_jaccard_pairs`` and
+    ``containment_pairs``: df-pruned shingle postings self-joined to
+    per-pair shared-shingle counts, plus per-doc shingle counts over
+    the SAME pruned space. ``symmetric`` keeps a<b only (unordered
+    pairs); otherwise both directions of each a!=b pair are counted.
+    One definition so pruning/hashing fixes cannot silently diverge
+    between the two operators. Returns (inter, sizes)."""
+    postings = (
+        hashed_postings(df, text_col, id_col, n).withColumnRenamed(
+            "shingle_h", "shingle"
+        )
+        if hashed
+        else shingle_postings(df, text_col, id_col, n)
+    )
+    if max_doc_freq is not None:
+        df_counts = postings.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        )
+        postings = (
+            postings.join(df_counts, "shingle")
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sizes = postings.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    pred = (
+        F.col("a.doc_id") < F.col("b.doc_id")
+        if symmetric
+        else F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(pred)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter, sizes
+
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -264,34 +319,8 @@ def ngram_jaccard_pairs(
     merging two shingles perturbs one intersection count by 1 — noise
     far below any useful threshold.
     """
-    postings = (
-        hashed_postings(df, text_col, id_col, n).withColumnRenamed(
-            "shingle_h", "shingle"
-        )
-        if hashed
-        else shingle_postings(df, text_col, id_col, n)
-    )
-    if max_doc_freq is not None:
-        df_counts = postings.groupBy("shingle").agg(
-            F.count("*").alias("__df")
-        )
-        postings = (
-            postings.join(df_counts, "shingle")
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
-    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
+    inter, sizes = _postings_inter(
+        df, text_col, id_col, n, max_doc_freq, hashed, symmetric=True
     )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na")
@@ -962,34 +991,8 @@ def containment_pairs(
     intersecting pair differ. Self-pairs are excluded; a < b ordering
     is NOT imposed, since direction is the point.
     """
-    postings = (
-        hashed_postings(df, text_col, id_col, n).withColumnRenamed(
-            "shingle_h", "shingle"
-        )
-        if hashed
-        else shingle_postings(df, text_col, id_col, n)
-    )
-    if max_doc_freq is not None:
-        df_counts = postings.groupBy("shingle").agg(
-            F.count("*").alias("__df")
-        )
-        postings = (
-            postings.join(df_counts, "shingle")
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
-    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
+    inter, sizes = _postings_inter(
+        df, text_col, id_col, n, max_doc_freq, hashed, symmetric=False
     )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na")

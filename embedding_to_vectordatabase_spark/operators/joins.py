@@ -308,12 +308,16 @@ def _bloom_bitmap(
     return bitmap
 
 
-def _bloom_test_sql(key: str, i: int, n_bits: int) -> str:
+def _bloom_test_sql(key_expr: str, i: int, n_bits: int) -> str:
     """SQL fragment: bit i's membership test against the broadcast
-    bitmap column __bloom (1-based element_at). Written as expr()
-    strings because pyspark's shiftleft wrapper only takes a literal
-    shift amount, while the SQL ShiftLeft accepts an expression."""
-    pos = f"pmod(xxhash64(`{key}`, {i}), {n_bits}L)"
+    bitmap column __bloom (1-based element_at). ``key_expr`` is used
+    verbatim (a bare column name is wrapped in backticks). Written as
+    expr() strings because pyspark's shiftleft wrapper only takes a
+    literal shift amount, while the SQL ShiftLeft accepts an
+    expression."""
+    if "`" not in key_expr and "(" not in key_expr:
+        key_expr = f"`{key_expr}`"
+    pos = f"pmod(xxhash64({key_expr}, {i}), {n_bits}L)"
     return (
         f"(element_at(__bloom, CAST({pos} DIV 64 AS INT) + 1) & "
         f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
@@ -354,9 +358,13 @@ def bloom_anti_join(
     same semantics as ``anti_join_ingested``.
 
     Type safety: xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash
-    differently), so the ingested key is cast to the docs key's type
-    before hashing — without that, mismatched integral types would
-    silently keep every true duplicate (the plain anti-join coerces).
+    differently). Mismatched INTEGRAL key types are both widened to
+    bigint for the hash (lossless, and join coercion for integrals is
+    exactly that widening, so join-equal values always hash equal —
+    no false negatives); the exact anti-join still runs on the
+    ORIGINAL frames with Spark's own coercion. Any other type
+    mismatch (int vs double, string vs int) has no hash-consistent
+    widening and raises — align the key types first.
 
     Reference parity: replaces the per-document Milvus existence query
     (embed_to_milvus.py:87-89, milvus_connector.py:155-165) — the
@@ -364,16 +372,40 @@ def bloom_anti_join(
     """
     from functools import reduce
 
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     spark = docs.sparkSession
-    key_type = docs.schema[key].dataType
-    ingested = ingested.select(F.col(key).cast(key_type).alias(key))
-    bitmap = _bloom_bitmap(ingested, key, n_bits, n_hashes)
+    d_type = docs.schema[key].dataType
+    i_type = ingested.schema[key].dataType
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    hash_key_expr = f"`{key}`"
+    build = ingested
+    if d_type != i_type:
+        if isinstance(d_type, integral) and isinstance(i_type, integral):
+            # widen BOTH hash inputs to bigint (lossless; matches the
+            # join's own integral coercion, so no false negatives)
+            hash_key_expr = f"CAST(`{key}` AS BIGINT)"
+            build = ingested.select(
+                F.col(key).cast("bigint").alias(key)
+            )
+        else:
+            raise TypeError(
+                f"bloom_anti_join key types differ ({d_type} vs "
+                f"{i_type}) with no hash-consistent widening - cast "
+                f"the key columns to a common type first"
+            )
+    bitmap = _bloom_bitmap(build, key, n_bits, n_hashes)
     bm = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
     probed = docs.crossJoin(F.broadcast(bm))
     maybe = reduce(
         lambda a, b: a & b,
         [
-            F.expr(_bloom_test_sql(key, i, n_bits))
+            F.expr(_bloom_test_sql(hash_key_expr, i, n_bits))
             for i in range(n_hashes)
         ],
     )

@@ -1096,19 +1096,30 @@ def bm25_topk(
     # The vocabulary is driver-collected — same "queries are small by
     # contract" rule as _query_matrix (Q terms per request); this
     # makes plan CONSTRUCTION run one tiny Spark job. An empty query
-    # set keeps the pre-optimization unfiltered form, whose broadcast
-    # join matches nothing — an empty result, not an error.
+    # set returns the (provably empty) result WITHOUT touching the
+    # corpus — no error, no full-corpus explode.
     vocab = [
         r["token"]
         for r in query_terms.select("token").distinct().collect()
     ]
-    qtokens = (
-        F.filter(words, lambda s: s.isin(*vocab)) if vocab else words
-    )
+    if not vocab:
+        empty_schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", query_terms.schema["query_id"].dataType
+                ),
+                T.StructField("doc_id", docs.schema[id_col].dataType),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], empty_schema)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).alias("dl"),
-        F.explode(qtokens).alias("token"),
+        F.explode(
+            F.filter(words, lambda s: s.isin(*vocab))
+        ).alias("token"),
     )
     qt = F.broadcast(query_terms.select("query_id", "token"))
     tf_q = (

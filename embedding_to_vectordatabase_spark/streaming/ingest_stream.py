@@ -484,9 +484,11 @@ def conversion_time_stats(
         F.round(F.avg("__lat_s"), 6).alias("mean_seconds"),
     ]
     for q in quantiles:
+        # round, not int(): 0.29*100 is 28.999... in floats, and
+        # int() truncation would mislabel (or collide) the columns
         aggs.append(
             F.round(F.expr(f"percentile(__lat_s, {q})"), 6).alias(
-                f"p{int(q * 100)}_seconds"
+                f"p{round(q * 100)}_seconds"
             )
         )
     return latencies.agg(*aggs)

@@ -562,8 +562,18 @@ def test_bloom_anti_join_mixed_key_types(spark):
     docs = spark.range(0, 500).select(
         F.col("id").cast("int").alias("file_id")
     )
-    ingested = spark.range(0, 500).filter(F.col("id") % 5 == 0).select(
-        F.col("id").alias("file_id")  # bigint side
+    # bigint side, including a value outside int range: 2^32+5 must
+    # NOT collide with int 5 (a lossy downcast would wrap it to 5
+    # and wrongly drop doc 5)
+    ingested = (
+        spark.range(0, 500)
+        .filter(F.col("id") % 5 == 0)
+        .select(F.col("id").alias("file_id"))
+        .unionByName(
+            spark.createDataFrame(
+                [((1 << 32) + 5,)], "file_id long"
+            )
+        )
     )
     got = sorted(
         r["file_id"]
@@ -575,6 +585,8 @@ def test_bloom_anti_join_mixed_key_types(spark):
         r["file_id"]
         for r in anti_join_ingested(docs, ingested).collect()
     )
+    # got == want is the whole contract: true dups removed, and no
+    # doc falsely dropped by a wrapped (2^32+5 -> 5) downcast
     assert got == want and len(got) == 400
 
 
