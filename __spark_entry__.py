@@ -1577,8 +1577,8 @@ def _q_tpch_q12_late_lines(spark, sf_dir):
 
 _SQL_TPCH_Q12 = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -4735,12 +4735,12 @@ def _q_token_budget_sample(spark, sf_dir):
 _SQL_TOKEN_BUDGET = """
 SELECT doc_id, source, n_chars, cum_weight FROM (
   SELECT doc_id, source, n_chars,
-         sum(n_chars) OVER (
+         CAST(sum(n_chars) OVER (
            PARTITION BY source
            ORDER BY substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8),
                     doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_weight
+         ) AS BIGINT) AS cum_weight
   FROM documents
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
 WHERE cum_weight <= 20000
