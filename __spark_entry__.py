@@ -732,14 +732,19 @@ WITH base AS (
   WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 deltas AS (
-  SELECT t, 1 AS delta, event_id FROM base
+  -- both deltas carry the START's day so every partition sees only
+  -- matched +1/-1 pairs (midnight straddlers attributed to start day)
+  SELECT CAST(make_timestamp(t) AS DATE) AS day, t, 1 AS delta, event_id
+  FROM base
   UNION ALL
-  SELECT t + d AS t, -1 AS delta, event_id FROM base
+  SELECT CAST(make_timestamp(t) AS DATE) AS day, t + d AS t, -1 AS delta,
+         event_id
+  FROM base
 ),
 swept AS (
-  SELECT CAST(make_timestamp(t) AS DATE) AS day, t,
+  SELECT day, t,
          CAST(SUM(delta) OVER (
-           PARTITION BY CAST(make_timestamp(t) AS DATE)
+           PARTITION BY day
            ORDER BY t ASC, delta ASC, event_id ASC
          ) AS BIGINT) AS active
   FROM deltas

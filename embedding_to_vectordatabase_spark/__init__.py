@@ -98,6 +98,7 @@ from .operators.joins import bloom_anti_join  # noqa: E402,F401
 from .operators.metrics import skew_profile  # noqa: E402,F401
 from .operators.embedding import (  # noqa: E402,F401
     centroid_similarity,
+    embedding_dispersion,
     group_centroids,
 )
 from .operators.dedup import dup_source_matrix  # noqa: E402,F401

@@ -308,18 +308,20 @@ def _bloom_bitmap(
     return bitmap
 
 
-def _bloom_test_sql(key_expr: str, i: int, n_bits: int) -> str:
+def _bloom_test_sql(
+    key_expr: str, i: int, n_bits: int, bloom_col: str = "__bloom"
+) -> str:
     """SQL fragment: bit i's membership test against the broadcast
-    bitmap column __bloom (1-based element_at). ``key_expr`` is used
-    verbatim (a bare column name is wrapped in backticks). Written as
-    expr() strings because pyspark's shiftleft wrapper only takes a
-    literal shift amount, while the SQL ShiftLeft accepts an
-    expression."""
+    bitmap column ``bloom_col`` (1-based element_at). ``key_expr`` is
+    used verbatim (a bare column name is wrapped in backticks).
+    Written as expr() strings because pyspark's shiftleft wrapper
+    only takes a literal shift amount, while the SQL ShiftLeft
+    accepts an expression."""
     if "`" not in key_expr and "(" not in key_expr:
         key_expr = f"`{key_expr}`"
     pos = f"pmod(xxhash64({key_expr}, {i}), {n_bits}L)"
     return (
-        f"(element_at(__bloom, CAST({pos} DIV 64 AS INT) + 1) & "
+        f"(element_at(`{bloom_col}`, CAST({pos} DIV 64 AS INT) + 1) & "
         f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
     )
 
@@ -400,17 +402,21 @@ def bloom_anti_join(
                 f"the key columns to a common type first"
             )
     bitmap = _bloom_bitmap(build, key, n_bits, n_hashes)
-    bm = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
+    # collision-free temp name: docs may legitimately carry __bloom
+    bloom_col = "__bloom"
+    while bloom_col in docs.columns:
+        bloom_col += "_"
+    bm = spark.createDataFrame([(bitmap,)], f"`{bloom_col}` array<bigint>")
     probed = docs.crossJoin(F.broadcast(bm))
     maybe = reduce(
         lambda a, b: a & b,
         [
-            F.expr(_bloom_test_sql(hash_key_expr, i, n_bits))
+            F.expr(_bloom_test_sql(hash_key_expr, i, n_bits, bloom_col))
             for i in range(n_hashes)
         ],
     )
-    definitely_new = probed.filter(~maybe).drop("__bloom")
-    candidates = probed.filter(maybe).drop("__bloom")
+    definitely_new = probed.filter(~maybe).drop(bloom_col)
+    candidates = probed.filter(maybe).drop(bloom_col)
     survivors = candidates.join(
         ingested.select(key).distinct(), on=key, how="left_anti"
     )

@@ -1035,6 +1035,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    inlist_max_vocab: int = 2000,
 ) -> DataFrame:
     """Classical BM25 lexical top-k over a raw text column — the
     exact-statistics counterpart of the reference's learned sparse
@@ -1114,13 +1115,29 @@ def bm25_topk(
             ]
         )
         return docs.sparkSession.createDataFrame([], empty_schema)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words).alias("dl"),
-        F.explode(
-            F.filter(words, lambda s: s.isin(*vocab))
-        ).alias("token"),
-    )
+    if len(vocab) <= inlist_max_vocab:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).alias("dl"),
+            F.explode(
+                F.filter(words, lambda s: s.isin(*vocab))
+            ).alias("token"),
+        )
+    else:
+        # the IN-list compiles one literal per token into codegen; a
+        # huge vocabulary would blow Janino's 64KB method limit (and
+        # the driver-side plan). Past ~2k tokens fall back to the
+        # explode + broadcast-semi-join plan: still map-side pruning
+        # (broadcast hash probe per token), just not in-array.
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).alias("dl"),
+            F.explode(words).alias("token"),
+        ).join(
+            F.broadcast(query_terms.select("token").distinct()),
+            "token",
+            "left_semi",
+        )
     qt = F.broadcast(query_terms.select("query_id", "token"))
     tf_q = (
         toks.join(qt, "token")

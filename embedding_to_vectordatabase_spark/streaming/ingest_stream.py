@@ -375,12 +375,14 @@ def peak_concurrency(
     sum ordered by (time, delta, event_id) inside each day partition
     gives the active count at every boundary; a per-day argmax
     finishes. Day partitioning keeps the sort distributed (no
-    single-partition global order) at the cost of not counting
-    intervals that straddle midnight toward the next day — the
-    documented tradeoff; pass day_partitioned=False for exact global
-    sweep on small inputs. Ends sort BEFORE starts at the same
-    instant (delta asc), so touching intervals [a,b) [b,c) never
-    double-count.
+    single-partition global order) at the cost of attributing an
+    interval that straddles midnight entirely to its START day —
+    both its +1 and -1 carry the start's day, so every partition
+    sees only matched pairs (running sums can never go negative and
+    next-day peaks are never corrupted by orphan ends); pass
+    day_partitioned=False for exact global sweep on small inputs.
+    Ends sort BEFORE starts at the same instant (delta asc), so
+    touching intervals [a,b) [b,c) never double-count.
     """
     from pyspark.sql import Window
 
@@ -402,18 +404,25 @@ def peak_concurrency(
         dur_us.alias("__d"),
         F.col(id_col).alias("__eid"),
     )
+    # Both deltas carry the START's day: a midnight-straddling
+    # interval's -1 must land in the same partition as its +1, else
+    # the next day's running sum starts with an orphan -1
+    start_day = (
+        F.to_date(F.timestamp_micros(F.col("__t")))
+        if day_partitioned
+        else F.lit(0)
+    )
+    base = base.withColumn("day", start_day)
     deltas = base.select(
-        F.col("__t"), F.lit(1).alias("__delta"), "__eid"
+        "day", F.col("__t"), F.lit(1).alias("__delta"), "__eid"
     ).unionByName(
         base.select(
+            "day",
             (F.col("__t") + F.col("__d")).alias("__t"),
             F.lit(-1).alias("__delta"),
             "__eid",
         )
     )
-    day = F.to_date(F.timestamp_micros(F.col("__t"))).alias("day")
-    parts = [day] if day_partitioned else [F.lit(0).alias("day")]
-    deltas = deltas.select(*parts, "__t", "__delta", "__eid")
     w = Window.partitionBy("day").orderBy(
         F.col("__t").asc(), F.col("__delta").asc(), F.col("__eid").asc()
     )
@@ -483,13 +492,26 @@ def conversion_time_stats(
         F.count("*").alias("n_converters"),
         F.round(F.avg("__lat_s"), 6).alias("mean_seconds"),
     ]
+    labels = []
     for q in quantiles:
         # round, not int(): 0.29*100 is 28.999... in floats, and
-        # int() truncation would mislabel (or collide) the columns
-        aggs.append(
-            F.round(F.expr(f"percentile(__lat_s, {q})"), 6).alias(
-                f"p{round(q * 100)}_seconds"
+        # int() truncation would mislabel the columns. Quantiles
+        # finer than 1% keep their full value in the label (p99.9)
+        # so e.g. 0.501 and 0.504 never collide
+        pct = round(q * 100, 9)
+        label = (
+            f"p{round(pct)}_seconds"
+            if abs(pct - round(pct)) < 1e-9
+            # dot would need backtick-quoting in Spark column refs
+            else "p{}_seconds".format(("%g" % pct).replace(".", "_"))
+        )
+        if label in labels:
+            raise ValueError(
+                f"quantiles {quantiles} produce duplicate column {label}"
             )
+        labels.append(label)
+        aggs.append(
+            F.round(F.expr(f"percentile(__lat_s, {q})"), 6).alias(label)
         )
     return latencies.agg(*aggs)
 

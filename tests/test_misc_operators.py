@@ -611,3 +611,33 @@ def test_bloom_anti_join_probe_is_jvm_native(spark):
     s = buf.getvalue()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in s
+
+
+def test_bloom_anti_join_survives_existing_bloom_column(spark):
+    """docs carrying a literal __bloom column must not collide with
+    the broadcast bitmap's temp column (round-7 ADVICE fix: the temp
+    name is chosen collision-free against docs.columns)."""
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        anti_join_ingested,
+        bloom_anti_join,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("file_id"),
+        F.lit("user-data").alias("__bloom"),
+    )
+    ingested = spark.range(0, 200).filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("file_id")
+    )
+    got = bloom_anti_join(
+        docs, ingested, key="file_id", n_bits=1 << 12, n_hashes=3
+    )
+    want = anti_join_ingested(docs, ingested, key="file_id")
+    assert sorted(r["file_id"] for r in got.collect()) == sorted(
+        r["file_id"] for r in want.collect()
+    )
+    # the user's own __bloom column survives untouched
+    assert got.columns == docs.columns
+    assert got.select("__bloom").distinct().collect()[0][0] == "user-data"

@@ -431,3 +431,33 @@ def test_bm25_max_doc_freq_prunes(spark):
     out = bm25_topk(docs, qt, max_doc_freq=3).collect()
     # 'stop' (df=5) pruned: only the unique3 doc scores
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_bm25_large_vocab_fallback_matches_inlist(spark):
+    """Above inlist_max_vocab the plan switches from in-array IN-list
+    literals to explode + broadcast-semi-join (Janino 64KB guard,
+    round-7 ADVICE); both paths must score identically."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "spark shuffle join engine"),
+        (2, "spark spark shuffle plan"),
+        (3, "postgres btree index scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [("q", "spark"), ("q", "scan")], "query_id string, token string"
+    )
+    inlist = bm25_topk(docs, qt, k=10).collect()
+    fallback = bm25_topk(docs, qt, k=10, inlist_max_vocab=1).collect()
+
+    def keyed(rows_):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["rank"], r["score"])
+            for r in rows_
+        )
+
+    assert keyed(inlist) == keyed(fallback)
+    assert len(inlist) == 3
