@@ -229,6 +229,9 @@ def main() -> None:
     floor_amortization: dict[str, object] = {}
     ann_recall: dict[str, object] = {}
     round6_ops: dict[str, object] = {}
+    # query -> steal% of the recorded (best) sample, only when it
+    # exceeded the storm threshold: a poisoned number self-labels
+    steal_flags: dict[str, float] = {}
 
     emitted = threading.Event()
 
@@ -262,32 +265,43 @@ def main() -> None:
             if amp_entries
             else None
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "total_sec",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "ingest_chunks": n_chunks,
-                    "ingest_chunks_per_s": round(
-                        n_chunks / max(ingest_sec, 1e-9), 1
-                    ),
-                    **throughput,
-                    "duckdb_baseline": duckdb_baseline,
-                    "vs_duckdb": vs_duckdb,
-                    "bench_vs_baseline": bench_vs_baseline,
-                    "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
-                    "scale_amplified": scale_amplified,
-                    "floor_amortization": floor_amortization,
-                    "layout_skipping_band_scan": layout_skipping,
-                    "ann_recall": ann_recall,
-                    "round6_ops": round6_ops,
-                    "notes": BENCH_NOTES,
-                }
+        full = {
+            "metric": "total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "ingest_chunks": n_chunks,
+            "ingest_chunks_per_s": round(
+                n_chunks / max(ingest_sec, 1e-9), 1
+            ),
+            **throughput,
+            "duckdb_baseline": duckdb_baseline,
+            "vs_duckdb": vs_duckdb,
+            "bench_vs_baseline": bench_vs_baseline,
+            "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
+            "scale_amplified": scale_amplified,
+            "floor_amortization": floor_amortization,
+            "layout_skipping_band_scan": layout_skipping,
+            "ann_recall": ann_recall,
+            "round6_ops": round6_ops,
+            "steal_pct_flags": steal_flags,
+            "notes": BENCH_NOTES,
+        }
+        print(json.dumps(full))
+        # the driver keeps only a 2,000-char stdout tail, so the full
+        # per-query detail also lands in a committed, diffable file
+        # (overwritten each round; VERDICT r6 item 3)
+        try:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
             )
-        )
+            with open(detail_path, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
         # compact scalars-only line LAST: the driver records a
         # 2,000-char tail of stdout, which truncates the full line
         # above mid-JSON — this line is small enough that the tail
@@ -328,6 +342,7 @@ def main() -> None:
                     "ingest_chunks_per_s": round(
                         n_chunks / max(ingest_sec, 1e-9), 1
                     ),
+                    "steal_pct_flags": steal_flags,
                 }
             )
         )
@@ -348,38 +363,81 @@ def main() -> None:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    def _cpu_ticks() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat's aggregate cpu
+        line — the direct hypervisor-steal counter this box's storms
+        show up in (same source used to diagnose them)."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        except Exception:  # noqa: BLE001 — /proc may not exist
+            return 0, 0
+
+    def _steal_between(before, after) -> float:
+        ds, dt = after[0] - before[0], after[1] - before[1]
+        return round(100.0 * ds / dt, 1) if dt > 0 else 0.0
+
+    # a sample whose window saw >= this much steal is storm-suspect:
+    # quiet windows on this box measure < 1%, storms 20-80%
+    STEAL_FLAG_PCT = 5.0
+
     def sample_min(mk, runs: int, max_runs: int = 4) -> float:
         """MIN of `runs` timed shots, extended up to `max_runs` while
-        the spread looks storm-poisoned. MIN, not median: this box is
-        a VM with measured hypervisor CPU-steal storms (30 s+ windows
-        where every task slows 5-10x uniformly, no GC, no code-cache
-        pressure — verified with -Xlog:gc and /proc/stat steal). A
-        storm inside the sample window poisons the median but rarely
-        all runs; the min is the standard least-interference estimate
-        of the plan's actual cost. When max/min > 3 ALL samples may
-        have straddled a storm (observed: 7.6/24.4/2.4 s for one
-        identical plan), so keep sampling while budget allows — the
-        first post-storm shot recovers the real number."""
-        samples = []
+        the spread looks storm-poisoned — and up to max_runs+2 while
+        the BEST sample itself ran under measured CPU steal. MIN, not
+        median: this box is a VM with measured hypervisor CPU-steal
+        storms (30 s+ windows where every task slows 5-10x uniformly,
+        no GC, no code-cache pressure — verified with -Xlog:gc and
+        /proc/stat steal). A storm inside the sample window poisons
+        the median but rarely all runs; the min is the standard
+        least-interference estimate of the plan's actual cost. When
+        max/min > 3 ALL samples may have straddled a storm (observed:
+        7.6/24.4/2.4 s for one identical plan), so keep sampling
+        while budget allows — the first post-storm shot recovers the
+        real number. Spread alone misses the case where EVERY sample
+        sits inside one long storm (uniform slow, spread < 3 — the
+        r6 windowed_counts_50m artifact), so each shot also records
+        its window's /proc/stat steal%% and a steal-tainted best
+        keeps the sampler shooting. The chosen sample's steal%% is
+        left in ``sample_min.last_steal_pct`` so callers can label
+        the number they record."""
+        samples: list[tuple[float, float]] = []  # (elapsed, steal_pct)
+
+        def shot() -> None:
+            ticks0 = _cpu_ticks()
+            t0 = time.time()
+            materialize(mk())
+            samples.append(
+                (time.time() - t0, _steal_between(ticks0, _cpu_ticks()))
+            )
+
         for _ in range(runs):
-            t0 = time.time()
-            materialize(mk())
-            samples.append(time.time() - t0)
-        while (
-            len(samples) < max_runs
-            and max(samples) / max(min(samples), 1e-9) > 3.0
-            and time_left() > 60 + 2 * min(samples)
-        ):
-            t0 = time.time()
-            materialize(mk())
-            samples.append(time.time() - t0)
-        return min(samples)
+            shot()
+
+        def best() -> tuple[float, float]:
+            return min(samples, key=lambda s: s[0])
+
+        while time_left() > 60 + 2 * best()[0]:
+            spread = max(s[0] for s in samples) / max(best()[0], 1e-9)
+            if spread > 3.0 and len(samples) < max_runs:
+                shot()
+            elif best()[1] >= STEAL_FLAG_PCT and len(samples) < max_runs + 2:
+                shot()
+            else:
+                break
+        sample_min.last_steal_pct = best()[1]
+        return best()[0]
+
+    sample_min.last_steal_pct = 0.0
 
     def timed(name: str, mk, runs: int = 2) -> None:
         nonlocal total
         progress(f"bench {name}")
         materialize(mk())  # untimed warmup (see module docstring)
         dt = round(sample_min(mk, runs), 3)
+        if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
+            steal_flags[name] = sample_min.last_steal_pct
         timings[name] = dt
         total += dt
 
@@ -660,6 +718,38 @@ def main() -> None:
             expect=n_ev * ev_times,
         )
 
+        # 4x the 500k fixture (unique ids via a disjoint stride — ties
+        # must stay impossible for (score, id) determinism vs DuckDB):
+        # dense_topk at 500k is fixed-floor-dominated (~0.3 s scan +
+        # ~0.3 s Python IPC vs ~0.15 s compute, measured r7); the 2M
+        # point shows the floor amortizing (measured: Spark 1.13 s vs
+        # DuckDB 1.62 s, ratio 1.43 — Spark ahead once data volume
+        # pays the IPC leg)
+        emb2m_path = os.path.join(SCRATCH, "emb2m.parquet")
+
+        def _build_emb2m() -> None:
+            base = spark.read.parquet(emb500k_path)
+            parts = [
+                base.select(
+                    (F.col("vec_id") + F.lit(i * 100_000_000)).alias(
+                        "vec_id"
+                    ),
+                    "embedding",
+                    "label",
+                )
+                for i in range(4)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(emb2m_path)
+
+        ensure_fixture(
+            emb2m_path, _build_emb2m, expect=n_emb * t_emb500k * 4
+        )
+
         from embedding_to_vectordatabase_spark.operators.textanalysis import (
             profile_documents,
         )
@@ -710,6 +800,14 @@ def main() -> None:
                     {"embeddings": f"{emb500k_path}/*.parquet"},
                 ),
                 (
+                    "dense_topk_2m_vecs",
+                    lambda: dense_topk(
+                        spark.read.parquet(emb2m_path), q3, k=5
+                    ),
+                    oracles["o4_dense_topk"],
+                    {"embeddings": f"{emb2m_path}/*.parquet"},
+                ),
+                (
                     "profile_250k_docs",
                     lambda: profile_documents(scratch_docs),
                     oracles["profile_documents"],
@@ -733,10 +831,13 @@ def main() -> None:
                 spark_sec = round(
                     sample_min(spark_mk, 2 if time_left() > 150 else 1), 3
                 )
+                if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
+                    steal_flags[key] = sample_min.last_steal_pct
                 progress(f"scale_amplified duckdb {key}")
                 duck_sec, capped = duck_timed(sql, paths)
                 scale_amplified[key] = {
                     "spark_sec": spark_sec,
+                    "steal_pct": sample_min.last_steal_pct,
                     "duckdb_sec": duck_sec,
                     "duckdb_hit_cap": capped,
                     # >1 = Spark faster on the same data (duckdb_sec is a
@@ -1099,6 +1200,7 @@ def main() -> None:
                 spark_sec = round(
                     sample_min(mk, 2 if time_left() > 60 else 1), 3
                 )
+                point_steal = sample_min.last_steal_pct
                 duck_sec, capped = duck_timed(
                     oracles[qname],
                     {
@@ -1116,7 +1218,13 @@ def main() -> None:
                     "spark_speedup_over_duckdb": round(
                         duck_sec / max(spark_sec, 1e-9), 3
                     ),
+                    # steal% seen by the RECORDED sample — >= the flag
+                    # threshold means this point may be storm-poisoned
+                    # (the r6 0.057@50M artifact); judge accordingly
+                    "steal_pct": point_steal,
                 }
+                if point_steal >= STEAL_FLAG_PCT:
+                    steal_flags[label] = point_steal
 
         # layout evidence: the same 1-hour-band query over the same 5M
         # events, raw (shuffled writer order) vs range-clustered by ts

@@ -4,8 +4,11 @@ The driver's CORRECTNESS gate only runs the first 50 entries of
 ``__spark_entry__.queries()``; round 4 proved a query can silently
 regress outside that window (st_sessionize broke and stayed invisible
 for a full round). This test runs every ORACLE-BEARING query beyond
-slot 50 against DuckDB at sf0.001, so an out-of-window regression
-fails pytest instead of hiding.
+slot 50 against DuckDB, so an out-of-window regression fails pytest
+instead of hiding — at BOTH sf0.001 (fast) and sf0.01 (the driver's
+acceptance SF: scale-sensitive logic like thresholds, banding and
+quantiles can pass at sf0.001 and break at sf0.01 invisibly —
+VERDICT r6 item 5).
 
 Rows-only queries past the window are exercised by their own unit
 tests; re-running them here would only add runtime.
@@ -16,16 +19,24 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(
     0,
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
 )
 
 DRIVER_WINDOW = 50
-SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_out_of_window_oracle_queries_stay_green(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        pytest.param("/root/testdata/sf0.01", marks=pytest.mark.slow),
+    ],
+)
+def test_out_of_window_oracle_queries_stay_green(spark, sf_dir):
     import __spark_entry__ as entry
     from oracle_check import check_queries
 
@@ -38,12 +49,12 @@ def test_out_of_window_oracle_queries_stay_green(spark):
         "registry shrank below the driver window — nothing to guard"
     )
     results, n_fail = check_queries(
-        spark, SF_DIR, only=set(out_of_window), verbose=False
+        spark, sf_dir, only=set(out_of_window), verbose=False
     )
     failing = {
         n: r for n, r in results.items() if r["status"] != "PASS"
     }
     assert n_fail == 0, (
         f"out-of-window oracle regressions (invisible to the driver "
-        f"gate): {failing}"
+        f"gate) at {sf_dir}: {failing}"
     )
