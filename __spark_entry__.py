@@ -5065,6 +5065,72 @@ FROM clean c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
+def _q_auto_join_hot(spark, sf_dir):
+    """Skew-aware join chooser end-to-end (operators/joins.py:auto_join,
+    VERDICT r6 item 7): a ~90%-hot fact key (md5-derived, engine-
+    portable) joining the 25-row nation dim with the broadcast path
+    disabled (broadcast_threshold_bytes=-1), so the chooser must
+    detect the hot key and pick the salted plan. Join semantics are
+    strategy-independent — the oracle is the plain SQL join."""
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        auto_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    b = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("skew:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    fact = li.select(
+        F.when(b < "e6666666", F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(25)))
+        .cast("long")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    joined = auto_join(
+        fact, dim, "k", num_salts=8, broadcast_threshold_bytes=-1
+    )
+    assert auto_join.last_strategy == "salted", auto_join.last_strategy
+    return joined.groupBy("n_name").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_SQL_AUTO_JOIN_HOT = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT CASE
+           WHEN substring(md5('skew:' || CAST(l_orderkey AS VARCHAR)
+                  || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                < 'e6666666'
+           THEN 0 ELSE l_orderkey % 25 END AS k,
+         l_extendedprice
+  FROM lineitem) f
+JOIN nation ON f.k = n_nationkey
+GROUP BY n_name
+"""
+
+
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # Round-4 rotation: the external CORRECTNESS gate samples the first 50
     # registry entries, so the 17 queries that had only local verification in
@@ -5088,6 +5154,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("props_k_counts", _q_props_k_counts, _SQL_PROPS_K),
     ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
+    ("auto_join_hot_agg", _q_auto_join_hot, _SQL_AUTO_JOIN_HOT),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),

@@ -543,6 +543,9 @@ def main() -> None:
     # disabled (forcing the shuffle join a too-big dim would need).
     # plain+no-AQE-skew puts the hot key on ONE reducer; AQE splits it
     # at runtime; salted_join splits it in the plan.
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        auto_join as _auto_join,
+    )
     from embedding_to_vectordatabase_spark.util import salted_join
 
     li = entry._t(spark, sf_dir, "lineitem").select(
@@ -585,6 +588,16 @@ def main() -> None:
                 "skew_join_salted",
                 "false",
                 lambda: _skew_agg(salted_join(fact, dim, "k", num_salts=32)),
+            ),
+            # the chooser end-to-end: detects the hot key (one bounded
+            # pre-flight agg, included in the timing) and picks the
+            # salted plan itself (VERDICT r6 item 7)
+            (
+                "skew_join_auto",
+                "false",
+                lambda: _skew_agg(
+                    _auto_join(fact, dim, "k", num_salts=32)
+                ),
             ),
         ]:
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_aqe)

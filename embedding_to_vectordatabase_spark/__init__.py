@@ -94,7 +94,7 @@ from .operators.anomaly import (  # noqa: E402,F401
     category_drift_psi,
     value_histogram,
 )
-from .operators.joins import bloom_anti_join  # noqa: E402,F401
+from .operators.joins import auto_join, bloom_anti_join  # noqa: E402,F401
 from .operators.metrics import skew_profile  # noqa: E402,F401
 from .operators.embedding import (  # noqa: E402,F401
     centroid_similarity,

@@ -641,3 +641,99 @@ def test_bloom_anti_join_survives_existing_bloom_column(spark):
     # the user's own __bloom column survives untouched
     assert got.columns == docs.columns
     assert got.select("__bloom").distinct().collect()[0][0] == "user-data"
+
+
+def _auto_join_fixture(spark, hot: bool):
+    from pyspark.sql import functions as F
+
+    # 90%-hot key 0 vs uniform keys; deterministic construction
+    n = 2000
+    base = spark.range(n)
+    k = (
+        F.when(F.col("id") % 10 != 9, F.lit(0)).otherwise(
+            F.col("id") % 100
+        )
+        if hot
+        else F.col("id") % 100
+    )
+    fact = base.select(k.cast("long").alias("k"), (F.col("id") * 3).alias("v"))
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    return fact, dim
+
+
+def test_auto_join_broadcasts_small_dim(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact, dim = _auto_join_fixture(spark, hot=True)
+    out = auto_join(fact, dim, "k")
+    # default threshold (10MB) >> 100-row dim: broadcast wins even
+    # over a 90%-hot fact key (nothing shuffles, skew irrelevant)
+    assert auto_join.last_strategy == "broadcast"
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_join_salts_hot_key_when_broadcast_disabled(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact, dim = _auto_join_fixture(spark, hot=True)
+    want = sorted(
+        (r["k"], r["v"], r["w"]) for r in fact.join(dim, "k").collect()
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = auto_join(fact, dim, "k", num_salts=4)
+        assert auto_join.last_strategy == "salted"
+        got = sorted((r["k"], r["v"], r["w"]) for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert got == want
+
+
+def test_auto_join_plain_for_uniform_keys(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact, dim = _auto_join_fixture(spark, hot=False)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = auto_join(fact, dim, "k")
+        assert auto_join.last_strategy == "plain"
+        assert out.count() == fact.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_auto_join_consults_precomputed_profile(spark):
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        skew_profile,
+    )
+
+    fact, dim = _auto_join_fixture(spark, hot=True)
+    prof = skew_profile(fact, "k")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = auto_join(fact, dim, "k", profile=prof, num_salts=4)
+        assert auto_join.last_strategy == "salted"
+        assert out.count() == fact.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_auto_join_right_join_never_salted(spark):
+    """Salting replicates the dim side, which breaks right/full outer
+    semantics — a hot key under those join types must stay plain."""
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact, dim = _auto_join_fixture(spark, hot=True)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        auto_join(fact, dim, "k", how="right")
+        assert auto_join.last_strategy == "plain"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

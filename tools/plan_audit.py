@@ -235,7 +235,43 @@ CHECKS = {
          and "BatchEvalPython" not in s
          and "MapInPandas" not in s),
     ],
+    # round-7: skew loop closed — the chooser must pick the salted
+    # plan for the 90%-hot key (the query builder asserts
+    # last_strategy == 'salted'; the plan shows the salt fan-out)
+    "auto_join_hot_agg": [
+        ("salted plan chosen (salt column in join)",
+         lambda s: "__salt" in s),
+        ("dim fan-out is explode, not cartesian",
+         lambda s: "CartesianProduct" not in s
+         and "BroadcastNestedLoopJoin" not in s),
+    ],
 }
+
+
+def _q_auto_join_uniform(spark, sf):
+    """Uniform-key counterpart of auto_join_hot_agg: same fact shape,
+    no hot key — the chooser must come out 'plain' (no salt fan-out)
+    even with broadcast disabled."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact = entry._t(spark, sf, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(25)).cast("long").alias("k"),
+        "l_extendedprice",
+    )
+    dim = entry._t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    out = auto_join(fact, dim, "k", broadcast_threshold_bytes=-1)
+    assert auto_join.last_strategy == "plain", auto_join.last_strategy
+    return out.groupBy("n_name").count()
+
+
+_AUTO_JOIN_UNIFORM_CHECKS = [
+    ("no salt fan-out for uniform key", lambda s: "__salt" not in s),
+]
 
 
 _INGEST_CHECKS = [
@@ -268,6 +304,9 @@ def run_audits(
     audits = [(name, qs[name], checks) for name, checks in CHECKS.items()]
     # ingest audited separately (not a public queries() entry shape)
     audits.append(("ingest (flagship plan)", entry._q_ingest_chunks, _INGEST_CHECKS))
+    audits.append(
+        ("auto_join (uniform key)", _q_auto_join_uniform, _AUTO_JOIN_UNIFORM_CHECKS)
+    )
     for name, fn, checks in audits:
         s = explain_str(fn(spark, sf))
         lines.append(f"## {name}")
