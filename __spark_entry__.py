@@ -2609,11 +2609,16 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 
 def _q_dense_topk_quantized(spark, sf_dir):
-    """Rows-only: the int8 stage-1 candidate scan is a numpy BLAS
-    pass whose float reassociation isn't bit-reproducible in SQL at
-    the candidate-set boundary; exactness of the final re-ranked
-    result vs dense_topk (id set AND float scores) is asserted in
-    tests/test_search.py::test_dense_topk_quantized_*."""
+    """Moved from rows-only to hash-checked (VERDICT r6 item 9) via
+    ``symmetric=True``: quantizing the queries too makes the stage-1
+    candidate score ``(int8-dot * corpus_scale) * query_scale`` —
+    every partial sum an integer < 2^53, so float accumulation is
+    exact and order-independent, and the candidate set (global top-c
+    by (ascore, id)) is bit-reproducible in DuckDB. The re-rank is
+    the same float dot as o4's oracle (6dp round absorbs summation-
+    order ulp). The asymmetric float-BLAS path keeps its recall/
+    exactness tests (test_dense_topk_quantized_*) and the 500k bench
+    entry."""
     from embedding_to_vectordatabase_spark.operators.search import (
         dense_topk_quantized,
     )
@@ -2622,10 +2627,56 @@ def _q_dense_topk_quantized(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = dense_topk_quantized(emb, q, k=5, metric="COSINE")
+    out = dense_topk_quantized(
+        emb, q, k=5, metric="IP", rerank_candidates=20, symmetric=True
+    )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+_SQL_QUANTIZED_SYM = f"""
+WITH quant AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(
+                     greatest(-127.0, least(127.0,
+                       floor(CAST(x AS DOUBLE) / scale + 0.5)))
+                     AS INTEGER))
+         END AS c
+  FROM quant),
+qcodes AS (SELECT vec_id AS query_id, scale, c FROM codes WHERE vec_id < 3),
+ascored AS (
+  SELECT qq.query_id, cc.vec_id,
+         (CAST(list_sum(list_transform(cc.c, (x,i) -> x * qq.c[i]))
+               AS DOUBLE) * cc.scale) * qq.scale AS ascore
+  FROM codes cc, qcodes qq),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY ascore DESC, vec_id) AS cr
+    FROM ascored)
+  WHERE cr <= 20),
+rescored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {{dot}} AS score
+  FROM cand
+  JOIN embeddings c ON cand.vec_id = c.vec_id
+  JOIN embeddings q ON cand.query_id = q.vec_id)
+SELECT query_id, vec_id, ROUND(score, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM rescored)
+WHERE rank <= 5
+""".replace("{dot}", _dot_sql("q.embedding", "c.embedding"))
 
 
 def _q_ann_mllib_join(spark, sf_dir):
@@ -5113,6 +5164,124 @@ def _q_auto_join_hot(spark, sf_dir):
     )
 
 
+def _q_day2_pipeline(spark, sf_dir):
+    """Composed day-2 incremental pipeline (VERDICT r6 item 8): the
+    per-operator pieces proven separately in round 6 — SCD2 registry
+    churn (operators/scd.py:scd2_apply), the Bloom-prefiltered
+    incremental anti-join (operators/joins.py:bloom_anti_join), and
+    the broadcast registry lookup — composed end-to-end. Day-1 state
+    derives deterministically from md5 buckets (engine-portable):
+    customers are the registry history, ~75%% of documents are
+    'already ingested', the churn batch closes/creates registry rows,
+    and only the incremental docs join the UPDATED current registry.
+
+    Scale shape: corpus rows never enter an exchange — the bloom
+    anti-join's two branches are map-side column-pruned scans feeding
+    broadcast joins (two cheap scans instead of one corpus-sized
+    shuffle), the ingested-id list and bitmap build read the key
+    column only, and the updated current registry is explicitly
+    broadcast; the only exchanges in the plan are churn-sized (SCD2
+    update window) or one-row (max key, final seg agg) — plan-audited."""
+    from embedding_to_vectordatabase_spark.operators.joins import (
+        bloom_anti_join,
+    )
+    from embedding_to_vectordatabase_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    hist = cust.select(
+        F.col("c_custkey").alias("reg_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("d2:"), F.col("c_custkey").cast("string"))),
+        1,
+        1,
+    )
+    upd = (
+        cust.select("c_custkey", "c_mktsegment", h.alias("__h"))
+        .filter(F.col("__h") < "4")
+        .select(
+            F.col("c_custkey").alias("reg_id"),
+            F.concat(F.col("c_mktsegment"), F.lit("_day2")).alias("seg"),
+            F.lit("2024-06-01").cast("date").alias("effective_ts"),
+        )
+    )
+    current = scd2_apply(hist, upd, "reg_id", ["seg"]).filter(
+        F.col("valid_to").isNull()
+    ).select("reg_id", "seg")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ingested = docs.select("doc_id").filter(
+        F.substring(
+            F.md5(F.concat(F.lit("d1:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        < "c"
+    )
+    incr = bloom_anti_join(
+        docs, ingested, key="doc_id", n_bits=1 << 16, n_hashes=3
+    )
+    maxk = cust.agg(F.max("c_custkey").alias("__maxk"))
+    incr = incr.crossJoin(F.broadcast(maxk)).withColumn(
+        "reg_id", F.pmod(F.col("doc_id"), F.col("__maxk")) + F.lit(1)
+    )
+    joined = incr.join(F.broadcast(current), "reg_id", "left")
+    return joined.groupBy("seg").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_SQL_DAY2_PIPELINE = """
+WITH hist AS (
+  SELECT c_custkey AS reg_id, c_mktsegment AS seg,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+upd AS (
+  SELECT c_custkey AS reg_id, c_mktsegment || '_day2' AS seg,
+         DATE '2024-06-01' AS eff
+  FROM customer
+  WHERE substring(md5('d2:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '4'),
+cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+cur_out AS (
+  SELECT c.reg_id, c.seg, c.valid_from,
+         CASE WHEN u.eff IS NOT NULL
+                   AND (c.seg IS DISTINCT FROM u.seg)
+              THEN u.eff END AS valid_to
+  FROM cur c LEFT JOIN upd u ON c.reg_id = u.reg_id),
+new_out AS (
+  SELECT u.reg_id, u.seg, u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM upd u LEFT JOIN cur c ON u.reg_id = c.reg_id
+  WHERE c.reg_id IS NULL OR (c.seg IS DISTINCT FROM u.seg)),
+current_reg AS (
+  SELECT reg_id, seg FROM (
+    SELECT * FROM hist WHERE valid_to IS NOT NULL
+    UNION ALL SELECT * FROM cur_out
+    UNION ALL SELECT * FROM new_out)
+  WHERE valid_to IS NULL),
+ingested AS (
+  SELECT doc_id FROM documents
+  WHERE substring(md5('d1:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'),
+incr AS (
+  SELECT d.doc_id, d.n_chars,
+         d.doc_id % (SELECT MAX(c_custkey) FROM customer) + 1 AS reg_id
+  FROM documents d LEFT JOIN ingested i ON d.doc_id = i.doc_id
+  WHERE i.doc_id IS NULL)
+SELECT r.seg,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM incr LEFT JOIN current_reg r ON incr.reg_id = r.reg_id
+GROUP BY r.seg
+"""
+
+
 _SQL_AUTO_JOIN_HOT = """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -5155,6 +5324,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
     ("auto_join_hot_agg", _q_auto_join_hot, _SQL_AUTO_JOIN_HOT),
+    ("day2_incremental_pipeline", _q_day2_pipeline, _SQL_DAY2_PIPELINE),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),
@@ -5245,7 +5415,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ann_topk_bucketed", _q_ann_topk, None),
     ("ann_topk_ivf", _q_ann_topk_ivf, None),
     ("ann_similarity_join_mllib", _q_ann_mllib_join, None),
-    ("dense_topk_quantized", _q_dense_topk_quantized, None),
+    ("dense_topk_quantized", _q_dense_topk_quantized, _SQL_QUANTIZED_SYM),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("dedup_spans", _q_dedup_spans, _SQL_DEDUP_SPANS),
     ("bm25_topk", _q_bm25_topk, _SQL_BM25_TOPK),

@@ -263,6 +263,7 @@ def dense_topk_quantized(
     metric: str = "IP",
     rerank_candidates: int | None = None,
     quant_col: str | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Exact-quality top-k over an int8-quantized corpus scan: the
     4x-smaller codes column drives an approximate scoring pass that
@@ -284,6 +285,17 @@ def dense_topk_quantized(
     re-rank; with symmetric int8 (<0.5% cosine error) and c >= 4k,
     recall@k vs exact is ~1.0 (asserted in tests). Output matches
     ``dense_topk``'s schema: (query_id, <corpus_id>, score, rank).
+
+    ``symmetric=True`` (IP only) additionally quantizes the QUERY
+    vectors, making the stage-1 candidate score
+    ``(int_dot * corpus_scale) * query_scale`` where ``int_dot`` is
+    an integer dot of int8 codes — every partial sum is an integer
+    < 2^53, so float accumulation is EXACT regardless of summation
+    order and the candidate set is bit-reproducible across engines
+    (the asymmetric default's float-BLAS reassociation is not). This
+    is what lets the operator carry a full DuckDB value oracle
+    (VERDICT r6 item 9); accuracy impact is one more <0.5%-error
+    quantization on the side whose error the re-rank cancels anyway.
     """
     from ..functions.vector import quantize_int8
 
@@ -295,12 +307,31 @@ def dense_topk_quantized(
     )
     if c_keep < k:
         raise ValueError("rerank_candidates must be >= k")
+    if symmetric and metric != "IP":
+        raise ValueError(
+            "symmetric quantized scoring is defined for metric='IP' "
+            "(cosine normalization / L2 expansion happen in float)"
+        )
     qids, qmat = _query_matrix(queries, query_id, query_vec)
     if metric == "COSINE":
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         qmat = qmat / qn
-    bc_queries = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    qquant = None
+    if symmetric:
+        # numpy mirror of functions/vector.quantize_int8 (same
+        # clamp(floor(x/scale + 0.5)) semantics, same 0-scale rule)
+        mq = np.abs(qmat).max(axis=1)
+        qscale = mq / 127.0
+        safe = np.where(qscale == 0, 1.0, qscale)
+        qcodes = np.clip(
+            np.floor(qmat / safe[:, None] + 0.5), -127.0, 127.0
+        )
+        qcodes[qscale == 0] = 0.0
+        qquant = (qcodes, qscale)
+    bc_queries = corpus.sparkSession.sparkContext.broadcast(
+        (qids, qmat, qquant)
+    )
 
     if quant_col is None:
         cq = corpus.select(
@@ -332,7 +363,7 @@ def dense_topk_quantized(
     def local_topc(
         batches: Iterator[pa.RecordBatch],
     ) -> Iterator[pa.RecordBatch]:
-        qids, qmat = bc_queries.value
+        qids, qmat, qquant = bc_queries.value
         q2 = (qmat**2).sum(axis=1)
         for rb in batches:
             if rb.num_rows == 0:
@@ -345,7 +376,15 @@ def dense_topk_quantized(
             ).to_numpy(zero_copy_only=False)
             ids = rb.column(rb.schema.get_field_index(corpus_id))
             ids_np = ids.to_numpy(zero_copy_only=False)
-            if metric == "IP":
+            if symmetric:
+                # int8 x int8 dot in float64: every product and
+                # partial sum is an integer < 2^53, so the float
+                # accumulation is exact and order-independent —
+                # bit-identical to the SQL oracle's sequential sum
+                qcodes, qscale = qquant
+                S_int = C.astype(np.float64) @ qcodes.T
+                S = (S_int * scale[:, None]) * qscale[None, :]
+            elif metric == "IP":
                 # x = scale*codes — factor the scale out of the matmul
                 S = (C @ qmat.T) * scale[:, None]
             elif metric == "COSINE":

@@ -461,3 +461,51 @@ def test_bm25_large_vocab_fallback_matches_inlist(spark):
 
     assert keyed(inlist) == keyed(fallback)
     assert len(inlist) == 3
+
+
+def test_dense_topk_quantized_symmetric_matches_exact(spark):
+    """symmetric=True (query-side quantization for the engine-exact
+    int dot) must still find the true top-k and score it with the
+    EXACT float re-rank — same ids and scores as dense_topk."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk,
+        dense_topk_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.limit(2).select(
+        corpus.vec_id.alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in dense_topk(corpus, q, k=5, metric="IP").collect()
+    }
+    sym = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in dense_topk_quantized(
+            corpus, q, k=5, metric="IP", rerank_candidates=40,
+            symmetric=True,
+        ).collect()
+    }
+    assert sym == exact
+
+
+def test_dense_topk_quantized_symmetric_ip_only(spark):
+    import pytest as _pytest
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk_quantized,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = corpus.select(corpus.vec_id.alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="symmetric"):
+        dense_topk_quantized(corpus, q, metric="COSINE", symmetric=True)

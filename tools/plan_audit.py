@@ -238,6 +238,21 @@ CHECKS = {
     # round-7: skew loop closed — the chooser must pick the salted
     # plan for the 90%-hot key (the query builder asserts
     # last_strategy == 'salted'; the plan shows the salt fan-out)
+    # round-7: composed day-2 incremental pipeline — the update side
+    # must broadcast and corpus rows must never enter an exchange.
+    # bloom_anti_join's two branches (definitely-new / candidates)
+    # each scan the corpus map-side: exactly 2 full-width scans, both
+    # feeding broadcast joins — scans are the cheap currency at
+    # 100 TB, corpus-sized shuffles are the one to refuse
+    "day2_incremental_pipeline": [
+        ("registry joins broadcast (no corpus shuffle join)",
+         lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
+        ("corpus scans are the two map-side bloom branches only",
+         lambda s: sum(
+             1 for line in s.splitlines()
+             if "ReadSchema" in line and "n_chars" in line
+         ) == 2),
+    ],
     "auto_join_hot_agg": [
         ("salted plan chosen (salt column in join)",
          lambda s: "__salt" in s),
