@@ -326,6 +326,10 @@ def main() -> None:
                         for k, v in floor_amortization.items()
                     },
                     "ann_recall_at_5": ann_recall.get("recall_at_5"),
+                    "ann_recall_at_5_boundary": ann_recall.get(
+                        "recall_at_5_boundary"
+                    ),
+                    "ann_mode": ann_recall.get("mode"),
                     "ann_dim": ann_recall.get("dim"),
                     "round6_ops_speedups": {
                         k: v.get("spark_speedup_over_duckdb")
@@ -422,7 +426,12 @@ def main() -> None:
             spread = max(s[0] for s in samples) / max(best()[0], 1e-9)
             if spread > 3.0 and len(samples) < max_runs:
                 shot()
-            elif best()[1] >= STEAL_FLAG_PCT and len(samples) < max_runs + 2:
+            elif best()[1] >= STEAL_FLAG_PCT and len(samples) < max_runs + 1:
+                # ONE extra shot on a steal-tainted best: a long storm
+                # won't be outwaited anyway and the steal%% label
+                # already marks the number — burning more budget here
+                # starves the tail sections (observed r7: curate +
+                # round6 lost to a mid-run storm's re-sampling)
                 shot()
             else:
                 break
@@ -1036,10 +1045,73 @@ def main() -> None:
                 ),
                 expect=N_VEC,
             )
-            cvecs = spark.read.parquet(vec_path)
+            # HARD mode (VERDICT r6 item 6): the clean-Gaussian fixture
+            # saturated recall at 1.0 for both families, so the graded
+            # number now comes from (a) 5k near-duplicate distractors —
+            # perturbed copies of corpus vectors at ~1/4 the cluster
+            # noise, creating dense near-ties around true neighbors —
+            # and (b) 3 cluster-BOUNDARY queries (midpoints of center
+            # pairs + unit noise) whose probes must cover two clusters.
+            # Same knobs as r6; a sub-1.0 honest recall beats a
+            # saturated benchmark.
+            N_DIST = 5000
+            hard_path = os.path.join(SCRATCH, "clustered100k_hard.parquet")
+
+            def _pert(ids, embs):
+                idx = ids.to_numpy().astype(np.int64)
+                r = np.random.default_rng(
+                    int(idx[0]) if len(idx) else 1
+                )
+                M = np.stack(
+                    [np.asarray(e, dtype=np.float64) for e in embs]
+                ) if len(idx) else np.zeros((0, DIM))
+                out = (M + r.standard_normal(M.shape) * 0.25).astype(
+                    np.float32
+                )
+                return pd.Series(list(out), index=ids.index)
+
+            _pert.__annotations__ = {
+                "ids": pd.Series, "embs": pd.Series, "return": pd.Series
+            }
+            pert = F.pandas_udf(_pert, T.ArrayType(T.FloatType()))
+
+            def _build_hard() -> None:
+                base = spark.read.parquet(vec_path)
+                dist = base.filter(
+                    F.col("vec_id") % (N_VEC // N_DIST) == 0
+                ).select(
+                    (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                    pert("vec_id", "embedding").alias("embedding"),
+                )
+                base.unionByName(dist).write.mode("overwrite").parquet(
+                    hard_path
+                )
+
+            ensure_fixture(hard_path, _build_hard, expect=N_VEC + N_DIST)
+            cvecs = spark.read.parquet(hard_path)
             qdf = cvecs.filter(F.col("vec_id").isin([11, 22, 33])).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
+            brows = []
+            for a, b, qid in [(0, 1, 900001), (2, 3, 900002), (4, 5, 900003)]:
+                r = np.random.default_rng(qid)
+                v = (
+                    0.5 * (centers[a] + centers[b])
+                    + r.standard_normal(DIM)
+                ).astype(np.float32)
+                brows.append((qid, [float(x) for x in v]))
+            bqdf = spark.createDataFrame(
+                brows,
+                T.StructType(
+                    [
+                        T.StructField("query_id", T.LongType()),
+                        T.StructField(
+                            "embedding", T.ArrayType(T.FloatType())
+                        ),
+                    ]
+                ),
+            )
+            qdf = qdf.unionByName(bqdf)
 
             def topk_ids(df) -> dict[int, set]:
                 out: dict[int, set] = {}
@@ -1047,7 +1119,7 @@ def main() -> None:
                     out.setdefault(r["query_id"], set()).add(r["vec_id"])
                 return out
 
-            progress("ann recall: exact / lsh / ivf top-5")
+            progress("ann recall (hard): exact / lsh / ivf top-5")
             t0 = time.time()
             exact = topk_ids(dense_topk(cvecs, qdf, k=5))
             exact_sec = round(time.time() - t0, 3)
@@ -1064,23 +1136,41 @@ def main() -> None:
             ivf = topk_ids(ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8))
             ivf_sec = round(time.time() - t0, 3)
 
-            def recall(m: dict[int, set]) -> float:
+            def recall(m: dict[int, set], subset=None) -> float:
+                qs_ = [
+                    q for q in exact if subset is None or q in subset
+                ]
                 return round(
                     sum(
-                        len(m.get(q, set()) & e) / len(e)
-                        for q, e in exact.items()
+                        len(m.get(q, set()) & exact[q]) / len(exact[q])
+                        for q in qs_
                     )
-                    / max(len(exact), 1),
+                    / max(len(qs_), 1),
                     3,
                 )
 
+            boundary_qids = {900001, 900002, 900003}
+            cluster_qids = set(exact) - boundary_qids
+
             ann_recall = {
-                "n_vecs": N_VEC,
+                "n_vecs": N_VEC + N_DIST,
                 "dim": DIM,
                 "clusters": K_CL,
+                "mode": "hard",
+                "near_dup_distractors": N_DIST,
+                "boundary_queries": 3,
+                "in_cluster_queries": 3,
                 "recall_at_5": {
                     "lsh_bucketed": recall(lsh),
                     "ivf": recall(ivf),
+                },
+                "recall_at_5_in_cluster": {
+                    "lsh_bucketed": recall(lsh, cluster_qids),
+                    "ivf": recall(ivf, cluster_qids),
+                },
+                "recall_at_5_boundary": {
+                    "lsh_bucketed": recall(lsh, boundary_qids),
+                    "ivf": recall(ivf, boundary_qids),
                 },
                 "wall_sec": {
                     "exact": exact_sec,
@@ -1089,12 +1179,16 @@ def main() -> None:
                 },
                 "knobs": knobs,
                 "note": (
-                    "wall times at 100k vecs are overhead-dominated "
-                    "(exact is a single warm BLAS pass; LSH/IVF pay "
-                    "bucket/centroid assignment that amortizes only at "
-                    "corpus sizes where the exact scan no longer fits a "
-                    "task) — the recall numbers are the contract-width "
-                    "evidence, the pruning plan shape is the scale story"
+                    "HARD fixture (r7): 5k near-dup distractors at 1/4 "
+                    "cluster noise + 3 cluster-boundary queries, same "
+                    "knobs as the r6 clean fixture (which both families "
+                    "saturated at 1.0). wall times at 100k vecs are "
+                    "overhead-dominated (exact is a single warm BLAS "
+                    "pass; LSH/IVF pay bucket/centroid assignment that "
+                    "amortizes only at corpus sizes where the exact scan "
+                    "no longer fits a task) — the recall numbers are the "
+                    "contract-width evidence, the pruning plan shape is "
+                    "the scale story"
                 ),
             }
         except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
