@@ -166,11 +166,12 @@ def test_harness_contract():
     # rows-only entries are exactly the model-boundary ops (seeded
     # Python kernels / engine-specific sketch estimates a SQL oracle
     # can't reproduce) — nothing else
+    # (dense_topk_quantized moved to hash-checked in r7 via the
+    # symmetric int-dot candidate stage)
     assert set(qs) - set(sqls) == {
         "ann_topk_bucketed",
         "ann_topk_ivf",
         "ann_similarity_join_mllib",
-        "dense_topk_quantized",
         "simhash_pairs",
         "t1_chunk_recursive",
         "t2_semantic_chunks",
