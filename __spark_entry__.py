@@ -5164,6 +5164,72 @@ def _q_auto_join_hot(spark, sf_dir):
     )
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Square-root temperature resampling over the lang groups
+    (operators/sampling.py:temperature_mix, alpha=0.5): keep rate
+    sqrt(n_min/n_g) per language — division and sqrt are IEEE-
+    correctly-rounded in every engine, so the accepted set is
+    bit-reproducible and hash-gateable."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return temperature_mix(d, "lang", alpha=0.5)
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang),
+nmin AS (SELECT MIN(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS r
+  FROM counts, nmin)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN rates USING (lang)
+WHERE CAST('0x' || substring(
+        md5('tmix42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < r
+"""
+
+
+def _q_grouped_split(spark, sf_dir):
+    """Leakage-safe split keyed on the GROUP hash (source), so every
+    row of a source — and any near-dups deduped within it — lands in
+    one split (operators/sampling.py:grouped_split). Output: per
+    (source, split) counts proving group integrity (each source maps
+    to exactly one split)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = grouped_split(
+        d, "source", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return out.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_SQL_GROUPED_SPLIT = """
+WITH b AS (
+  SELECT doc_id, source,
+         substring(md5('42:' || CAST(source AS VARCHAR)), 1, 8) AS h
+  FROM documents)
+SELECT source,
+       CASE WHEN h < 'cccccccc' THEN 'train'
+            WHEN h < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b
+GROUP BY source, split
+"""
+
+
 def _q_day2_pipeline(spark, sf_dir):
     """Composed day-2 incremental pipeline (VERDICT r6 item 8): the
     per-operator pieces proven separately in round 6 — SCD2 registry
@@ -5325,6 +5391,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
     ("auto_join_hot_agg", _q_auto_join_hot, _SQL_AUTO_JOIN_HOT),
     ("day2_incremental_pipeline", _q_day2_pipeline, _SQL_DAY2_PIPELINE),
+    ("temperature_mix_sqrt", _q_temperature_mix, _SQL_TEMPERATURE_MIX),
+    ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),

@@ -58,7 +58,9 @@ from .operators.joins import (  # noqa: E402,F401
     snapshot_diff,
 )
 from .operators.sampling import (  # noqa: E402,F401
+    grouped_split,
     stratified_sample,
+    temperature_mix,
     topk_per_group,
 )
 from .operators.labeling import label_documents  # noqa: E402,F401

@@ -347,3 +347,99 @@ def rank_normalize(
         df.filter(F.col(value_col).isNotNull())
         .withColumn(out_col, F.percent_rank().over(w))
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the bucket is a pure
+    function of (seed, GROUP value) — domain, source, or a dup-
+    cluster representative — so every row of a group lands in the
+    SAME split. A row-hash split leaks: near-duplicates straddling
+    train and test inflate eval scores, which is why production
+    pretraining splits key on the dedup-cluster or domain, not the
+    document (the standard fix for contamination-by-near-dup).
+    Deterministic and map-only like ``deterministic_split``; NULL
+    group values land in the residual (last) split."""
+    weights = weights or DEFAULT_SPLITS
+    b = _bucket(group_col, seed)
+    expr = F.lit(weights[-1][0])
+    for name, thr in reversed(_thresholds(weights)):
+        expr = F.when(b < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Multinomial temperature resampling across groups (languages,
+    sources): target share of group g moves from n_g/N (alpha=1,
+    keep everything) toward uniform (alpha=0), via per-group keep
+    rate r_g = (n_min/n_g)^(1-alpha) — subsample-only, the smallest
+    group keeps 100%. This is the exponent-smoothed sampling used to
+    keep head languages/domains from drowning the tail when
+    assembling multilingual/multi-source pretraining mixtures
+    (the alpha=0.5 "square-root sampling" case is the common
+    default).
+
+    Determinism: acceptance is (seed,id)-hash < r_g, the same pure
+    decision rule as ``deterministic_split`` — retries and engines
+    agree row-for-row. For alpha=0.5 the rate is sqrt(n_min/n_g):
+    IEEE requires division and sqrt to be correctly rounded, so the
+    rate — and therefore the accepted set — is bit-reproducible
+    across engines (the oracle-gated configuration). Other alphas go
+    through pow(), whose last ulp is engine-specific; the boundary
+    row that could flip on that ulp is ~2^-32 per doc, fine for
+    pipelines, not for a hash gate.
+
+    Scale shape: one map-side-combined count aggregation over the
+    group key, a groups-sized broadcast back, and a map-side filter
+    — the corpus never shuffles. NULL groups are excluded from both
+    the rate computation and the output (no defensible rate exists
+    for them); NULL ids hash NULL and are dropped, matching
+    ``_bucket``'s engine-portable NULL stance.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    present = df.filter(F.col(group_col).isNotNull())
+    counts = present.groupBy(group_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col, rate.alias("__rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"tmix{seed}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(_HEX_SPACE))
+    )
+    return (
+        present.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("__rate"))
+        .select(*df.columns)
+    )

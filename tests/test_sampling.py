@@ -187,3 +187,96 @@ def test_percentile_threshold_filter_per_group_median(spark):
         for r in percentile_threshold_filter(df, ["g"], "s", 0.5).collect()
     }
     assert kept == {3, 4, 6, 7}
+
+
+def test_temperature_mix_sqrt_properties(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "small") for i in range(100)]
+        + [(30_000, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", alpha=0.5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest group keeps 100%; others ~ sqrt(n_min/n_g) of their size
+    assert counts["small"] == 100
+    assert abs(counts["mid"] - 400 * 0.5) <= 40      # sqrt(100/400)=0.5
+    assert abs(counts["big"] - 1600 * 0.25) <= 60    # sqrt(100/1600)=0.25
+    # NULL groups excluded entirely
+    assert None not in counts
+    # pure function of (seed, id): re-run identical
+    again = {
+        r["lang"]: r["n"]
+        for r in temperature_mix(df, "lang", alpha=0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "a") for i in range(900)] + [
+        (10_000 + i, "b") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1: keep everything (rate 1, u strictly < 1)
+    assert temperature_mix(df, "lang", alpha=1.0).count() == 1000
+    # alpha=0: equalize — group a keeps ~n_min rows
+    eq = {
+        r["lang"]: r["n"]
+        for r in temperature_mix(df, "lang", alpha=0.0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert eq["b"] == 100
+    assert abs(eq["a"] - 100) <= 35
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "lang", alpha=1.5)
+
+
+def test_grouped_split_group_integrity(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    rows = [(i, f"domain{i % 40}") for i in range(4000)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = grouped_split(
+        df, "source", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    # every group maps to exactly ONE split (the leakage-safety
+    # property a row-hash split does not have)
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    # NULL group -> residual split
+    assert (
+        out.filter(F.col("source").isNull()).select("split").collect()[0][0]
+        == "test"
+    )
+    # all three splits populated across 40 domains
+    assert out.select("split").distinct().count() == 3

@@ -235,6 +235,15 @@ CHECKS = {
          and "BatchEvalPython" not in s
          and "MapInPandas" not in s),
     ],
+    # round-7: temperature resampling — rate computation is a
+    # map-side-combined count agg broadcast back; the corpus-sized
+    # side must never enter a shuffle join
+    "temperature_mix_sqrt": [
+        ("rates broadcast back (no corpus shuffle join)",
+         lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
+        ("partial+final count agg",
+         lambda s: s.count("HashAggregate") >= 2),
+    ],
     # round-7: skew loop closed — the chooser must pick the salted
     # plan for the 90%-hot key (the query builder asserts
     # last_strategy == 'salted'; the plan shows the salt fan-out)
