@@ -765,6 +765,12 @@ def main() -> None:
                     docs_dir, "documents.parquet", "*.parquet"
                 )
             }
+            # only the ops with real per-row work belong here: the r7
+            # additions (temperature_mix, day2 pipeline) are
+            # trivial-per-row — at 100k docs their comparison is pure
+            # Spark scheduling floor (measured 0.15/0.01 "ratios"
+            # that say nothing about throughput), and their scale
+            # story is the plan audit, not this section
             for qname in ("bm25_topk", "dedup_spans"):
                 if time_left() < 60:
                     progress("bench deadline - stopping round6 ops")
