@@ -351,7 +351,17 @@ def main() -> None:
                     "ingest_chunks_per_s": round(
                         n_chunks / max(ingest_sec, 1e-9), 1
                     ),
-                    "steal_pct_flags": steal_flags,
+                    # capped: an everything-flagged storm run must not
+                    # push this line past the driver's 2,000-char tail
+                    # and truncate it mid-JSON (full set in the detail
+                    # file / full line above)
+                    "n_steal_flags": len(steal_flags),
+                    "steal_pct_flags": dict(
+                        sorted(
+                            steal_flags.items(),
+                            key=lambda kv: -kv[1],
+                        )[:5]
+                    ),
                     "cpu_calibration": calib,
                 }
             )
@@ -413,7 +423,7 @@ def main() -> None:
 
     def sample_min(mk, runs: int, max_runs: int = 4) -> float:
         """MIN of `runs` timed shots, extended up to `max_runs` while
-        the spread looks storm-poisoned — and up to max_runs+2 while
+        the spread looks storm-poisoned — plus at most ONE extra shot while
         the BEST sample itself ran under measured CPU steal. MIN, not
         median: this box is a VM with measured hypervisor CPU-steal
         storms (30 s+ windows where every task slows 5-10x uniformly,
@@ -451,12 +461,13 @@ def main() -> None:
             spread = max(s[0] for s in samples) / max(best()[0], 1e-9)
             if spread > 3.0 and len(samples) < max_runs:
                 shot()
-            elif best()[1] >= STEAL_FLAG_PCT and len(samples) < max_runs + 1:
-                # ONE extra shot on a steal-tainted best: a long storm
-                # won't be outwaited anyway and the steal%% label
-                # already marks the number — burning more budget here
-                # starves the tail sections (observed r7: curate +
-                # round6 lost to a mid-run storm's re-sampling)
+            elif best()[1] >= STEAL_FLAG_PCT and len(samples) < runs + 1:
+                # ONE extra shot beyond the requested runs on a
+                # steal-tainted best: a long storm won't be outwaited
+                # anyway and the steal%% label already marks the
+                # number — burning more budget here starves the tail
+                # sections (observed r7: curate + round6 lost to a
+                # mid-run storm's re-sampling)
                 shot()
             else:
                 break
@@ -856,9 +867,14 @@ def main() -> None:
 
         def _build_emb2m() -> None:
             base = spark.read.parquet(emb500k_path)
+            # 10B stride per copy: the 500k fixture's own amplify()
+            # ids already reach ~2.5B (orig + rep*10M at sf0.1's
+            # t=250), so a 100M stride would collide copy i=1 with
+            # replica rep=10 of copy i=0 (r7 review finding) — the
+            # stride must clear the WHOLE base id space
             parts = [
                 base.select(
-                    (F.col("vec_id") + F.lit(i * 100_000_000)).alias(
+                    (F.col("vec_id") + F.lit(i * 10_000_000_000)).alias(
                         "vec_id"
                     ),
                     "embedding",
@@ -1163,16 +1179,23 @@ def main() -> None:
             hard_path = os.path.join(SCRATCH, "clustered100k_hard.parquet")
 
             def _pert(ids, embs):
+                # noise seeded PER ROW from the vec_id: a per-batch
+                # seed would make the graded fixture depend on Arrow
+                # batch boundaries / partition layout (r7 review
+                # finding) — 5k rows, so per-row generators are cheap
                 idx = ids.to_numpy().astype(np.int64)
-                r = np.random.default_rng(
-                    int(idx[0]) if len(idx) else 1
-                )
                 M = np.stack(
                     [np.asarray(e, dtype=np.float64) for e in embs]
                 ) if len(idx) else np.zeros((0, DIM))
-                out = (M + r.standard_normal(M.shape) * 0.25).astype(
-                    np.float32
-                )
+                noise = np.stack(
+                    [
+                        np.random.default_rng(int(v)).standard_normal(
+                            M.shape[1]
+                        )
+                        for v in idx
+                    ]
+                ) if len(idx) else M
+                out = (M + noise * 0.25).astype(np.float32)
                 return pd.Series(list(out), index=ids.index)
 
             _pert.__annotations__ = {

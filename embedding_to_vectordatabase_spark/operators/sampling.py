@@ -363,14 +363,12 @@ def grouped_split(
     train and test inflate eval scores, which is why production
     pretraining splits key on the dedup-cluster or domain, not the
     document (the standard fix for contamination-by-near-dup).
-    Deterministic and map-only like ``deterministic_split``; NULL
-    group values land in the residual (last) split."""
-    weights = weights or DEFAULT_SPLITS
-    b = _bucket(group_col, seed)
-    expr = F.lit(weights[-1][0])
-    for name, thr in reversed(_thresholds(weights)):
-        expr = F.when(b < F.lit(thr), F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    Deterministic and map-only like ``deterministic_split`` — in
+    fact it IS deterministic_split with the group value as the hash
+    input; NULL group values land in the residual (last) split."""
+    return deterministic_split(
+        df, weights, id_col=group_col, seed=seed, out_col=out_col
+    )
 
 
 def temperature_mix(
@@ -410,6 +408,11 @@ def temperature_mix(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
     present = df.filter(F.col(group_col).isNotNull())
+    # collision-free temp name: df may legitimately carry __rate
+    # (same guard class as bloom_anti_join's __bloom)
+    rate_col = "__rate"
+    while rate_col in df.columns:
+        rate_col += "_"
     counts = present.groupBy(group_col).agg(F.count("*").alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
@@ -419,7 +422,7 @@ def temperature_mix(
         else F.pow(ratio, F.lit(1.0 - alpha))
     )
     rates = counts.crossJoin(F.broadcast(nmin)).select(
-        group_col, rate.alias("__rate")
+        group_col, rate.alias(rate_col)
     )
     u = (
         F.conv(
@@ -440,6 +443,6 @@ def temperature_mix(
     )
     return (
         present.join(F.broadcast(rates), group_col)
-        .filter(u < F.col("__rate"))
+        .filter(u < F.col(rate_col))
         .select(*df.columns)
     )

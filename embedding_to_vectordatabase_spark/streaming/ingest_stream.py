@@ -498,13 +498,19 @@ def conversion_time_stats(
         # int() truncation would mislabel the columns. Quantiles
         # finer than 1% keep their full value in the label (p99.9)
         # so e.g. 0.501 and 0.504 never collide
-        pct = round(q * 100, 9)
-        label = (
-            f"p{round(pct)}_seconds"
-            if abs(pct - round(pct)) < 1e-9
-            # dot would need backtick-quoting in Spark column refs
-            else "p{}_seconds".format(("%g" % pct).replace(".", "_"))
-        )
+        pct = round(q * 100, 12)
+        if abs(pct - round(pct)) < 1e-9:
+            label = f"p{round(pct)}_seconds"
+        else:
+            # full 12-sig-fig value, sanitized to identifier chars
+            # (dot/exponent/sign would need backtick-quoting in Spark
+            # column refs); %g at 6 sig figs collided for quantiles
+            # agreeing to 6 figures
+            import re as _re
+
+            label = "p{}_seconds".format(
+                _re.sub(r"[^0-9a-zA-Z]", "_", "%.12g" % pct)
+            )
         if label in labels:
             raise ValueError(
                 f"quantiles {quantiles} produce duplicate column {label}"

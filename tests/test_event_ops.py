@@ -116,3 +116,18 @@ def test_conversion_quantile_duplicate_raises(spark):
         conversion_time_stats(
             _conv_events(spark), "view", "buy", quantiles=(0.5, 0.5)
         )
+
+
+def test_conversion_quantile_labels_distinct_to_12_sig_figs(spark):
+    """Quantiles agreeing to 6 significant figures used to collide
+    via %g; labels now carry 12 sig figs (r7 review finding)."""
+    out = conversion_time_stats(
+        _conv_events(spark),
+        "view",
+        "buy",
+        quantiles=(0.50123451, 0.50123457),
+    )
+    cols = out.columns
+    assert len(cols) == len(set(cols))
+    assert "p50_123451_seconds" in cols
+    assert "p50_123457_seconds" in cols

@@ -280,3 +280,26 @@ def test_grouped_split_group_integrity(spark):
     )
     # all three splits populated across 40 domains
     assert out.select("split").distinct().count() == 3
+
+
+def test_temperature_mix_survives_existing_rate_column(spark):
+    """df carrying its own __rate column must not collide with the
+    sampler's temp column (same guard class as bloom_anti_join's
+    __bloom; r7 review finding)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "a", 0.9) for i in range(200)] + [
+        (10_000 + i, "b", 0.1) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, __rate double"
+    )
+    out = temperature_mix(df, "lang", alpha=0.5)
+    assert out.columns == df.columns
+    # user column intact, smallest group fully kept
+    assert out.filter(out.lang == "b").count() == 50
+    assert set(
+        r["__rate"] for r in out.select("__rate").distinct().collect()
+    ) <= {0.9, 0.1}

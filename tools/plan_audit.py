@@ -244,9 +244,6 @@ CHECKS = {
         ("partial+final count agg",
          lambda s: s.count("HashAggregate") >= 2),
     ],
-    # round-7: skew loop closed — the chooser must pick the salted
-    # plan for the 90%-hot key (the query builder asserts
-    # last_strategy == 'salted'; the plan shows the salt fan-out)
     # round-7: composed day-2 incremental pipeline — the update side
     # must broadcast and corpus rows must never enter an exchange.
     # bloom_anti_join's two branches (definitely-new / candidates)
@@ -262,6 +259,9 @@ CHECKS = {
              if "ReadSchema" in line and "n_chars" in line
          ) == 2),
     ],
+    # round-7: skew loop closed — the chooser must pick the salted
+    # plan for the 90%-hot key (the query builder asserts
+    # last_strategy == 'salted'; the plan shows the salt fan-out)
     "auto_join_hot_agg": [
         ("salted plan chosen (salt column in join)",
          lambda s: "__salt" in s),
