@@ -1253,6 +1253,9 @@ def main() -> None:
             exact_sec = round(time.time() - t0, 3)
             knobs = {
                 "lsh_bucketed": {"bits": 10, "probe_radius": 2},
+                # SAME probe count as the radius set (1+10+45): the
+                # adaptive row isolates the enumeration-order effect
+                "lsh_adaptive": {"bits": 10, "probe_budget": 56},
                 "ivf": {"nlist": 64, "nprobe": 8},
             }
             t0 = time.time()
@@ -1260,6 +1263,14 @@ def main() -> None:
                 ann_topk_bucketed(cvecs, qdf, k=5, bits=10, probe_radius=2)
             )
             lsh_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            ada = topk_ids(
+                ann_topk_bucketed(
+                    cvecs, qdf, k=5, bits=10,
+                    adaptive=True, probe_budget=56,
+                )
+            )
+            ada_sec = round(time.time() - t0, 3)
             t0 = time.time()
             ivf = topk_ids(ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8))
             ivf_sec = round(time.time() - t0, 3)
@@ -1290,19 +1301,23 @@ def main() -> None:
                 "in_cluster_queries": 3,
                 "recall_at_5": {
                     "lsh_bucketed": recall(lsh),
+                    "lsh_adaptive": recall(ada),
                     "ivf": recall(ivf),
                 },
                 "recall_at_5_in_cluster": {
                     "lsh_bucketed": recall(lsh, cluster_qids),
+                    "lsh_adaptive": recall(ada, cluster_qids),
                     "ivf": recall(ivf, cluster_qids),
                 },
                 "recall_at_5_boundary": {
                     "lsh_bucketed": recall(lsh, boundary_qids),
+                    "lsh_adaptive": recall(ada, boundary_qids),
                     "ivf": recall(ivf, boundary_qids),
                 },
                 "wall_sec": {
                     "exact": exact_sec,
                     "lsh_bucketed": lsh_sec,
+                    "lsh_adaptive": ada_sec,
                     "ivf": ivf_sec,
                 },
                 "knobs": knobs,

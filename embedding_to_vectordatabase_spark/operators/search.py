@@ -478,6 +478,62 @@ def dense_topk_crossjoin(
     )
 
 
+def _empty_topk(corpus, queries, corpus_id: str, query_id: str):
+    """Empty (query_id, <corpus_id>, score, rank) frame with the
+    standard top-k schema — the no-queries fast path."""
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
+def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
+    """First ``budget`` LSH buckets in increasing flip cost, where
+    flipping hyperplane i costs |margins[i]| (the query's distance to
+    that boundary) and a bucket's cost is the sum over its flipped
+    bits — the perturbation-sequence enumeration of query-adaptive
+    multi-probe (Lv et al., VLDB 2007). Subsets are generated
+    lazily with the classic two-op heap expansion (extend-with-next /
+    shift-last), which enumerates ALL flip subsets in nondecreasing
+    cost without materializing 2^bits candidates. Deterministic:
+    equal-cost ties break by the sorted-index tuple pushed into the
+    heap."""
+    import heapq
+
+    bits = len(margins)
+    order = np.argsort(np.abs(margins), kind="stable")
+    costs = np.abs(margins)[order]
+    out = [home]
+    if budget <= 1 or bits == 0:
+        return out[:budget]
+    # heap holds (cost, subset-of-indices-into-`order`)
+    heap: list[tuple[float, tuple[int, ...]]] = [(float(costs[0]), (0,))]
+    while heap and len(out) < budget:
+        cost, subset = heapq.heappop(heap)
+        b = home
+        for j in subset:
+            b ^= 1 << int(order[j])
+        out.append(b)
+        last = subset[-1]
+        if last + 1 < bits:
+            heapq.heappush(
+                heap, (cost + float(costs[last + 1]), subset + (last + 1,))
+            )
+            heapq.heappush(
+                heap,
+                (
+                    cost - float(costs[last]) + float(costs[last + 1]),
+                    subset[:-1] + (last + 1,),
+                ),
+            )
+    return out
+
+
 def _bucket_udf(bits: int, seed: int):
     """Vectorized sign-LSH bucket id: one matmul per Arrow batch,
     straight off the Arrow buffer (arrow_udf + _pa_matrix — no
@@ -518,6 +574,8 @@ def ann_topk_bucketed(
     bits: int = 8,
     seed: int = 42,
     probe_radius: int = 1,
+    adaptive: bool = False,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: seeded random-hyperplane LSH buckets prune
     the candidate set, then exact scoring within the probed buckets.
@@ -531,6 +589,21 @@ def ann_topk_bucketed(
     near-random embeddings (top-5 cosine ~0.3) need bits=6,
     probe_radius=3 for recall >= 0.9 (see tests/test_search.py) —
     there is no free pruning on unstructured data.
+
+    ``adaptive=True`` switches to QUERY-ADAPTIVE multi-probe (the
+    perturbation-sequence idea of Lv et al., VLDB 2007): instead of
+    probing every bucket within a fixed hamming radius, each query
+    enumerates flip sets in increasing total |margin| (the query's
+    projection onto each flipped hyperplane) and probes the
+    ``probe_budget`` most likely buckets. A cluster-boundary query
+    has small margins exactly on the planes it straddles, so its
+    budget concentrates on 3-4-bit flips of those planes that a
+    radius cap never reaches — better recall at the SAME probe
+    count (``probe_budget`` defaults to the radius set's size, so
+    adaptive vs radius is apples-to-apples). Query vectors are
+    driver-collected (queries are small by contract, as in
+    ``_query_matrix``); the corpus side is untouched — the same
+    bucket equi-join, just with a per-query probe list.
     """
     import itertools
 
@@ -540,23 +613,57 @@ def ann_topk_bucketed(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qvec"),
-    ).withColumn("__qbucket", bucket(F.col("__qvec")))
-    masks = [0] + [
-        sum(1 << i for i in combo)
-        for r in range(1, probe_radius + 1)
-        for combo in itertools.combinations(range(bits), r)
-    ]
-    if len(masks) > 1:
-        probes = F.array(
-            *[F.col("__qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+    )
+    n_radius_probes = sum(
+        1 for r in range(0, probe_radius + 1)
+        for _ in itertools.combinations(range(bits), r)
+    )
+    if adaptive:
+        budget = probe_budget or n_radius_probes
+        qrows = q.collect()
+        if not qrows:
+            return _empty_topk(corpus, queries, corpus_id, query_id)
+        dim = len(qrows[0]["__qvec"])
+        pm = np.array(random_hyperplanes(bits, dim, seed)).T
+        bit_w = (1 << np.arange(bits)).astype(np.int64)
+        probe_rows = []
+        for r in qrows:
+            x = np.asarray(r["__qvec"], dtype=np.float64)
+            m = x @ pm
+            home = int(((m > 0).astype(np.int64) @ bit_w))
+            probe_rows.extend(
+                (r["query_id"], b)
+                for b in _probe_sequence(m, home, budget)
+            )
+        qid_t = queries.schema[query_id].dataType
+        probes_df = corpus.sparkSession.createDataFrame(
+            probe_rows,
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_t),
+                    T.StructField("__bucket", T.IntegerType()),
+                ]
+            ),
         )
-        q = q.select(
-            "query_id",
-            "__qvec",
-            F.explode(probes).alias("__bucket"),
-        )
+        q = q.join(probes_df, "query_id")
     else:
-        q = q.withColumnRenamed("__qbucket", "__bucket")
+        q = q.withColumn("__qbucket", bucket(F.col("__qvec")))
+        masks = [0] + [
+            sum(1 << i for i in combo)
+            for r in range(1, probe_radius + 1)
+            for combo in itertools.combinations(range(bits), r)
+        ]
+        if len(masks) > 1:
+            probes = F.array(
+                *[F.col("__qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+            )
+            q = q.select(
+                "query_id",
+                "__qvec",
+                F.explode(probes).alias("__bucket"),
+            )
+        else:
+            q = q.withColumnRenamed("__qbucket", "__bucket")
     _, order = _score_col(metric, F.col("__qvec"), F.col(corpus_vec))
     score = _pair_score_udf(metric)(F.col(corpus_vec), F.col("__qvec"))
     w = Window.partitionBy("query_id").orderBy(

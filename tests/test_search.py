@@ -509,3 +509,104 @@ def test_dense_topk_quantized_symmetric_ip_only(spark):
     q = corpus.select(corpus.vec_id.alias("query_id"), "embedding")
     with _pytest.raises(ValueError, match="symmetric"):
         dense_topk_quantized(corpus, q, metric="COSINE", symmetric=True)
+
+
+def test_probe_sequence_order_and_coverage():
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _probe_sequence,
+    )
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=8)
+    home = 0b10110010
+    # budget 1 -> home only
+    assert _probe_sequence(m, home, 1) == [home]
+    # full budget enumerates every bucket exactly once
+    full = _probe_sequence(m, home, 256)
+    assert len(full) == 256 and len(set(full)) == 256
+    # enumeration is in nondecreasing flip cost
+    costs = []
+    for b in full:
+        flipped = b ^ home
+        costs.append(
+            sum(abs(m[i]) for i in range(8) if flipped >> i & 1)
+        )
+    assert all(a <= b_ + 1e-12 for a, b_ in zip(costs, costs[1:]))
+
+
+def test_ann_adaptive_full_budget_matches_exact(spark):
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_bucketed,
+        dense_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=12)]) for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.limit(2).select(corpus.vec_id.alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in dense_topk(corpus, q, k=5).collect()
+    }
+    # probing every one of the 2^6 buckets == exhaustive search
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_bucketed(
+            corpus, q, k=5, bits=6, adaptive=True, probe_budget=64
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ann_adaptive_beats_radius_on_boundary_queries(spark):
+    """Same probe budget, boundary-straddling queries: the adaptive
+    perturbation sequence must recall at least as much as the fixed
+    hamming-radius probe set (it concentrates the budget on the
+    low-margin planes the query actually straddles)."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_bucketed,
+        dense_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    dim, n_cl = 32, 6
+    centers = rng.normal(size=(n_cl, dim)) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % n_cl] + rng.normal(size=dim)])
+        for i in range(3000)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [
+        (9000 + j, [float(x) for x in 0.5 * (centers[j] + centers[j + 1]) + rng.normal(size=dim)])
+        for j in range(3)
+    ]
+    q = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(k, set()) & v) / len(v) for k, v in exact.items()
+        ) / len(exact)
+
+    exact = {}
+    for r in dense_topk(corpus, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    budget = 1 + 8  # radius-1 probe count at bits=8
+    r_rad = recall(
+        ann_topk_bucketed(corpus, q, k=5, bits=8, probe_radius=1)
+    )
+    r_ada = recall(
+        ann_topk_bucketed(
+            corpus, q, k=5, bits=8, adaptive=True, probe_budget=budget
+        )
+    )
+    assert r_ada >= r_rad
