@@ -5230,6 +5230,95 @@ GROUP BY source, split
 """
 
 
+def _q_pretraining_mix(spark, sf_dir):
+    """The full pretraining-assembly chain composed end-to-end, ONE
+    lazy plan (the r7 composition showpiece alongside the day-2
+    pipeline): clean (lang-ID + quality gate + exact dedup,
+    plans/clean.py) → temperature resampling across the predicted
+    languages (alpha=0.5 sqrt sampling) → leakage-safe train/val/test
+    split keyed on the SOURCE hash → per-(split, lang) manifest.
+    Metadata (source, n_chars) rides through clean_corpus's
+    carry_cols, so no stage re-joins the corpus to recover it.
+
+    Shuffle inventory at 100 TB: the exact-rates two-pass minimum —
+    the cleaned relation is consumed twice (once to count the
+    surviving groups, once for the filtered pass-through), each pass
+    one content-hash dedup shuffle; temperature's rates are derived
+    entirely within the groups-sized counts relation (a whole-
+    relation min window, not a re-executed agg subtree) and
+    broadcast back; split is map-only; the final agg is tiny. The
+    plan audit pins the scan count at exactly 2."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        grouped_split,
+        temperature_mix,
+    )
+    from embedding_to_vectordatabase_spark.plans.clean import (
+        clean_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    cleaned = clean_corpus(docs, carry_cols=["source", "n_chars"])
+    mixed = temperature_mix(cleaned, "pred_lang", alpha=0.5)
+    split = grouped_split(
+        mixed, "source", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return split.groupBy("split", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_SQL_PRETRAINING_MIX = f"""
+WITH l AS ({{lang}}), q AS ({{qual}}),
+keyed AS (
+  SELECT d.doc_id, d.source, d.n_chars, l.pred_lang, q.quality,
+         md5({_NORM_SQL.format(c='d.text')}) AS ck
+  FROM documents d
+  JOIN l ON l.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality >= 0.5),
+cleaned AS (
+  SELECT doc_id, source, n_chars, pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+    FROM keyed)
+  WHERE rn = 1),
+counts AS (
+  SELECT pred_lang, COUNT(*) AS n FROM cleaned
+  WHERE pred_lang IS NOT NULL GROUP BY pred_lang),
+nmin AS (SELECT MIN(n) AS nmin FROM counts),
+rates AS (
+  SELECT pred_lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS r
+  FROM counts, nmin),
+mixed AS (
+  SELECT c.doc_id, c.source, c.n_chars, c.pred_lang
+  FROM cleaned c JOIN rates USING (pred_lang)
+  WHERE CAST('0x' || substring(
+          md5('tmix42:' || CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        / 4294967296.0 < r),
+sp AS (
+  SELECT pred_lang, n_chars,
+         CASE WHEN substring(md5('42:' || CAST(source AS VARCHAR)), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substring(md5('42:' || CAST(source AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed)
+SELECT split, pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, pred_lang
+"""
+
+# reuse the lang/quality oracle CTEs over the plain documents table
+# (same nesting trick as corpus_clean)
+_SQL_PRETRAINING_MIX = _SQL_PRETRAINING_MIX.format(
+    lang=_nested(_SQL_LANG_ID),
+    qual=_nested(_SQL_QUALITY),
+)
+
+
 def _q_day2_pipeline(spark, sf_dir):
     """Composed day-2 incremental pipeline (VERDICT r6 item 8): the
     per-operator pieces proven separately in round 6 — SCD2 registry
@@ -5393,6 +5482,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("day2_incremental_pipeline", _q_day2_pipeline, _SQL_DAY2_PIPELINE),
     ("temperature_mix_sqrt", _q_temperature_mix, _SQL_TEMPERATURE_MIX),
     ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
+    ("pretraining_mix", _q_pretraining_mix, _SQL_PRETRAINING_MIX),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),

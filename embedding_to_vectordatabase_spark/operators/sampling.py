@@ -414,16 +414,23 @@ def temperature_mix(
     while rate_col in df.columns:
         rate_col += "_"
     counts = present.groupBy(group_col).agg(F.count("*").alias("__n"))
-    nmin = counts.agg(F.min("__n").alias("__nmin"))
-    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    # n_min via a whole-relation window over the GROUPS-SIZED counts
+    # (single partition of a few rows) instead of a separate
+    # counts.agg() + crossJoin: the agg variant re-executes the
+    # upstream subtree a second time (three corpus scans when
+    # composed behind an expensive clean chain — measured in the
+    # pretraining_mix plan audit; this form needs two: one for the
+    # counts, one for the filtered pass-through)
+    from pyspark.sql import Window
+
+    nmin = F.min("__n").over(Window.partitionBy())
+    ratio = nmin.cast("double") / F.col("__n").cast("double")
     rate = (
         F.sqrt(ratio)
         if alpha == 0.5
         else F.pow(ratio, F.lit(1.0 - alpha))
     )
-    rates = counts.crossJoin(F.broadcast(nmin)).select(
-        group_col, rate.alias(rate_col)
-    )
+    rates = counts.select(group_col, rate.alias(rate_col))
     u = (
         F.conv(
             F.substring(

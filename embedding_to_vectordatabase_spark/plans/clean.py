@@ -36,11 +36,15 @@ def clean_corpus(
     min_quality: float = DEFAULT_MIN_QUALITY,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Surviving documents with their diagnostics attached.
 
-    Output: (<id_col>, <text_col>, pred_lang, quality) — one row per
-    surviving document. ``allowed_langs=None`` keeps every language
+    Output: (<id_col>, <text_col>, *carry_cols, pred_lang, quality)
+    — one row per surviving document. ``carry_cols`` rides metadata
+    (source, n_chars, ...) through the whole chain so downstream
+    stages (mixing, splitting) never need a corpus-sized re-join to
+    recover it. ``allowed_langs=None`` keeps every language
     (including 'und'); pass e.g. ``["en", "de"]`` to restrict.
     Determinism: the duplicate-group survivor is the lowest id, and
     quality ties are resolved exactly (scores are 6dp-rounded the same
@@ -48,12 +52,14 @@ def clean_corpus(
     """
     from ..util import ensure_parallelism
 
+    carry = list(carry_cols or [])
     df = ensure_parallelism(df)
     t = F.col(text_col)
     words = F.split(normalize_text(t), " ")
     staged = df.select(
         F.col(id_col),
         t.alias(text_col) if text_col != "text" else t,
+        *carry,
         words.alias("__words"),
         lang_marker_scores(words).alias("__scores"),
         F.md5(normalize_text(t)).alias("__content_key"),
@@ -61,6 +67,7 @@ def clean_corpus(
     scored = staged.select(
         F.col(id_col),
         F.col(text_col),
+        *carry,
         "__content_key",
         lang_from_scores(F.col(text_col), F.col("__scores")).alias(
             "pred_lang"
@@ -74,5 +81,5 @@ def clean_corpus(
     return (
         filtered.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(id_col, text_col, "pred_lang", "quality")
+        .select(id_col, text_col, *carry, "pred_lang", "quality")
     )

@@ -250,6 +250,17 @@ CHECKS = {
     # each scan the corpus map-side: exactly 2 full-width scans, both
     # feeding broadcast joins — scans are the cheap currency at
     # 100 TB, corpus-sized shuffles are the one to refuse
+    # round-7: full pretraining-assembly composition — clean + mix +
+    # split as ONE plan. Two corpus passes is the exact-rates
+    # minimum (one to count the cleaned groups, one to filter);
+    # a third pass (nmin re-executing the counts subtree) was
+    # caught and removed by this audit
+    "pretraining_mix": [
+        ("exactly the two-pass minimum over the corpus",
+         lambda s: n_scans(s) == 2),
+        ("rates broadcast back (no corpus shuffle join)",
+         lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
+    ],
     "day2_incremental_pipeline": [
         ("registry joins broadcast (no corpus shuffle join)",
          lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
