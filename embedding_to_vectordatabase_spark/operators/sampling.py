@@ -421,8 +421,6 @@ def temperature_mix(
     # composed behind an expensive clean chain — measured in the
     # pretraining_mix plan audit; this form needs two: one for the
     # counts, one for the filtered pass-through)
-    from pyspark.sql import Window
-
     nmin = F.min("__n").over(Window.partitionBy())
     ratio = nmin.cast("double") / F.col("__n").cast("double")
     rate = (

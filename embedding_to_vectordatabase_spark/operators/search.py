@@ -492,6 +492,21 @@ def _empty_topk(corpus, queries, corpus_id: str, query_id: str):
     return corpus.sparkSession.createDataFrame([], schema)
 
 
+def _lsh_planes(bits: int, dim: int, seed: int) -> "np.ndarray":
+    """(dim, bits) hyperplane matrix — THE kernel both the corpus
+    bucket UDF and the driver-side adaptive probe path must share:
+    bucket = (X @ planes > 0) @ (1 << arange(bits)). Any divergence
+    in seed/orientation/sign rule desynchronizes query probes from
+    corpus buckets."""
+    return np.array(random_hyperplanes(bits, dim, seed)).T
+
+
+def _lsh_bucket_ids(X: "np.ndarray", pm: "np.ndarray") -> "np.ndarray":
+    """Bucket ids for row vectors X under planes pm (see _lsh_planes)."""
+    weights = (1 << np.arange(pm.shape[1])).astype(np.int64)
+    return ((X @ pm) > 0).astype(np.int64) @ weights
+
+
 def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
     """First ``budget`` LSH buckets in increasing flip cost, where
     flipping hyperplane i costs |margins[i]| (the query's distance to
@@ -543,7 +558,6 @@ def _bucket_udf(bits: int, seed: int):
     the identical planes without a driver-side ``first()`` probe job.
     Both sides MUST use this same kernel so boundary signs agree."""
     state: dict[str, np.ndarray] = {}
-    weights = (1 << np.arange(bits)).astype(np.int64)
 
     @F.arrow_udf(T.IntegerType())
     def bucket(vecs: pa.Array) -> pa.Array:
@@ -552,12 +566,11 @@ def _bucket_udf(bits: int, seed: int):
         X = _pa_matrix(vecs)
         pm = state.get("pm")
         if pm is None or pm.shape[0] != X.shape[1]:
-            pm = np.array(
-                random_hyperplanes(bits, X.shape[1], seed)
-            ).T  # (dim, bits)
+            pm = _lsh_planes(bits, X.shape[1], seed)
             state["pm"] = pm
-        signs = (X @ pm) > 0
-        return pa.array((signs @ weights).astype(np.int32), type=pa.int32())
+        return pa.array(
+            _lsh_bucket_ids(X, pm).astype(np.int32), type=pa.int32()
+        )
 
     return bucket
 
@@ -614,23 +627,27 @@ def ann_topk_bucketed(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qvec"),
     )
-    n_radius_probes = sum(
-        1 for r in range(0, probe_radius + 1)
-        for _ in itertools.combinations(range(bits), r)
-    )
     if adaptive:
-        budget = probe_budget or n_radius_probes
+        if probe_budget is not None:
+            if probe_budget < 1:
+                raise ValueError("probe_budget must be >= 1")
+            budget = probe_budget
+        else:
+            import math
+
+            budget = sum(
+                math.comb(bits, r) for r in range(probe_radius + 1)
+            )
         qrows = q.collect()
         if not qrows:
             return _empty_topk(corpus, queries, corpus_id, query_id)
         dim = len(qrows[0]["__qvec"])
-        pm = np.array(random_hyperplanes(bits, dim, seed)).T
-        bit_w = (1 << np.arange(bits)).astype(np.int64)
+        pm = _lsh_planes(bits, dim, seed)
         probe_rows = []
         for r in qrows:
             x = np.asarray(r["__qvec"], dtype=np.float64)
             m = x @ pm
-            home = int(((m > 0).astype(np.int64) @ bit_w))
+            home = int(_lsh_bucket_ids(x[None, :], pm)[0])
             probe_rows.extend(
                 (r["query_id"], b)
                 for b in _probe_sequence(m, home, budget)

@@ -244,12 +244,6 @@ CHECKS = {
         ("partial+final count agg",
          lambda s: s.count("HashAggregate") >= 2),
     ],
-    # round-7: composed day-2 incremental pipeline — the update side
-    # must broadcast and corpus rows must never enter an exchange.
-    # bloom_anti_join's two branches (definitely-new / candidates)
-    # each scan the corpus map-side: exactly 2 full-width scans, both
-    # feeding broadcast joins — scans are the cheap currency at
-    # 100 TB, corpus-sized shuffles are the one to refuse
     # round-7: full pretraining-assembly composition — clean + mix +
     # split as ONE plan. Two corpus passes is the exact-rates
     # minimum (one to count the cleaned groups, one to filter);
@@ -261,6 +255,12 @@ CHECKS = {
         ("rates broadcast back (no corpus shuffle join)",
          lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
     ],
+    # round-7: composed day-2 incremental pipeline — the update side
+    # must broadcast and corpus rows must never enter an exchange.
+    # bloom_anti_join's two branches (definitely-new / candidates)
+    # each scan the corpus map-side: exactly 2 full-width scans, both
+    # feeding broadcast joins — scans are the cheap currency at
+    # 100 TB, corpus-sized shuffles are the one to refuse
     "day2_incremental_pipeline": [
         ("registry joins broadcast (no corpus shuffle join)",
          lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
