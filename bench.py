@@ -794,6 +794,7 @@ def main() -> None:
                 materialize(mk())
                 spark_sec = round(time.time() - t0, 3)
                 sp_steal = _steal_between(ticks0, _cpu_ticks())
+                sp_calib = calib_ms()
                 if sp_steal >= STEAL_FLAG_PCT:
                     steal_flags[f"{qname}_{n_docs // 1000}k_docs"] = sp_steal
                 duck_sec, capped = duck_timed(
@@ -804,6 +805,11 @@ def main() -> None:
                 round6_ops[f"{qname}_{n_docs // 1000}k_docs"] = {
                     "spark_sec": spark_sec,
                     "steal_pct": sp_steal,
+                    # CPU probe right after the measured shot: the box
+                    # has slowdown modes steal%% does not see (healthy
+                    # ~2 ms; a degraded-mode sample reads 5-15 ms and
+                    # self-labels the number)
+                    "calib_ms": sp_calib,
                     "duckdb_sec": duck_sec,
                     "duckdb_hit_cap": capped,
                     "spark_speedup_over_duckdb": round(
@@ -981,6 +987,7 @@ def main() -> None:
                 scale_amplified[key] = {
                     "spark_sec": spark_sec,
                     "steal_pct": sample_min.last_steal_pct,
+                    "calib_ms": calib_ms(),
                     "duckdb_sec": duck_sec,
                     "duckdb_hit_cap": capped,
                     # >1 = Spark faster on the same data (duckdb_sec is a
@@ -1248,9 +1255,11 @@ def main() -> None:
                 return out
 
             progress("ann recall (hard): exact / lsh / ivf top-5")
+            ann_calib: dict[str, float] = {}
             t0 = time.time()
             exact = topk_ids(dense_topk(cvecs, qdf, k=5))
             exact_sec = round(time.time() - t0, 3)
+            ann_calib["exact"] = calib_ms()
             knobs = {
                 "lsh_bucketed": {"bits": 10, "probe_radius": 2},
                 # SAME probe count as the radius set (1+10+45): the
@@ -1263,6 +1272,7 @@ def main() -> None:
                 ann_topk_bucketed(cvecs, qdf, k=5, bits=10, probe_radius=2)
             )
             lsh_sec = round(time.time() - t0, 3)
+            ann_calib["lsh_bucketed"] = calib_ms()
             t0 = time.time()
             ada = topk_ids(
                 ann_topk_bucketed(
@@ -1271,9 +1281,11 @@ def main() -> None:
                 )
             )
             ada_sec = round(time.time() - t0, 3)
+            ann_calib["lsh_adaptive"] = calib_ms()
             t0 = time.time()
             ivf = topk_ids(ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8))
             ivf_sec = round(time.time() - t0, 3)
+            ann_calib["ivf"] = calib_ms()
 
             def recall(m: dict[int, set], subset=None) -> float:
                 qs_ = [
@@ -1320,6 +1332,9 @@ def main() -> None:
                     "lsh_adaptive": ada_sec,
                     "ivf": ivf_sec,
                 },
+                # per-family CPU probe right after each wall timing
+                # (healthy ~2 ms): a storm-inflated wall self-labels
+                "calib_ms_after": ann_calib,
                 "knobs": knobs,
                 "note": (
                     "HARD fixture (r7): 5k near-dup distractors at 1/4 "
@@ -1484,6 +1499,9 @@ def main() -> None:
                     # threshold means this point may be storm-poisoned
                     # (the r6 0.057@50M artifact); judge accordingly
                     "steal_pct": point_steal,
+                    # CPU probe taken here (healthy ~2 ms): labels the
+                    # degradation modes steal%% misses
+                    "calib_ms": calib_ms(),
                 }
                 if point_steal >= STEAL_FLAG_PCT:
                     steal_flags[label] = point_steal
@@ -1647,6 +1665,7 @@ def main() -> None:
             scale_amplified["corpus_curate_minhash_250k"] = {
                 "spark_sec": curate_sec,
                 "steal_pct": curate_steal,
+                "calib_ms": calib_ms(),
                 "duckdb_sec": duck_sec,
                 "duckdb_hit_cap": capped,
                 "spark_speedup_over_duckdb": round(
