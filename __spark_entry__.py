@@ -5230,6 +5230,64 @@ GROUP BY source, split
 """
 
 
+def _q_dup_line_stats(spark, sf_dir):
+    """Gopher duplicate-line repetition signals
+    (operators/textanalysis.py:dup_line_stats) — the line-level
+    complement of repetition_score. The synthetic corpus has no
+    newlines, so lines are derived by an engine-portable literal
+    replace of ' batch ' (non-overlapping left-to-right in both
+    engines). Lines are derived at WORD granularity (every space
+    becomes a newline): multi-word segments of the synthetic word
+    soup never repeat verbatim and would exercise only the all-zero
+    path, while repeated words are everywhere — so every branch of
+    the operator (dup set, char mass, distinct count) carries real
+    values through the hash gate."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        dup_line_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_line_stats(
+        d,
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            F.lit("\n"),
+        ),
+    )
+
+
+_SQL_DUP_LINE_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(replace(coalesce(text, ''), ' ', chr(10)),
+                          chr(10)),
+             l -> trim(l)),
+           l -> l <> '') AS lines
+  FROM documents),
+s AS (
+  SELECT doc_id, lines, list_sort(lines) AS sl, len(lines) AS n
+  FROM base),
+dup AS (
+  SELECT doc_id, lines, n,
+         list_distinct(list_filter(list_transform(range(1, n), i ->
+             CASE WHEN sl[i] = sl[i+1] THEN sl[i] END),
+           x -> x IS NOT NULL)) AS dup_set
+  FROM s)
+SELECT doc_id, CAST(n AS INT) AS n_lines,
+       ROUND(CAST(n - len(list_distinct(lines)) AS DOUBLE)
+             / GREATEST(n, 1), 6) AS dup_line_frac,
+       ROUND(CAST(list_sum(list_transform(lines, l ->
+                 CASE WHEN list_contains(dup_set, l)
+                      THEN length(l) ELSE 0 END)) AS DOUBLE)
+             / GREATEST(list_sum(list_transform(lines, l -> length(l))), 1),
+             6) AS dup_line_char_frac
+FROM dup
+"""
+
+
 def _q_pretraining_mix(spark, sf_dir):
     """The full pretraining-assembly chain composed end-to-end, ONE
     lazy plan (the r7 composition showpiece alongside the day-2
@@ -5483,6 +5541,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("temperature_mix_sqrt", _q_temperature_mix, _SQL_TEMPERATURE_MIX),
     ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
     ("pretraining_mix", _q_pretraining_mix, _SQL_PRETRAINING_MIX),
+    ("dup_line_stats", _q_dup_line_stats, _SQL_DUP_LINE_STATS),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),

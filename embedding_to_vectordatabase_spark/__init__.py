@@ -72,7 +72,10 @@ from .operators.search import (  # noqa: E402,F401
     rerank,
     sparse_topk_inverted,
 )
-from .operators.textanalysis import profile_documents  # noqa: E402,F401
+from .operators.textanalysis import (  # noqa: E402,F401
+    dup_line_stats,
+    profile_documents,
+)
 from .plans.ingest import (  # noqa: E402,F401
     IngestConfig,
     ingest,

@@ -131,3 +131,35 @@ def test_bpe_token_count_pretokenizer_units(spark):
     }
     # it|'s| a| test|-|case|,| 42| tokens|! -> 10
     assert got == {1: 10, 2: 0, 3: 0, 4: 5}
+
+
+def test_dup_line_stats_golden(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        dup_line_stats,
+    )
+
+    rows = [
+        # a,b,a,ccc,ccc (blank line dropped): 5 lines, 3 distinct,
+        # dup chars a+a+ccc+ccc = 8 of 9
+        (1, "a\nb\na\n \nccc\nccc"),
+        (2, "x\ny\nz"),          # all distinct
+        (3, ""),                  # empty
+        (4, None),                # NULL text
+        (5, "same\nsame\nsame"),  # everything duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+        )
+        for r in dup_line_stats(df, F.col("text")).collect()
+    }
+    assert out[1] == (5, 0.4, round(8 / 9, 6))
+    assert out[2] == (3, 0.0, 0.0)
+    assert out[3] == (0, 0.0, 0.0)
+    assert out[4] == (0, 0.0, 0.0)
+    assert out[5] == (3, round(2 / 3, 6), 1.0)
