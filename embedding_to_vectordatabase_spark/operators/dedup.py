@@ -117,62 +117,74 @@ def dedup_spans(
     survive with ``n_kept = 0`` and empty text; docs with no tokens
     produce no row.
 
-    Scale shape: posexplode -> one agg shuffle on (doc, seg) builds
-    spans; first-occurrence is a window over md5(span) (same plan as
-    ``dedup_exact`` — partial-agg on the hash, a pathological
-    million-fold span is one task's window, bounded by the span
-    count, not the corpus); reassembly is one agg shuffle on doc_id.
+    Scale shape: spans are built MAP-SIDE — tokenize once to an
+    array, then ``transform(sequence(0, n_spans-1), i -> concat_ws(
+    ' ', slice(tokens, i*n+1, n)))`` and posexplode the span array,
+    so the first shuffled relation is span-granularity (~1/n of the
+    word count), never one-row-per-word. First-occurrence is a
+    window over md5(span) (same plan as ``dedup_exact`` — a
+    pathological million-fold span is one task's window, bounded by
+    the span count, not the corpus); reassembly + n_spans/n_kept is
+    ONE agg shuffle on doc_id over the flagged spans
+    (``collect_list`` skips the nulled losers), so no per-doc join
+    and the corpus text is scanned exactly once. The tokenized
+    array and the span count are staged as multi-referenced aliases
+    in their own selects so CollapseProject cannot inline the
+    split/filter into the per-span lambda (inlined, it would
+    re-tokenize per span).
     Output: (doc_id, n_spans, n_kept, text_dedup).
     """
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(
-                F.split(
-                    F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
-                    r"\s+",
-                ),
-                lambda s: s != "",
-            )
-        ).alias("pos", "word"),
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+            r"\s+",
+        ),
+        lambda s: s != "",
     )
-    spans = words.groupBy(
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    sized = staged.select(
         "doc_id",
-        F.floor(F.col("pos") / F.lit(span_words)).alias("seg"),
-    ).agg(
-        F.concat_ws(
-            " ",
+        "__toks",
+        F.ceil(F.size("__toks") / F.lit(span_words))
+        .cast("int")
+        .alias("n_spans"),
+    ).filter(F.col("n_spans") > 0)
+    spans = sized.select(
+        "doc_id",
+        "n_spans",
+        F.posexplode(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("span")
+                F.sequence(F.lit(0), F.col("n_spans") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("__toks"), i * span_words + 1, span_words
+                    ),
+                ),
+            )
+        ).alias("seg", "span"),
     )
     w = Window.partitionBy(F.md5(F.col("span"))).orderBy("doc_id", "seg")
-    kept = (
-        spans.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    per_doc = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    flagged = spans.withColumn("__rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_spans").alias("n_spans"),
+        F.count(F.when(F.col("__rn") == 1, 1)).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg", "span"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1, F.struct("seg", "span")
+                        )
+                    )
+                ),
                 lambda s: s["span"],
             ),
         ).alias("text_dedup"),
-    )
-    return per_doc.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 

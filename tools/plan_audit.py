@@ -111,6 +111,17 @@ CHECKS = {
         ("first-occurrence window not single-partition",
          lambda s: "SinglePartition" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
+        # r8: spans are sliced from the token array map-side — the
+        # first shuffled relation must be span-granularity. A
+        # word-level posexplode plan needs a (doc,seg) rebuild agg
+        # plus a per-doc join: >=4 exchanges, 2 scans-worth of
+        # branches, and a Join node. The map-side plan is exactly
+        # window-exchange + doc-agg exchange (+ the small-input
+        # respread), join-free, single-scan.
+        ("map-side span build: <=3 exchanges, single scan, no join",
+         lambda s: len(
+             __import__("re").findall(r"^\(\d+\) Exchange", s, 8)
+         ) <= 3 and "Join" not in s and n_scans(s) == 1),
     ],
     "tpch_q9_product_profit": [
         ("dims broadcast; only fact-fact shuffle is orders join",
