@@ -441,7 +441,11 @@ def auto_join(
     1. **broadcast** when the dim side's optimizer size estimate fits
        ``spark.sql.autoBroadcastJoinThreshold`` (or the explicit
        ``broadcast_threshold_bytes``) — hot fact keys are then
-       irrelevant; nothing shuffles.
+       irrelevant; nothing shuffles. Only for join types where the
+       dim can be the build side (inner/left/semi/anti/cross):
+       right/full outer must preserve the dim, Spark would silently
+       ignore the hint, and the recorded strategy would lie about
+       the executed plan.
     2. **salted** when a hot fact key holds >= ``hot_share`` of the
        fact rows (inner/left joins only — salting replicates the dim
        side, which is only semantics-preserving when each fact row
@@ -463,6 +467,8 @@ def auto_join(
     ("broadcast" | "salted" | "plain") — diagnostic only, read it
     right after the call (tests and the plan audit do).
     """
+    from functools import reduce
+
     from ..util import _parse_bytes, salted_join
 
     on = [on] if isinstance(on, str) else list(on)
@@ -484,17 +490,47 @@ def auto_join(
         )
     except Exception:  # noqa: BLE001 — stats unavailable: never broadcast blind
         pass
-    if 0 <= dim_size <= broadcast_threshold_bytes:
+    # a dim-side broadcast hint is only honored when the dim is the
+    # build (non-preserved) side; for right/full outer Spark silently
+    # falls back to a shuffle join, so labeling those "broadcast"
+    # would misreport the executed plan (ADVICE r7)
+    broadcastable_how = how in (
+        "inner", "left", "left_outer", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "semi", "anti", "cross",
+    )
+    if broadcastable_how and 0 <= dim_size <= broadcast_threshold_bytes:
         auto_join.last_strategy = "broadcast"
         return fact.join(F.broadcast(dim), on, how)
 
     if profile is not None:
-        # skew_profile output is already sorted hottest-first
-        top = profile.select("share").limit(1).collect()
+        # skew_profile output is already sorted hottest-first; NULL
+        # keys never match, so a NULL-hottest profile row must not
+        # trigger salting (ADVICE r7) — take the hottest NON-NULL key
+        top = (
+            profile.filter(
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in on],
+                )
+            )
+            .select("share")
+            .limit(1)
+            .collect()
+        )
         share = float(top[0]["share"]) if top else 0.0
     else:
+        # NULL keys are excluded from the sketch for the same reason:
+        # a left-enrichment fact whose most frequent "key" is NULL
+        # has no matched-side skew to salt away — salting it would
+        # replicate the dim num_salts times for nothing
         row = (
-            fact.groupBy(*on)
+            fact.filter(
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in on],
+                )
+            )
+            .groupBy(*on)
             .agg(F.count("*").alias("__cnt"))
             .agg(
                 F.max("__cnt").alias("__max"),

@@ -220,7 +220,10 @@ def dense_topk(
                 # by re-admitting ALL boundary-score ties before the
                 # final sort (and falling back to the full index set
                 # if the boundary is NaN-degenerate).
-                if rb.num_rows > 4 * kk:
+                # kk >= 1 guard: argpartition(key, -1) on kk=0 makes
+                # key[part].max() raise on the empty slice; the slow
+                # path returns k=0's empty result gracefully
+                if kk >= 1 and rb.num_rows > 4 * kk:
                     part = np.argpartition(key, kk - 1)[:kk]
                     cand = np.flatnonzero(key <= key[part].max())
                     if cand.size < kk:

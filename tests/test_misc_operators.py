@@ -738,3 +738,45 @@ def test_auto_join_right_join_never_salted(spark):
         assert auto_join.last_strategy == "plain"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_auto_join_right_join_not_labeled_broadcast(spark):
+    """A dim-side broadcast hint is silently ignored for how='right'
+    (the dim must be the preserved side, so it cannot be the build
+    side) — auto_join must not record 'broadcast' for a plan that
+    actually shuffles (ADVICE r7)."""
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    fact, dim = _auto_join_fixture(spark, hot=False)
+    # default 10MB threshold: the 100-row dim WOULD broadcast inner
+    out = auto_join(fact, dim, "k", how="right")
+    assert auto_join.last_strategy == "plain"
+    assert out.count() >= dim.count()
+
+
+def test_auto_join_null_hot_key_not_salted(spark):
+    """A fact whose most frequent 'key' is NULL (left-enrichment
+    shape) has no matched-side skew: NULLs never join, so salting
+    would replicate the dim for nothing (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.joins import auto_join
+
+    n = 2000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 == 9, F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )  # 90% NULL keys, matched keys uniform
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = auto_join(fact, dim, "k", how="left")
+        assert auto_join.last_strategy == "plain"
+        assert out.count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -51,6 +51,13 @@ def test_dense_topk_self_is_rank1_cosine(emb, queries):
     assert all(r["query_id"] == r["vec_id"] for r in out)
 
 
+def test_dense_topk_k0_empty(emb, queries):
+    """k=0 must return an empty frame, not crash the argpartition
+    fast path (np.argpartition(key, -1) -> key[part].max() on an
+    empty slice raised in the executor; ADVICE r7)."""
+    assert dense_topk(emb, queries, k=0, metric="COSINE").count() == 0
+
+
 def test_ann_recall_bar(emb, queries):
     exact = _key_set(dense_topk(emb, queries, k=5, metric="COSINE").collect())
     approx = _key_set(
