@@ -1245,12 +1245,16 @@ def bm25_topk(
     (``size(split(...))`` computed once per doc before the explode),
     so N and avgdl cost one map-only scan + a 1-row agg, and the
     per-doc length reaches the scorer without joining a corpus-sized
-    doclen relation. The exploded token stream broadcast-joins the
-    query terms BEFORE any aggregation — non-query tokens are dropped
-    map-side and never shuffle — and only the pruned (query-token)
-    postings are aggregated into tf/df. Every join is broadcast
-    (query terms, per-token df, the 2-scalar crossJoin). Total: two
-    map-only corpus scans + shuffles over query-token postings only.
+    doclen relation. Non-query tokens are dropped map-side (in-array
+    IN-list for small vocabularies, broadcast semi-join past
+    ``inlist_max_vocab``) and never shuffle; the pruned postings
+    aggregate ONCE into a query-independent (token, doc, tf, dl)
+    relation, df rides it as a per-token window count (one row per
+    (token, doc), so no second aggregation branch re-running the
+    corpus lineage), and only then do the query terms broadcast-join
+    in. Every join is broadcast (query terms, the 2-scalar
+    crossJoin). Total: two map-only corpus scans + shuffles over
+    query-token postings only.
     ``max_doc_freq`` optionally df-prunes hot query tokens (same
     policy as ``sparse_topk_inverted``); stop-term postings are
     otherwise bounded by the query vocabulary, not the corpus one.
@@ -1261,15 +1265,6 @@ def bm25_topk(
         ),
         lambda s: s != "",
     )
-    doclen = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(words).alias("dl")
-    ).filter(F.col("dl") > 0)
-    scal = doclen.agg(
-        F.count("*").alias("n_docs"),
-        (
-            F.sum("dl").cast("double") / F.count("*")
-        ).alias("avgdl"),
-    )
     # prune to the query vocabulary INSIDE the token array, before
     # anything becomes a row: exploding all corpus tokens and probing
     # the broadcast join per token measured 6.5 s at 100k docs where
@@ -1279,10 +1274,16 @@ def bm25_topk(
     # makes plan CONSTRUCTION run one tiny Spark job. An empty query
     # set returns the (provably empty) result WITHOUT touching the
     # corpus — no error, no full-corpus explode.
-    vocab = [
-        r["token"]
-        for r in query_terms.select("token").distinct().collect()
+    # ONE driver collect serves both the vocabulary and (for the
+    # map-side path) the per-query token lists: a separate
+    # distinct().collect() costs a full shuffle job (~0.5 s of pure
+    # scheduling at any scale) for a relation that is small by
+    # contract.
+    qrows = [
+        (r["query_id"], r["token"])
+        for r in query_terms.select("query_id", "token").collect()
     ]
+    vocab = list(dict.fromkeys(t for _, t in qrows))
     if not vocab:
         empty_schema = T.StructType(
             [
@@ -1301,6 +1302,190 @@ def bm25_topk(
     # was re-running the tokenizer once per emitted token — the
     # struct barrier precomputes both once per document (measured
     # 3.5x on the token stage at 100k docs, r7)
+    fused_max_vocab = 64
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    spark = docs.sparkSession
+
+    if len(vocab) <= fused_max_vocab:
+        # Fully MAP-SIDE scoring (r8): with a bounded query
+        # vocabulary nothing relational is needed until the final
+        # top-k. Per-token tf is counted INSIDE the hit array; df and
+        # N/avgdl are V+2 scalar aggregates over ONE shared corpus
+        # pass (the packed (dl, hits) projection is exchanged once
+        # and reused by both the scalar agg and the scorer —
+        # ReuseExchange — so the tokenizer runs once per document,
+        # period); each query's score is a per-row expression over
+        # the staged tf struct and the broadcast scalars. The ONLY
+        # data-sized shuffles left are the packed respread and the
+        # per-query rank window (docs-with-hits × Q rows). The r7
+        # relational plan at 100k docs spent ~0.7 s shuffling 1.08M
+        # postings into tf and ~0.6 s re-aggregating them per query;
+        # both are gone.
+        qid_type = query_terms.schema["query_id"].dataType
+        hits = F.filter(words, lambda s: s.isin(*vocab))
+        # corpus statistics collected to the driver as ONE row of
+        # V+2 scalars (n_docs, avgdl, per-token df) — the same
+        # bounded-collect contract as the vocabulary itself and
+        # auto_join's 1-row pre-flight sketch. Inlining them as plan
+        # literals (idf even folds to a Python constant) removes the
+        # broadcast build, the crossJoin, and a whole plan branch
+        # from the hot job; the stats pass is one map-side-combined
+        # scalar aggregation over the corpus.
+        # the dl>0 restriction lives INSIDE the aggregates (not a
+        # Filter node): a pushed-down filter re-evaluates the
+        # tokenizer in its own stage, outside the projection's
+        # common-subexpression elimination. Empty-hit docs
+        # contribute 0 to every df sum, so only n_docs/avgdl need
+        # the conditional.
+        stats = (
+            docs.select(
+                F.size(words).alias("dl"), hits.alias("__h")
+            )
+            .agg(
+                F.sum(
+                    (F.col("dl") > 0).cast("long")
+                ).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+                *[
+                    F.sum(
+                        F.array_contains("__h", tok).cast("long")
+                    ).alias(f"__df_{i}")
+                    for i, tok in enumerate(vocab)
+                ],
+            )
+            .first()
+        )
+        if not stats or not stats["n_docs"]:
+            return docs.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("query_id", qid_type),
+                        T.StructField(
+                            "doc_id", docs.schema[id_col].dataType
+                        ),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["sum_dl"]) / n_docs
+        dfs = {
+            tok: int(stats[f"__df_{i}"] or 0)
+            for i, tok in enumerate(vocab)
+        }
+        # stage per-token tf counts once (struct barrier: each tf is
+        # referenced by every query carrying the token, and norm by
+        # every pair — inlined they would recount per reference)
+        slot = {tok: i for i, tok in enumerate(vocab)}
+
+        def _tok_count(tok: str):
+            # closure factory, NOT a default-arg lambda: a 2-param
+            # lambda would make pyspark's HOF introspection pass the
+            # element INDEX as the second argument
+            return F.size(
+                F.filter(F.col("__p.hits"), lambda x: x == tok)
+            )
+
+        packed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.struct(
+                F.size(words).alias("dl"), hits.alias("hits")
+            ).alias("__p"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        staged = packed.select(
+            "doc_id",
+            F.struct(
+                *[
+                    _tok_count(tok).cast("long").alias(f"t{i}")
+                    for i, tok in enumerate(vocab)
+                ]
+            ).alias("__tf"),
+            (
+                F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("__p.dl").cast("double")
+                    / F.lit(avgdl)
+                )
+            ).alias("__norm"),
+        )
+        import math
+
+        def pair_score(tok: str):
+            i = slot[tok]
+            df_t = dfs[tok]
+            if max_doc_freq is not None and df_t > max_doc_freq:
+                # df-pruned tokens contribute nothing (same semantics
+                # as the relational dfreq filter)
+                return F.lit(0).cast("long")
+            # idf is a pure function of the collected stats: fold it
+            # to a constant (ln ulp differences vs any engine are
+            # absorbed by the 6dp round, as for the relational path)
+            idf_t = math.log(
+                1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
+            )
+            tfd = F.col(f"__tf.t{i}").cast("double")
+            # 6dp-round then snap to a scaled long: summing exact
+            # integers is the same exact arithmetic as a
+            # DECIMAL(18,6) sum (exact rational, one correctly-
+            # rounded double conversion at the end), order-free and
+            # engine-exact. tf=0 contributes exactly 0.
+            return F.round(
+                F.round(
+                    F.lit(idf_t)
+                    * tfd
+                    * F.lit(k1 + 1.0)
+                    / (tfd + F.col("__norm")),
+                    6,
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long")
+
+        def pair_hits(tok: str):
+            # df-pruned tokens are NOT hits either: a doc matching
+            # only pruned tokens must emit no row (relational-path
+            # semantics, where the dfreq filter drops its postings)
+            if max_doc_freq is not None and dfs[tok] > max_doc_freq:
+                return F.lit(0).cast("long")
+            return F.col(f"__tf.t{slot[tok]}")
+
+        qids = list(dict.fromkeys(q for q, _ in qrows))
+        per_q = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).cast(qid_type).alias("query_id"),
+                    sum(
+                        (pair_score(t) for q, t in qrows if q == qid),
+                        F.lit(0).cast("long"),
+                    ).alias("s"),
+                    sum(
+                        (pair_hits(t) for q, t in qrows if q == qid),
+                        F.lit(0).cast("long"),
+                    ).alias("h"),
+                )
+                for qid in qids
+            ]
+        )
+        scored = (
+            staged.select("doc_id", F.explode(per_q).alias("__q"))
+            .filter(F.col("__q.h") > 0)
+            .select(
+                F.col("__q.query_id").alias("query_id"),
+                "doc_id",
+                (F.col("__q.s") / F.lit(1e6)).alias("score"),
+            )
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    # ---- relational paths (large vocabularies) ----
     if len(vocab) <= inlist_max_vocab:
         hits = F.filter(words, lambda s: s.isin(*vocab))
         packed = docs.select(
@@ -1309,11 +1494,32 @@ def bm25_topk(
                 F.size(words).alias("dl"), hits.alias("hits")
             ).alias("__p"),
         )
-        toks = packed.select(
+        # in-array tf: count each distinct hit token inside the
+        # array instead of exploding raw hits into a (token, doc)
+        # groupBy — the pruned-postings shuffle disappears, the
+        # explode emits one already-aggregated row per
+        # (doc, distinct token). hits is small by construction
+        # (query-vocab tokens only).
+        tf_pairs = F.transform(
+            F.array_distinct(F.col("__p.hits")),
+            lambda t: F.struct(
+                t.alias("token"),
+                F.size(
+                    F.filter(F.col("__p.hits"), lambda x: x == t)
+                ).alias("tf"),
+            ),
+        )
+        tf_dt = packed.select(
             "doc_id",
             F.col("__p.dl").alias("dl"),
-            F.explode("__p.hits").alias("token"),
+            F.explode(tf_pairs).alias("__tp"),
+        ).select(
+            "doc_id",
+            "dl",
+            F.col("__tp.token").alias("token"),
+            F.col("__tp.tf").cast("long").alias("tf"),
         )
+        toks = None
     else:
         # the IN-list compiles one literal per token into codegen; a
         # huge vocabulary would blow Janino's 64KB method limit (and
@@ -1335,20 +1541,42 @@ def bm25_topk(
             "token",
             "left_semi",
         )
-    qt = F.broadcast(query_terms.select("query_id", "token"))
-    tf_q = (
-        toks.join(qt, "token")
-        .groupBy("query_id", "doc_id", "token")
-        # dl is functionally dependent on doc_id; min() is exact
-        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    scal = (
+        docs.select(F.size(words).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
     )
-    dfreq = tf_q.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    if toks is not None:
+        # semi-join path: tf per (token, doc) BEFORE the query join —
+        # tf/df/dl are query-independent, so aggregating after the qt
+        # join (r7 shape) inflated the pre-agg relation by the number
+        # of queries sharing each token. The agg's own exchange on
+        # (token, doc_id) is shared by the df branch below via
+        # ReuseExchange, so the corpus scan/explode runs once.
+        tf_dt = toks.groupBy("token", "doc_id").agg(
+            F.count("*").alias("tf"),
+            # dl is functionally dependent on doc_id; min() is exact
+            F.min("dl").alias("dl"),
+        )
+    else:
+        # in-array tf path with a large vocab: materialize ONE shared
+        # exchange so the df aggregate and the scorer both read it
+        # (ReuseExchange) instead of each re-running the corpus scan;
+        # the exchange moves pruned postings only
+        tf_dt = tf_dt.repartition("token", "doc_id")
+    dfreq = tf_dt.groupBy("token").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
-    term = tf_q.join(F.broadcast(dfreq), "token").crossJoin(
-        F.broadcast(scal)
+    term = (
+        tf_dt.join(F.broadcast(dfreq), "token")
+        .join(
+            F.broadcast(query_terms.select("query_id", "token")),
+            "token",
+        )
+        .crossJoin(F.broadcast(scal))
     )
     idf = F.log(
         F.lit(1.0)
@@ -1364,16 +1592,16 @@ def bm25_topk(
         F.lit(1.0 - b)
         + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
     )
+    # same scaled-long exact sum as the map-side path
     term_score = F.round(
-        idf * tf_d * F.lit(k1 + 1.0) / (tf_d + norm), 6
-    ).cast("decimal(18,6)")
+        F.round(idf * tf_d * F.lit(k1 + 1.0) / (tf_d + norm), 6)
+        * F.lit(1e6),
+        0,
+    ).cast("long")
     scored = (
         term.select("query_id", "doc_id", term_score.alias("__ts"))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("__ts").cast("double").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
+        .agg((F.sum("__ts") / F.lit(1e6)).alias("score"))
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -100,12 +100,18 @@ CHECKS = {
     ],
     # round-6 additions (this session)
     "bm25_topk": [
-        # the query-term prune and the df/scalar joins must all stay
-        # broadcast — a sort-merge here means corpus postings shuffle
-        ("query-term prune + stats joins broadcast",
-         lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
-        ("no cartesian beyond the 2-scalar crossJoin",
-         lambda s: "CartesianProduct" not in s),
+        # r8 map-side path (small vocab): corpus stats are collected
+        # once and inlined as literals, tf is counted in-array, and
+        # per-query scores are row-local expressions — the scoring
+        # job must be JOIN-FREE with a single corpus scan feeding the
+        # final top-k window. (The relational fallback for large
+        # vocabularies keeps broadcast joins; it is exercised by
+        # test_bm25_large_vocab_fallback_matches_inlist.)
+        ("map-side scoring: join-free, single scan",
+         lambda s: "Join" not in s and n_scans(s) == 1),
+        ("rank<=k pruned before the window shuffle",
+         lambda s: "WindowGroupLimit" in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
     "dedup_spans": [
         ("first-occurrence window not single-partition",
