@@ -1267,15 +1267,27 @@ def main() -> None:
             exact_sec = round(time.time() - t0, 3)
             ann_calib["exact"] = calib_ms()
             knobs = {
-                "lsh_bucketed": {"bits": 10, "probe_radius": 2},
-                # SAME probe count as the radius set (1+10+45): the
-                # adaptive row isolates the enumeration-order effect
-                "lsh_adaptive": {"bits": 10, "probe_budget": 56},
+                # adaptive became the operator DEFAULT in r8; this
+                # row keeps the classic hamming-ball set as the
+                # explicit baseline
+                "lsh_bucketed": {
+                    "bits": 10, "probe_radius": 2, "adaptive": False,
+                },
+                # SAME total probe count as the radius set
+                # (6 queries x 56 = 1+10+45 each); r8 reallocates
+                # that pool by margin-hardness so boundary queries
+                # buy deeper flip sets from the easy queries' surplus
+                "lsh_adaptive": {
+                    "bits": 10, "probe_budget": 56, "reallocate": True,
+                },
                 "ivf": {"nlist": 64, "nprobe": 8},
             }
             t0 = time.time()
             lsh = topk_ids(
-                ann_topk_bucketed(cvecs, qdf, k=5, bits=10, probe_radius=2)
+                ann_topk_bucketed(
+                    cvecs, qdf, k=5, bits=10, probe_radius=2,
+                    adaptive=False,
+                )
             )
             lsh_sec = round(time.time() - t0, 3)
             ann_calib["lsh_bucketed"] = calib_ms()

