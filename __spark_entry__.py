@@ -5514,10 +5514,74 @@ GROUP BY n_name
 
 
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
-    # Round-4 rotation: the external CORRECTNESS gate samples the first 50
-    # registry entries, so the 17 queries that had only local verification in
-    # rounds 1-3 lead the registry this round.  The displaced (long
-    # driver-proven) queries remain covered by tools/oracle_check.py.
+    # Round-8 rotation (VERDICT r7 item 5): the external CORRECTNESS gate
+    # samples the first 50 registry entries; 56 queries had never had a
+    # driver-side row after 7 rounds.  The 48 never-verified ORACLE-BEARING
+    # queries lead this round (zero oracle-bearing overlap with the r7
+    # window), plus the two queries whose operators changed in r8
+    # (o4_dense_topk) and dedup_exact as the
+    # regression sentinel for the r8 dedup.py rewrite.  Displaced queries remain covered
+    # by tools/oracle_check.py and tests/test_oracle_window.py at both gate
+    # SFs.
+    ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
+    ("tpch_q2_min_cost_supplier", _q_tpch_q2_min_cost_supplier,
+     _SQL_TPCH_Q2),
+    ("tpch_q9_product_profit", _q_tpch_q9_product_profit, _SQL_TPCH_Q9),
+    ("tpch_q11_important_parts", _q_tpch_q11_important_parts,
+     _SQL_TPCH_Q11),
+    ("tpch_q12_late_lines", _q_tpch_q12_late_lines, _SQL_TPCH_Q12),
+    ("tpch_q13_custdist", _q_tpch_q13_custdist, _SQL_TPCH_Q13),
+    ("tpch_q16_supplier_cnt", _q_tpch_q16_supplier_cnt, _SQL_TPCH_Q16),
+    ("tpch_q19_disjunctive_revenue", _q_tpch_q19_disjunctive_revenue,
+     _SQL_TPCH_Q19),
+    ("tpch_q20_excess_suppliers", _q_tpch_q20_excess_suppliers,
+     _SQL_TPCH_Q20),
+    ("tpch_q21_waiting_suppliers", _q_tpch_q21_waiting_suppliers,
+     _SQL_TPCH_Q21),
+    ("user_set_ops", _q_user_set_ops, _SQL_USER_SET_OPS),
+    ("pivot_event_counts", _q_pivot_event_counts, _SQL_PIVOT_EVENTS),
+    ("unpivot_event_counts", _q_unpivot_event_counts,
+     _SQL_UNPIVOT_EVENTS),
+    ("st_running_counts", _q_st_running_counts, _SQL_ST_RUNNING_COUNTS),
+    ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
+    ("dense_topk_quantized", _q_dense_topk_quantized, _SQL_QUANTIZED_SYM),
+    ("dedup_spans", _q_dedup_spans, _SQL_DEDUP_SPANS),
+    ("bm25_topk", _q_bm25_topk, _SQL_BM25_TOPK),
+    ("dup_clusters", _q_dup_clusters, _SQL_DUP_CLUSTERS),
+    ("near_dedup_representatives", _q_near_dedup_representatives,
+     _SQL_NEAR_DEDUP_REPS),
+    ("st_minhash_dedup", _q_st_minhash_dedup, _SQL_ST_MINHASH_DEDUP),
+    ("topn_tokens", _q_topn_tokens, _SQL_TOPN_TOKENS),
+    ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
+    ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
+    ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
+    ("stratified_sample", _q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
+    ("snapshot_diff", _q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    ("percentile_filter", _q_percentile_filter, _SQL_PERCENTILE_FILTER),
+    ("bigram_lm_score", _q_bigram_lm_score, _SQL_BIGRAM_LM),
+    ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
+    ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
+    ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
+    ("repetition_score", _q_repetition_score, _SQL_REPETITION),
+    ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
+    ("bloom_anti_join", _q_bloom_anti_join, _SQL_BLOOM_ANTI),
+    ("skew_profile", _q_skew_profile, _SQL_SKEW_PROFILE),
+    ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
+    ("throttle_events", _q_throttle_events, _SQL_THROTTLE),
+    ("peak_concurrency", _q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
+    ("dup_source_matrix", _q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX),
+    ("embedding_dispersion", _q_embedding_dispersion,
+     _SQL_EMBEDDING_DISPERSION),
+    ("corpus_curate_minhash", _q_corpus_curate_minhash,
+     _SQL_CURATE_MINHASH),
+    ("containment_pairs", _q_containment_pairs, _SQL_CONTAINMENT),
+    ("conversion_time", _q_conversion_time, _SQL_CONVERSION_TIME),
+    ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
+    ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
+    ("rank_normalize_nchars", _q_rank_normalize, _SQL_RANK_NORMALIZE),
     ("lang_id", _q_lang_id, _SQL_LANG_ID),
     ("quality_score", _q_quality_score, _SQL_QUALITY),
     ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
@@ -5536,7 +5600,6 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("props_k_counts", _q_props_k_counts, _SQL_PROPS_K),
     ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
-    ("auto_join_hot_agg", _q_auto_join_hot, _SQL_AUTO_JOIN_HOT),
     ("day2_incremental_pipeline", _q_day2_pipeline, _SQL_DAY2_PIPELINE),
     ("temperature_mix_sqrt", _q_temperature_mix, _SQL_TEMPERATURE_MIX),
     ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
@@ -5582,20 +5645,6 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("tpch_q22_dormant_customers", _q_tpch_q22_dormant_customers, _SQL_TPCH_Q22),
     ("tpch_q10_returns", _q_tpch_q10_returns, _SQL_TPCH_Q10),
     ("tpch_q18_large_orders", _q_tpch_q18_large_orders, _SQL_TPCH_Q18),
-    ("tpch_q2_min_cost_supplier", _q_tpch_q2_min_cost_supplier,
-     _SQL_TPCH_Q2),
-    ("tpch_q9_product_profit", _q_tpch_q9_product_profit, _SQL_TPCH_Q9),
-    ("tpch_q11_important_parts", _q_tpch_q11_important_parts,
-     _SQL_TPCH_Q11),
-    ("tpch_q12_late_lines", _q_tpch_q12_late_lines, _SQL_TPCH_Q12),
-    ("tpch_q13_custdist", _q_tpch_q13_custdist, _SQL_TPCH_Q13),
-    ("tpch_q16_supplier_cnt", _q_tpch_q16_supplier_cnt, _SQL_TPCH_Q16),
-    ("tpch_q19_disjunctive_revenue", _q_tpch_q19_disjunctive_revenue,
-     _SQL_TPCH_Q19),
-    ("tpch_q20_excess_suppliers", _q_tpch_q20_excess_suppliers,
-     _SQL_TPCH_Q20),
-    ("tpch_q21_waiting_suppliers", _q_tpch_q21_waiting_suppliers,
-     _SQL_TPCH_Q21),
     ("o1_sorted_registry", _q_o1_sorted_registry, _SQL_O1),
     ("o2_point_lookup", _q_o2_point_lookup, _SQL_O2),
     ("a1_file_stats", _q_a1_file_stats, _SQL_A1),
@@ -5603,22 +5652,16 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("a3_load_metrics", _q_a3_load_metrics, _SQL_A3),
     ("a4_breakpoint_stats", _q_a4_breakpoint_stats, _SQL_A4),
     ("events_type_counts", _q_events_type_counts, _SQL_EVENTS_TYPE_COUNTS),
-    ("user_set_ops", _q_user_set_ops, _SQL_USER_SET_OPS),
-    ("pivot_event_counts", _q_pivot_event_counts, _SQL_PIVOT_EVENTS),
-    ("unpivot_event_counts", _q_unpivot_event_counts,
-     _SQL_UNPIVOT_EVENTS),
     ("st_windowed_event_counts", _q_windowed_event_counts, _SQL_WINDOWED),
     ("st_windowed_sliding", _q_windowed_sliding, _SQL_WINDOWED_SLIDING),
     ("st_sessionize", _q_sessionize, _SQL_SESSIONIZE),
     ("st_session_window", _q_session_window, _SQL_SESSION_WINDOW),
     ("st_stateful_dedup", _q_st_stateful_dedup, _SQL_ST_STATEFUL_DEDUP),
-    ("st_running_counts", _q_st_running_counts, _SQL_ST_RUNNING_COUNTS),
     ("v4_dense_ip", _q_v4_dense_ip, _SQL_V4),
     ("v5_sparse_ip", _q_v5_sparse_ip, _SQL_V5),
     ("v6_rerank", _q_v6_rerank, _SQL_V6),
     ("v6_rerank_texts", _q_v6_rerank_texts, _SQL_V6_TEXTS),
     ("v7_dense_l2", _q_v7_dense_l2, _SQL_V7),
-    ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("sparse_topk_inverted", _q_sparse_topk_inverted, _SQL_SPARSE_TOPK),
     (
         "hybrid_topk_rrf",
@@ -5632,17 +5675,10 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ann_topk_bucketed", _q_ann_topk, None),
     ("ann_topk_ivf", _q_ann_topk_ivf, None),
     ("ann_similarity_join_mllib", _q_ann_mllib_join, None),
-    ("dense_topk_quantized", _q_dense_topk_quantized, _SQL_QUANTIZED_SYM),
-    ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
-    ("dedup_spans", _q_dedup_spans, _SQL_DEDUP_SPANS),
-    ("bm25_topk", _q_bm25_topk, _SQL_BM25_TOPK),
+    ("auto_join_hot_agg", _q_auto_join_hot, _SQL_AUTO_JOIN_HOT),
     ("exact_duplicate_groups", _q_exact_duplicate_groups, _SQL_EXACT_GROUPS),
     ("ngram_jaccard_pairs", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
-    ("dup_clusters", _q_dup_clusters, _SQL_DUP_CLUSTERS),
-    ("near_dedup_representatives", _q_near_dedup_representatives,
-     _SQL_NEAR_DEDUP_REPS),
     ("minhash_lsh_pairs", _q_minhash_lsh, _SQL_MINHASH),
-    ("st_minhash_dedup", _q_st_minhash_dedup, _SQL_ST_MINHASH_DEDUP),
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),
     ("simhash_pairs", _q_simhash_pairs, None),
     ("simhash_pairs_md5", _q_simhash_pairs_md5, _SQL_SIMHASH_PAIRS),
@@ -5651,39 +5687,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),
     ("multimodal_features", _q_multimodal_features, None),
     ("ingest_chunks", _q_ingest_chunks, None),
-    ("topn_tokens", _q_topn_tokens, _SQL_TOPN_TOKENS),
-    ("corpus_curate", _q_corpus_curate, _SQL_CURATE),
-    ("split_assignment", _q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
-    ("corpus_mix", _q_corpus_mix, _SQL_CORPUS_MIX),
-    ("stratified_sample", _q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
-    ("topk_per_group", _q_topk_per_group, _SQL_TOPK_PER_GROUP),
-    ("snapshot_diff", _q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
-    ("percentile_filter", _q_percentile_filter, _SQL_PERCENTILE_FILTER),
-    ("bigram_lm_score", _q_bigram_lm_score, _SQL_BIGRAM_LM),
-    ("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
-    ("weighted_sample", _q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
-    ("pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
     ("bpe_token_count", _q_bpe_token_count, _sql_bpe_token_count()),
-    ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
-    ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
     ("redact_pii", _q_redact_pii, _sql_redact_pii()),
-    ("repetition_score", _q_repetition_score, _SQL_REPETITION),
-    ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
-    ("bloom_anti_join", _q_bloom_anti_join, _SQL_BLOOM_ANTI),
-    ("skew_profile", _q_skew_profile, _SQL_SKEW_PROFILE),
-    ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
-    ("throttle_events", _q_throttle_events, _SQL_THROTTLE),
-    ("peak_concurrency", _q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
-    ("dup_source_matrix", _q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX),
-    ("embedding_dispersion", _q_embedding_dispersion,
-     _SQL_EMBEDDING_DISPERSION),
-    ("corpus_curate_minhash", _q_corpus_curate_minhash,
-     _SQL_CURATE_MINHASH),
-    ("containment_pairs", _q_containment_pairs, _SQL_CONTAINMENT),
-    ("conversion_time", _q_conversion_time, _SQL_CONVERSION_TIME),
-    ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
-    ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
-    ("rank_normalize_nchars", _q_rank_normalize, _SQL_RANK_NORMALIZE),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 
