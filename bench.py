@@ -1110,6 +1110,70 @@ def main() -> None:
                     ),
                 }
 
+            # quantized-vs-exact CROSSOVER measurement (VERDICT r7
+            # item 7): the same two-phase plan at 4x the rows, timed
+            # against the exact scan ON THE SAME STORE. Measured
+            # conclusion committed with the numbers: the int8 gap is
+            # a CONSTANT (~0.6 s of extra stage barriers + the
+            # candidate window + the stage-2 float pass), not
+            # asymptotic — the ratio rises toward 1 with volume but
+            # does not cross on a warm page cache, because int8
+            # parquet DECODE is not cheaper than float decode
+            # (measured codes_scan 0.36 s vs float_scan 0.29 s at 2M)
+            # and the byte saving only pays when the scan is
+            # I/O-bound (cold object-store reads at cluster scale,
+            # where the 3.6x fewer bytes ARE the wall time).
+            if time_left() > 60:
+                progress("dense_topk_quantized_2m crossover")
+                from embedding_to_vectordatabase_spark.functions.vector import (  # noqa: F811
+                    quantize_int8,
+                )
+                from embedding_to_vectordatabase_spark.operators.search import (  # noqa: F811
+                    dense_topk_quantized,
+                )
+
+                q8_2m_path = os.path.join(SCRATCH, "emb2m_q8.parquet")
+                n_2m = spark.read.parquet(emb2m_path).count()
+                ensure_fixture(
+                    q8_2m_path,
+                    lambda: spark.read.parquet(emb2m_path)
+                    .select(
+                        "vec_id",
+                        "embedding",
+                        quantize_int8(F.col("embedding")).alias("q8"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(q8_2m_path),
+                    expect=n_2m,
+                )
+                q8_2m = spark.read.parquet(q8_2m_path)
+                mk_q2m = lambda: dense_topk_quantized(  # noqa: E731
+                    q8_2m, q3, k=5, quant_col="q8"
+                )
+                mk_e2m = lambda: dense_topk(q8_2m, q3, k=5)  # noqa: E731
+                materialize(mk_q2m())
+                t0 = time.time()
+                materialize(mk_q2m())
+                q2m_sec = round(time.time() - t0, 3)
+                materialize(mk_e2m())
+                t0 = time.time()
+                materialize(mk_e2m())
+                e2m_sec = round(time.time() - t0, 3)
+                scale_amplified["dense_topk_quantized_2m"] = {
+                    "spark_sec": q2m_sec,
+                    "exact_same_store_sec": e2m_sec,
+                    "quant_over_exact": round(
+                        q2m_sec / max(e2m_sec, 1e-9), 2
+                    ),
+                    "calib_ms": calib_ms(),
+                    "note": (
+                        "constant ~0.6s two-phase overhead, not "
+                        "asymptotic; int8 wins bytes (3.6x) not "
+                        "warm-cache wall time - the win is I/O-bound "
+                        "scans at cluster scale"
+                    ),
+                }
+
         except Exception as e:  # noqa: BLE001 — advisory
             progress(f"amplified/quantized section aborted: {e!r}")
 

@@ -132,6 +132,30 @@ def _score_block(
     return np.sqrt(np.maximum(x2 + q2[None, :] - 2.0 * (X @ qmat.T), 0.0))
 
 
+def _topk_indices(
+    key: "np.ndarray", ids_np: "np.ndarray", kk: int
+) -> "np.ndarray":
+    """Indices of the kk smallest (key, id) pairs, exact under the
+    total order. O(n) argpartition to ~kk candidates, then sort only
+    those — a full lexsort is O(n log n) per query and dominated
+    profile time at 500k rows (r7). Exactness is kept by re-admitting
+    ALL boundary-key ties before the final sort (and falling back to
+    the full index set if the boundary is NaN-degenerate). kk >= 1
+    guard: argpartition(key, -1) on kk=0 would crash on the empty
+    boundary slice; kk=0 returns empty."""
+    n = len(key)
+    if kk < 1:
+        return np.empty(0, dtype=np.int64)
+    if kk >= 1 and n > 4 * kk:
+        part = np.argpartition(key, kk - 1)[:kk]
+        cand = np.flatnonzero(key <= key[part].max())
+        if cand.size < kk:
+            cand = np.arange(n)
+    else:
+        cand = np.arange(n)
+    return cand[np.lexsort((ids_np[cand], key[cand]))][:kk]
+
+
 def _query_matrix(
     queries: DataFrame, query_id: str, query_vec: str
 ) -> tuple[list, np.ndarray]:
@@ -212,25 +236,9 @@ def dense_topk(
             scol: list = []
             for qi in range(len(qids)):
                 s = S[:, qi]
-                key = -s if descending else s
-                # O(n) argpartition to ~k candidates, then sort only
-                # those — a full lexsort of the batch is O(n log n)
-                # per query and dominated profile time at 500k rows.
-                # Exactness under the (score, id) total order is kept
-                # by re-admitting ALL boundary-score ties before the
-                # final sort (and falling back to the full index set
-                # if the boundary is NaN-degenerate).
-                # kk >= 1 guard: argpartition(key, -1) on kk=0 makes
-                # key[part].max() raise on the empty slice; the slow
-                # path returns k=0's empty result gracefully
-                if kk >= 1 and rb.num_rows > 4 * kk:
-                    part = np.argpartition(key, kk - 1)[:kk]
-                    cand = np.flatnonzero(key <= key[part].max())
-                    if cand.size < kk:
-                        cand = np.arange(rb.num_rows)
-                else:
-                    cand = np.arange(rb.num_rows)
-                idx = cand[np.lexsort((ids_np[cand], key[cand]))][:kk]
+                idx = _topk_indices(
+                    -s if descending else s, ids_np, kk
+                )
                 qcol.extend([qids[qi]] * kk)
                 icol.append(ids.take(pa.array(idx)))
                 scol.append(s[idx])
@@ -388,22 +396,37 @@ def dense_topk_quantized(
                 S_int = C.astype(np.float64) @ qcodes.T
                 S = (S_int * scale[:, None]) * qscale[None, :]
             elif metric == "IP":
-                # x = scale*codes — factor the scale out of the matmul
-                S = (C @ qmat.T) * scale[:, None]
+                # stage-1 scores only CHOOSE candidates (the re-rank
+                # re-scores exactly in float64), so the asymmetric
+                # matmul runs in float32 — half the memory traffic of
+                # the r7 float64 path, measured 1.6x on the 500k
+                # stage-1 job. x = scale*codes — factor the scale out
+                S = (
+                    C.astype(np.float32) @ qmat.astype(np.float32).T
+                ) * scale[:, None].astype(np.float32)
             elif metric == "COSINE":
                 # scale cancels in x/||x||: cosine is scale-free
-                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                C32 = C.astype(np.float32)
+                cn = np.linalg.norm(C32, axis=1, keepdims=True)
                 cn[cn == 0] = 1.0
-                S = (C / cn) @ qmat.T
+                S = (C32 / cn) @ qmat.astype(np.float32).T
             else:
-                S = _score_block(C * scale[:, None], qmat, "L2", q2)
+                S = _score_block(
+                    C.astype(np.float32)
+                    * scale[:, None].astype(np.float32),
+                    qmat.astype(np.float32),
+                    "L2",
+                    q2.astype(np.float32),
+                )
             kk = min(c_keep, rb.num_rows)
             qcol: list = []
             icol: list = []
             scol: list = []
             for qi in range(len(qids)):
-                s = S[:, qi]
-                idx = np.lexsort((ids_np, -s if descending else s))[:kk]
+                s = S[:, qi].astype(np.float64)
+                idx = _topk_indices(
+                    -s if descending else s, ids_np, kk
+                )
                 qcol.extend([qids[qi]] * kk)
                 icol.append(ids.take(pa.array(idx)))
                 scol.append(s[idx])
