@@ -5288,6 +5288,65 @@ FROM dup
 """
 
 
+def _q_dup_ngram_stats(spark, sf_dir):
+    """Gopher duplicate-N-GRAM repetition signals (r8,
+    operators/textanalysis.py:dup_ngram_stats) — top-bigram char
+    fraction and duplicated-bigram char mass, the n-gram complement
+    of dup_line_stats. The synthetic word soup repeats WORDS
+    constantly but exact bigrams rarely, so both the sparse-dup and
+    the all-zero branches carry real values through the hash gate."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        dup_ngram_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(d, F.col("text"), n=2)
+
+
+_SQL_DUP_NGRAM_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           s -> s <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS g
+  FROM toks),
+cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c,
+         COUNT(*) * length(gram) AS mass
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY doc_id, gram),
+agg AS (
+  SELECT doc_id,
+         SUM(mass) AS tot,
+         SUM(CASE WHEN c >= 2 THEN mass ELSE 0 END) AS dup
+  FROM cnt GROUP BY doc_id),
+top AS (
+  SELECT doc_id, c AS top_c, mass AS top_mass
+  FROM (SELECT doc_id, c, mass, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram ASC) AS rn
+        FROM cnt)
+  WHERE rn = 1)
+SELECT grams.doc_id,
+       CAST(len(g) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(top.top_c, 0) AS BIGINT) AS top_ngram_count,
+       ROUND(COALESCE(top.top_mass, 0)
+             / GREATEST(COALESCE(agg.tot, 0), 1), 6) AS top_ngram_frac,
+       ROUND(COALESCE(agg.dup, 0)
+             / GREATEST(COALESCE(agg.tot, 0), 1), 6) AS dup_ngram_frac
+FROM grams
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN top USING (doc_id)
+"""
+
+
 def _q_pretraining_mix(spark, sf_dir):
     """The full pretraining-assembly chain composed end-to-end, ONE
     lazy plan (the r7 composition showpiece alongside the day-2
@@ -5523,7 +5582,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # regression sentinel for the r8 dedup.py rewrite.  Displaced queries remain covered
     # by tools/oracle_check.py and tests/test_oracle_window.py at both gate
     # SFs.
-    ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
+    ("dup_ngram_stats", _q_dup_ngram_stats, _SQL_DUP_NGRAM_STATS),
     ("tpch_q2_min_cost_supplier", _q_tpch_q2_min_cost_supplier,
      _SQL_TPCH_Q2),
     ("tpch_q9_product_profit", _q_tpch_q9_product_profit, _SQL_TPCH_Q9),
@@ -5605,6 +5664,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
     ("pretraining_mix", _q_pretraining_mix, _SQL_PRETRAINING_MIX),
     ("dup_line_stats", _q_dup_line_stats, _SQL_DUP_LINE_STATS),
+    ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),
     ("lang_drift_psi", _q_lang_drift_psi, _SQL_LANG_DRIFT),

@@ -509,6 +509,111 @@ def main() -> None:
     timings["ingest_e2e"] = ingest_sec
     total += ingest_sec
 
+    # end-to-end STREAMING ingest at the acceptance SF (VERDICT r7
+    # item 8): the same corpus as JSONL files through
+    # stream_ingest_jsonl (Trigger.AvailableNow, foreachBatch running
+    # the same chunk+embed+format plan with the mock embedder,
+    # batchId-keyed idempotent parquet sink) — the ST1-ST5 claims
+    # benched, not just unit-tested. Rows/s compares against the
+    # batch path's ingest_chunks_per_s above.
+    try:
+        if time_left() < 60:
+            raise TimeoutError("bench deadline - skipping stream ingest")
+        import shutil
+
+        from embedding_to_vectordatabase_spark.plans.ingest import (
+            IngestConfig,
+            ingest as _ingest_plan,
+        )
+        from embedding_to_vectordatabase_spark.schemas import DOC_SCHEMA
+        from embedding_to_vectordatabase_spark.sources.corpus import (
+            with_file_name,
+        )
+        from embedding_to_vectordatabase_spark.streaming.ingest_stream import (
+            stream_ingest_jsonl,
+        )
+
+        progress("stream ingest e2e (availableNow)")
+        claim_scratch()
+        stream_src = os.path.join(SCRATCH, "stream_src_jsonl")
+        corpus = entry._docs_as_corpus(entry._t(spark, sf_dir, "documents"))
+        n_stream_docs = corpus.count()
+        try:
+            cached = (
+                spark.read.schema(DOC_SCHEMA).json(stream_src).count()
+            )
+        except Exception:  # noqa: BLE001 — absent/corrupt => rebuild
+            cached = -1
+        if cached != n_stream_docs:
+            # 16 files -> 4 availableNow micro-batches at
+            # maxFilesPerTrigger=4; DOC_SCHEMA fields only
+            corpus.select("title", "pub_time", "source", "content") \
+                .repartition(16).write.mode("overwrite").json(stream_src)
+        # static registry precomputed once from the same numbering the
+        # batch path uses (ingest_e2e above); the stream derives
+        # row_no per micro-batch from the title
+        reg_docs = corpus.withColumn(
+            "row_no", F.col("doc_id").cast("long")
+        )
+        stream_registry = with_file_name(reg_docs).select(
+            F.col("row_no").alias("id"), F.col("file_name").alias("name")
+        )
+
+        def _stream_batch(batch_df, registry):
+            docs_b = batch_df.withColumn(
+                "row_no",
+                F.regexp_extract("title", r"(\d+)", 1).cast("long"),
+            ).withColumn("doc_id", F.col("row_no"))
+            chunks, _ = _ingest_plan(
+                docs_b,
+                registry,
+                config=IngestConfig(
+                    chunk_size=400, overlap=50, dense_dim=16
+                ),
+            )
+            return chunks.select(
+                "file_id", "block_id", "file_name", "content"
+            )
+
+        stream_out = os.path.join(SCRATCH, "stream_out")
+        stream_ckpt = os.path.join(SCRATCH, "stream_ckpt")
+        shutil.rmtree(stream_out, ignore_errors=True)
+        shutil.rmtree(stream_ckpt, ignore_errors=True)
+        t0 = time.time()
+        q = stream_ingest_jsonl(
+            spark,
+            stream_src,
+            stream_out,
+            stream_ckpt,
+            registry=stream_registry,
+            batch_fn=_stream_batch,
+            # 2 micro-batches: exercises multi-batch checkpointing
+            # without letting per-batch fixed overhead (query start,
+            # WAL commits, sink write) swamp a 5k-doc SF
+            max_files_per_trigger=8,
+        )
+        q.awaitTermination(int(max(30.0, min(240.0, time_left() - 20))))
+        stream_sec = round(time.time() - t0, 3)
+        sunk = spark.read.parquet(stream_out)
+        n_stream_chunks = sunk.count()
+        n_batches = sunk.select("batch_id").distinct().count()
+        timings["stream_ingest_e2e"] = stream_sec
+        total += stream_sec
+        throughput["stream_ingest_rows_per_s"] = round(
+            n_stream_docs / max(stream_sec, 1e-9), 1
+        )
+        throughput["stream_ingest_chunks_per_s"] = round(
+            n_stream_chunks / max(stream_sec, 1e-9), 1
+        )
+        throughput["stream_ingest_micro_batches"] = n_batches
+        # honest comparison note: the stream number INCLUDES the
+        # idempotent parquet sink write and checkpoint commits; the
+        # batch ingest_chunks_per_s above is a count()-only plan
+        # execution. The residual gap is per-micro-batch fixed cost
+        # that amortizes at production batch sizes.
+    except Exception as e:  # noqa: BLE001 — advisory, never fatal
+        progress(f"stream ingest skipped: {e!r}")
+
     # dedup at PRODUCTION defaults (xxhash64; the harness queries use
     # the slower md5 variants only for duckdb-oracle checkability)
     dup = entry._dup_union(spark, sf_dir)

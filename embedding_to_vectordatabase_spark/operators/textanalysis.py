@@ -415,3 +415,127 @@ def dup_line_stats(
             6,
         ).alias("dup_line_char_frac"),
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    text: Column,
+    n: int = 2,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style duplicate-N-GRAM signals per document (Rae et
+    al. 2021 §A1.1 repetition filters — the n-gram complement of
+    ``dup_line_stats``). Output: (*id_cols, n_ngrams,
+    top_ngram_count, top_ngram_frac, dup_ngram_frac) where
+
+    - ``n_ngrams``: word n-grams in the document (lowercase
+      whitespace tokens, n-grams joined by one space);
+    - ``top_ngram_count``: occurrences of the most frequent n-gram
+      (smallest-lexicographic wins ties — deterministic);
+    - ``top_ngram_frac``: character mass of that n-gram (count x
+      its length) over the total n-gram character mass — Gopher's
+      "fraction of characters contained within the most
+      frequently-occurring n-gram" under an explicit, engine-exact
+      denominator (total n-gram chars, not raw doc chars, so the
+      statistic is insensitive to tokenizer whitespace details);
+    - ``dup_ngram_frac``: character mass of ALL n-grams occurring
+      more than once (every occurrence counted) over the same
+      denominator — the "fraction of characters within duplicate
+      n-grams" signal.
+
+    Native expressions, map-only, no shuffle, no UDF: the n-gram
+    array is sorted once per row and the run-length statistics come
+    from ONE ``aggregate`` pass over it (adjacent-equal run
+    tracking in a struct accumulator). Each intermediate is staged
+    as a multi-referenced alias in its own select so CollapseProject
+    cannot inline the sort into per-element lambdas (the
+    profile_documents / dup_line_stats barrier pattern). Docs with
+    fewer than n tokens produce n_ngrams = 0 and zero fractions.
+    6dp rounds for cross-engine oracle parity.
+    """
+    ids = list(id_cols or ["doc_id"])
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda s: s != "",
+    )
+    staged = df.select(*ids, toks.alias("__toks"))
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("__toks"), i, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = staged.select(*ids, grams.alias("__grams"))
+    sorted_ = with_grams.select(
+        *ids,
+        F.size("__grams").alias("__ng"),
+        F.array_sort("__grams").alias("__sg"),
+    )
+    # one linear pass over the sorted grams: track the current run
+    # (gram, length) and fold finished runs into (top count / top
+    # mass under the deterministic tie-break, duplicated char mass,
+    # total char mass). The zero-value state marks "no run yet".
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_cnt"),
+        F.lit(0).cast("long").alias("top_mass"),
+        F.lit(0).cast("long").alias("dup_mass"),
+        F.lit(0).cast("long").alias("tot_mass"),
+    )
+
+    def _close_run(acc):
+        # fold the finished run into the rolling stats
+        run_mass = acc["run"] * F.length(acc["prev"])
+        new_top = acc["run"] > acc["top_cnt"]
+        return (
+            F.when(new_top, acc["run"]).otherwise(acc["top_cnt"]),
+            F.when(new_top, run_mass).otherwise(acc["top_mass"]),
+            acc["dup_mass"]
+            + F.when(acc["run"] >= 2, run_mass).otherwise(F.lit(0)),
+            acc["tot_mass"] + run_mass,
+        )
+
+    def _step(acc, x):
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        tc, tm, dm, tot = _close_run(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["top_cnt"]).otherwise(tc).alias("top_cnt"),
+            F.when(same, acc["top_mass"]).otherwise(tm).alias("top_mass"),
+            F.when(same, acc["dup_mass"]).otherwise(dm).alias("dup_mass"),
+            F.when(same, acc["tot_mass"]).otherwise(tot).alias("tot_mass"),
+        )
+
+    def _finish(acc):
+        tc, tm, dm, tot = _close_run(acc)
+        return F.struct(
+            tc.alias("top_cnt"),
+            tm.alias("top_mass"),
+            dm.alias("dup_mass"),
+            tot.alias("tot_mass"),
+        )
+
+    stats = sorted_.select(
+        *ids,
+        "__ng",
+        F.aggregate(F.col("__sg"), zero, _step, _finish).alias("__st"),
+    )
+    tot = F.greatest(F.col("__st.tot_mass"), F.lit(1)).cast("double")
+    return stats.select(
+        *ids,
+        F.col("__ng").alias("n_ngrams"),
+        F.col("__st.top_cnt").alias("top_ngram_count"),
+        F.round(F.col("__st.top_mass").cast("double") / tot, 6).alias(
+            "top_ngram_frac"
+        ),
+        F.round(F.col("__st.dup_mass").cast("double") / tot, 6).alias(
+            "dup_ngram_frac"
+        ),
+    )

@@ -163,3 +163,54 @@ def test_dup_line_stats_golden(spark):
     assert out[3] == (0, 0.0, 0.0)
     assert out[4] == (0, 0.0, 0.0)
     assert out[5] == (3, round(2 / 3, 6), 1.0)
+
+
+def test_dup_ngram_stats_counts_and_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        dup_ngram_stats,
+    )
+
+    rows = [
+        (1, "a b a b a b"),      # bigrams: 'a b' x3, 'b a' x2
+        (2, "w x y z"),           # all bigrams unique
+        (3, "solo"),              # fewer than n tokens
+        (4, None),                # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dup_ngram_stats(df, F.col("text"), n=2).collect()
+    }
+    r1 = got[1]
+    assert r1["n_ngrams"] == 5
+    assert r1["top_ngram_count"] == 3
+    # 'a b' mass 3*3=9 over total mass 9+6=15
+    assert abs(r1["top_ngram_frac"] - 0.6) < 1e-9
+    assert r1["dup_ngram_frac"] == 1.0
+    r2 = got[2]
+    assert r2["n_ngrams"] == 3
+    assert r2["top_ngram_count"] == 1
+    assert r2["dup_ngram_frac"] == 0.0
+    for d in (3, 4):
+        assert got[d]["n_ngrams"] == 0
+        assert got[d]["top_ngram_count"] == 0
+        assert got[d]["top_ngram_frac"] == 0.0
+
+
+def test_dup_ngram_stats_tie_breaks_lexicographic(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        dup_ngram_stats,
+    )
+
+    # 'z z' and 'a a' both occur twice: smallest-lex 'a a' must win
+    df = spark.createDataFrame(
+        [(1, "z z z a a a")], "doc_id long, text string"
+    )
+    r = dup_ngram_stats(df, F.col("text"), n=2).collect()[0]
+    assert r["top_ngram_count"] == 2
+    # 'a a' mass 2*3=6; total: 'z z'x2(6) + 'z a'(3) + 'a a'x2(6) = 15
+    assert abs(r["top_ngram_frac"] - 0.4) < 1e-9
