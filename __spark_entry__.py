@@ -5347,6 +5347,66 @@ LEFT JOIN top USING (doc_id)
 """
 
 
+def _q_c4_quality_signals(spark, sf_dir):
+    """C4 heuristic quality signals (r8,
+    operators/textanalysis.py:c4_quality_signals). The synthetic
+    corpus has no newlines or punctuation, so pseudo-sentences are
+    injected engine-portably: every literal ' batch ' becomes
+    '.' + newline (the dup_line_stats precedent — non-overlapping
+    left-to-right replace in both engines), which makes the
+    terminal-punct, sentence-count, line-length and short-line
+    branches all carry varying values through the hash gate."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        c4_quality_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_quality_signals(
+        d,
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" batch "),
+            F.concat(F.lit("."), F.lit("\n")),
+        ),
+    )
+
+
+_SQL_C4_SIGNALS = """
+WITH base AS (
+  SELECT doc_id,
+         replace(coalesce(text, ''), ' batch ', '.' || chr(10)) AS t
+  FROM documents),
+l AS (
+  SELECT doc_id, t,
+         list_filter(
+           list_transform(string_split(t, chr(10)), x -> trim(x)),
+           x -> x <> '') AS lines
+  FROM base),
+lw AS (
+  SELECT doc_id, t, lines,
+         list_transform(lines, x ->
+           len(list_filter(string_split_regex(x, '\\s+'),
+                           s -> s <> ''))) AS wc
+  FROM l)
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(t), '\\s+'),
+                       s -> s <> '')) AS INT) AS n_words,
+  CAST(len(list_filter(string_split_regex(t, '[.!?]+'),
+                       s -> trim(s) <> '')) AS INT) AS n_sentences,
+  ROUND(CAST(len(list_filter(lines,
+            x -> regexp_matches(x, '[.!?]["'')\\]]*$'))) AS DOUBLE)
+        / GREATEST(len(lines), 1), 6) AS terminal_punct_line_frac,
+  ROUND(CASE WHEN len(lines) > 0
+             THEN CAST(list_sum(wc) AS DOUBLE) / len(lines)
+             ELSE 0 END, 6) AS mean_words_per_line,
+  contains(t, '{') AS has_curly_brace,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  ROUND(CAST(len(list_filter(wc, c -> c < 3)) AS DOUBLE)
+        / GREATEST(len(lines), 1), 6) AS short_line_frac
+FROM lw
+"""
+
+
 def _q_pretraining_mix(spark, sf_dir):
     """The full pretraining-assembly chain composed end-to-end, ONE
     lazy plan (the r7 composition showpiece alongside the day-2
@@ -5583,6 +5643,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # by tools/oracle_check.py and tests/test_oracle_window.py at both gate
     # SFs.
     ("dup_ngram_stats", _q_dup_ngram_stats, _SQL_DUP_NGRAM_STATS),
+    ("c4_quality_signals", _q_c4_quality_signals, _SQL_C4_SIGNALS),
     ("tpch_q2_min_cost_supplier", _q_tpch_q2_min_cost_supplier,
      _SQL_TPCH_Q2),
     ("tpch_q9_product_profit", _q_tpch_q9_product_profit, _SQL_TPCH_Q9),
@@ -5602,7 +5663,6 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("unpivot_event_counts", _q_unpivot_event_counts,
      _SQL_UNPIVOT_EVENTS),
     ("st_running_counts", _q_st_running_counts, _SQL_ST_RUNNING_COUNTS),
-    ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("dense_topk_quantized", _q_dense_topk_quantized, _SQL_QUANTIZED_SYM),
     ("dedup_spans", _q_dedup_spans, _SQL_DEDUP_SPANS),
     ("bm25_topk", _q_bm25_topk, _SQL_BM25_TOPK),
@@ -5664,6 +5724,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("grouped_split_counts", _q_grouped_split, _SQL_GROUPED_SPLIT),
     ("pretraining_mix", _q_pretraining_mix, _SQL_PRETRAINING_MIX),
     ("dup_line_stats", _q_dup_line_stats, _SQL_DUP_LINE_STATS),
+    ("o4_dense_topk", _q_o4_dense_topk, _SQL_O4_TOPK),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     ("item_cooccurrence", _q_item_cooccurrence, _SQL_COOCCURRENCE),
     ("winsorize_nchars", _q_winsorize_nchars, _SQL_WINSORIZE),

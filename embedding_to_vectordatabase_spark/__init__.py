@@ -74,6 +74,7 @@ from .operators.search import (  # noqa: E402,F401
 )
 from .operators.textanalysis import (  # noqa: E402,F401
     dup_line_stats,
+    c4_quality_signals,
     dup_ngram_stats,
     profile_documents,
 )

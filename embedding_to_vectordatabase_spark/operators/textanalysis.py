@@ -539,3 +539,91 @@ def dup_ngram_stats(
             "dup_ngram_frac"
         ),
     )
+
+
+def c4_quality_signals(
+    df: DataFrame,
+    text: Column,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """C4-style heuristic quality signals per document (Raffel et
+    al. 2020 §2.2 cleaning rules re-expressed as SIGNALS, so the
+    caller picks thresholds instead of inheriting C4's hard-coded
+    drops). Output: (*id_cols, n_words, n_sentences,
+    terminal_punct_line_frac, mean_words_per_line, has_curly_brace,
+    has_lorem_ipsum, short_line_frac) where
+
+    - ``n_words``: whitespace tokens in the document;
+    - ``n_sentences``: terminal-punctuation segments (., !, ?) with
+      non-blank content — the "at least 3 sentences" rule's count;
+    - ``terminal_punct_line_frac``: fraction of non-empty lines
+      ending in terminal punctuation (optionally followed by
+      closing quotes/brackets) — C4 keeps only such lines;
+    - ``mean_words_per_line``: C4 drops pages of short navigation
+      fragments;
+    - ``has_curly_brace``: the "{" code-page marker;
+    - ``has_lorem_ipsum``: placeholder-text marker;
+    - ``short_line_frac``: fraction of non-empty lines under 3
+      words (menu/footer shape).
+
+    Native expressions, map-only, no shuffle, no UDF; the trimmed
+    non-empty line array is staged once and reused by every
+    line-level signal (the profile_documents barrier pattern);
+    6dp rounds for oracle parity. Documents with no non-empty
+    lines report zero fractions.
+    """
+    ids = list(id_cols or ["doc_id"])
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    staged = df.select(*ids, t.alias("__t"), lines.alias("__lines"))
+    tt = F.col("__t")
+    ll = F.col("__lines")
+    n_lines = F.size(ll)
+    denom = F.greatest(n_lines, F.lit(1)).cast("double")
+
+    def _line_words(line):
+        return F.size(
+            F.filter(F.split(line, r"\s+"), lambda s: s != "")
+        )
+
+    def _terminal(line):
+        return line.rlike("[.!?][\"')\\]]*$")
+
+    return staged.select(
+        *ids,
+        F.size(
+            F.filter(F.split(F.trim(tt), r"\s+"), lambda s: s != "")
+        ).alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(tt, "[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ).alias("n_sentences"),
+        F.round(
+            F.size(F.filter(ll, _terminal)).cast("double") / denom, 6
+        ).alias("terminal_punct_line_frac"),
+        F.round(
+            F.when(
+                n_lines > 0,
+                F.aggregate(
+                    ll,
+                    F.lit(0).cast("long"),
+                    lambda acc, line: acc + _line_words(line),
+                ).cast("double")
+                / denom,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_words_per_line"),
+        tt.contains("{").alias("has_curly_brace"),
+        F.lower(tt).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.round(
+            F.size(
+                F.filter(ll, lambda line: _line_words(line) < 3)
+            ).cast("double")
+            / denom,
+            6,
+        ).alias("short_line_frac"),
+    )

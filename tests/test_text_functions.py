@@ -214,3 +214,52 @@ def test_dup_ngram_stats_tie_breaks_lexicographic(spark):
     assert r["top_ngram_count"] == 2
     # 'a a' mass 2*3=6; total: 'z z'x2(6) + 'z a'(3) + 'a a'x2(6) = 15
     assert abs(r["top_ngram_frac"] - 0.4) < 1e-9
+
+
+def test_c4_quality_signals_values(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        c4_quality_signals,
+    )
+
+    rows = [
+        (1, 'Good sentence one.\nAnother full line!\nnav'),
+        (2, 'var x = { a: 1 }'),
+        (3, 'Lorem Ipsum dolor sit amet.'),
+        (4, ''),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in c4_quality_signals(df, F.col("text")).collect()
+    }
+    r1 = got[1]
+    assert r1["n_words"] == 7
+    assert r1["n_sentences"] == 3  # '.', '!' split; 'nav' tail counts
+    # 2 of 3 lines end in terminal punct; 'nav' (1 word) is short
+    assert abs(r1["terminal_punct_line_frac"] - 2 / 3) < 1e-6
+    assert abs(r1["short_line_frac"] - 1 / 3) < 1e-6
+    assert abs(r1["mean_words_per_line"] - 7 / 3) < 1e-6
+    assert not r1["has_curly_brace"]
+    assert got[2]["has_curly_brace"]
+    assert got[3]["has_lorem_ipsum"]
+    for d in (4, 5):
+        assert got[d]["n_words"] == 0
+        assert got[d]["terminal_punct_line_frac"] == 0.0
+        assert got[d]["mean_words_per_line"] == 0.0
+
+
+def test_c4_terminal_punct_allows_closing_quotes(spark):
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        c4_quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 'He said "stop."\nplain line')], "doc_id long, text string"
+    )
+    r = c4_quality_signals(df, F.col("text")).collect()[0]
+    assert abs(r["terminal_punct_line_frac"] - 0.5) < 1e-6
