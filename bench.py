@@ -357,6 +357,15 @@ def main() -> None:
                     "ingest_chunks_per_s": round(
                         n_chunks / max(ingest_sec, 1e-9), 1
                     ),
+                    "stream_ingest_rows_per_s": throughput.get(
+                        "stream_ingest_rows_per_s"
+                    ),
+                    "stream_ingest_chunks_per_s": throughput.get(
+                        "stream_ingest_chunks_per_s"
+                    ),
+                    "quantized_2m_over_exact": scale_amplified.get(
+                        "dense_topk_quantized_2m", {}
+                    ).get("quant_over_exact"),
                     # capped: an everything-flagged storm run must not
                     # push this line past the driver's 2,000-char tail
                     # and truncate it mid-JSON (full set in the detail
@@ -520,6 +529,11 @@ def main() -> None:
         if time_left() < 60:
             raise TimeoutError("bench deadline - skipping stream ingest")
         import shutil
+
+        # F is also bound LOCALLY later in main() (the curate
+        # section's import), which makes the global F invisible here
+        # (UnboundLocalError) — bind it first
+        from pyspark.sql import functions as F
 
         from embedding_to_vectordatabase_spark.plans.ingest import (
             IngestConfig,
