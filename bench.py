@@ -706,8 +706,10 @@ def main() -> None:
     )
 
     # (the 500k/1M single-shots run in the scale_amplified section below,
-    # reading the scratch parquet both engines share)
-    throughput: dict[str, float] = {}
+    # reading the scratch parquet both engines share. NOTE: throughput
+    # is NOT re-annotated here — the stream-ingest section above
+    # already wrote into the t=0 dict, and a rebinding silently
+    # dropped its keys from the emitted line in the r8 dry run.)
 
     # skew demo: 90%-hot fact key joining a 1000-row dim with broadcast
     # disabled (forcing the shuffle join a too-big dim would need).
@@ -914,11 +916,14 @@ def main() -> None:
                 progress(f"round6 ops {qname} ({n_docs} docs)")
                 mk = lambda: qs[qname](spark, docs_dir)  # noqa: B023,E731
                 materialize(mk())  # warmup — see docstring
-                ticks0 = _cpu_ticks()
-                t0 = time.time()
-                materialize(mk())
-                spark_sec = round(time.time() - t0, 3)
-                sp_steal = _steal_between(ticks0, _cpu_ticks())
+                # best-of-2 with spread extension (r8): a single shot
+                # recorded 4.35 s for a plan measured at 1.7 s warm —
+                # the box's no-steal degradation mode poisons single
+                # samples here just like the headline queries
+                spark_sec = round(
+                    sample_min(mk, 2 if time_left() > 60 else 1), 3
+                )
+                sp_steal = sample_min.last_steal_pct
                 sp_calib = calib_ms()
                 if sp_steal >= STEAL_FLAG_PCT:
                     steal_flags[f"{qname}_{n_docs // 1000}k_docs"] = sp_steal
