@@ -5288,6 +5288,73 @@ FROM dup
 """
 
 
+def _q_dedup_substrings(spark, sf_dir):
+    """Lee et al. 2021 exact-substring dedup at arbitrary word
+    offsets (r8, operators/dedup.py:dedup_substrings): every 8-word
+    run that already occurred earlier in the corpus is cut from all
+    later positions, overlapping cuts merged. W=8 because the
+    synthetic corpus measurably repeats 8-word boilerplate runs
+    (~1k duplicate occurrences at both gate SFs), so the removal,
+    merge, and pass-through branches all carry real values."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_substrings,
+    )
+
+    return dedup_substrings(_t(spark, sf_dir, "documents"), min_words=8)
+
+
+_SQL_DEDUP_SUBSTRINGS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           s -> s <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+  FROM toks WHERE len(t) >= 8),
+h AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS hh
+  FROM g),
+dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY hh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM h)
+  WHERE rn > 1),
+ivs AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NULL OR pos - prev > 8)
+           AS n_iv
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS prev
+        FROM dup)
+  GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, list_sort(list(pos)) AS ss FROM dup GROUP BY doc_id),
+out AS (
+  SELECT toks.doc_id, t,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(COALESCE(ivs.n_iv, 0) AS INT) AS n_dup_intervals,
+         list_filter(range(1, len(t) + 1),
+                     j -> len(list_filter(COALESCE(ss, []),
+                                          p -> p <= j AND j <= p + 7))
+                          = 0) AS kept
+  FROM toks
+  LEFT JOIN starts USING (doc_id)
+  LEFT JOIN ivs USING (doc_id))
+SELECT doc_id, n_words, n_dup_intervals,
+       CAST(n_words - len(kept) AS INT) AS n_words_removed,
+       COALESCE(
+         array_to_string(list_transform(kept, j -> t[j]), ' '), '')
+         AS text_dedup
+FROM out
+"""
+
+
 def _q_dup_ngram_stats(spark, sf_dir):
     """Gopher duplicate-N-GRAM repetition signals (r8,
     operators/textanalysis.py:dup_ngram_stats) — top-bigram char
@@ -5701,6 +5768,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
     ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
     ("rank_normalize_nchars", _q_rank_normalize, _SQL_RANK_NORMALIZE),
+    ("dedup_substrings", _q_dedup_substrings, _SQL_DEDUP_SUBSTRINGS),
     ("lang_id", _q_lang_id, _SQL_LANG_ID),
     ("quality_score", _q_quality_score, _SQL_QUALITY),
     ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),

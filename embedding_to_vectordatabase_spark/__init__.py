@@ -45,6 +45,7 @@ from .operators.chunking import (  # noqa: E402,F401
 from .operators.dedup import (  # noqa: E402,F401
     dedup_exact,
     dedup_spans,
+    dedup_substrings,
     embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,

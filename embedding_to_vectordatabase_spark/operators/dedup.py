@@ -1020,3 +1020,165 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    min_words: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-SUBSTRING removal at arbitrary word
+    offsets — the Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better") exact-substring dedup, expressed
+    relationally instead of via a suffix array: any ``min_words``-
+    word run that already occurred earlier in the corpus (first
+    occurrence = min (doc_id, start) over the run's hash) is removed
+    from every later position, including INSIDE otherwise-unique
+    documents and at unaligned offsets — the case the fixed-segment
+    ``dedup_spans`` cannot see.
+
+    Semantics: 1-based word positions; the W-gram starting at p
+    covers words [p, p+W-1]; every non-first occurrence of a gram
+    hash marks its interval for removal; a word survives iff no
+    removal interval covers it. Output: (doc_id, n_words,
+    n_dup_intervals  [MERGED overlapping intervals],
+    n_words_removed, text_dedup). Docs shorter than ``min_words``
+    pass through whole (they contribute no grams).
+
+    Scale shape: gram hashes are built MAP-SIDE from the tokenized
+    array (md5 of each W-word slice — engine-portable for the
+    oracle); only the narrow (doc_id, pos, hash) occurrence relation
+    shuffles into the first-occurrence window (same hash-window plan
+    as dedup_exact/dedup_spans; a pathological million-fold gram is
+    one task's window). Duplicate starts aggregate per doc (narrow),
+    equi-join back onto the tokenized corpus on doc_id, and interval
+    merging + gap reassembly run MAP-SIDE as two linear aggregate()
+    folds over the sorted starts (equal-width intervals make the
+    merged end monotone, so the fold is exact). Total: two corpus
+    scans + three shuffles, none wider than the occurrence relation
+    — the same I/O class as the suffix-array construction the
+    original needs, without the 8 bytes/token suffix index.
+    """
+    W = int(min_words)
+    if W < 2:
+        raise ValueError("min_words must be >= 2")
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
+        ),
+        lambda s: s != "",
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    sized = staged.select(
+        "doc_id",
+        "__toks",
+        (F.size("__toks") - F.lit(W - 1)).alias("n_grams"),
+    )
+    grams = F.when(
+        F.col("n_grams") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_grams")),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i, W))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = sized.select(
+        "doc_id", F.posexplode(grams).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup_starts = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    base = staged.select(
+        "doc_id", "__toks", F.size("__toks").alias("n_words")
+    )
+    joined = base.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        "__toks",
+        "n_words",
+        F.coalesce(
+            "__starts", F.array().cast("array<int>")
+        ).alias("__starts"),
+    )
+    # fold 1: merge sorted equal-width intervals ([p, p+W) exclusive
+    # end). Ends are monotone under sorted starts, so "merge" is
+    # exactly p <= last.e, and extension rewrites only the last
+    # element.
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+
+    def _merge(acc, p):
+        last = F.element_at(acc, -1)
+        e_new = (p + F.lit(W)).cast("int")
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], e_new).alias("e"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(p.cast("int").alias("s"), e_new.alias("e"))
+            ),
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"]), extended
+        ).otherwise(appended)
+
+    merged = F.aggregate(F.col("__starts"), empty_ivs, _merge)
+    staged2 = joined.select(
+        "doc_id", "__toks", "n_words", merged.alias("__ivs")
+    )
+
+    # fold 2: gap reassembly — walk the disjoint intervals, keeping
+    # the words between them, then the tail after the last one.
+    def _gap_step(acc, iv):
+        return F.struct(
+            iv["e"].alias("prev"),
+            F.concat(
+                acc["kept"],
+                F.slice(
+                    F.col("__toks"), acc["prev"], iv["s"] - acc["prev"]
+                ),
+            ).alias("kept"),
+        )
+
+    def _gap_finish(acc):
+        return F.concat(
+            acc["kept"],
+            F.slice(
+                F.col("__toks"),
+                acc["prev"],
+                F.col("n_words") - acc["prev"] + 1,
+            ),
+        )
+
+    gap_zero = F.struct(
+        F.lit(1).cast("int").alias("prev"),
+        F.array().cast("array<string>").alias("kept"),
+    )
+    kept = F.aggregate(F.col("__ivs"), gap_zero, _gap_step, _gap_finish)
+    staged3 = staged2.select(
+        "doc_id",
+        "n_words",
+        F.size("__ivs").alias("n_dup_intervals"),
+        kept.alias("__kept"),
+    )
+    return staged3.select(
+        "doc_id",
+        "n_words",
+        "n_dup_intervals",
+        (F.col("n_words") - F.size("__kept")).alias("n_words_removed"),
+        F.concat_ws(" ", "__kept").alias("text_dedup"),
+    )

@@ -422,3 +422,53 @@ def test_containment_pairs_detects_quotes_jaccard_misses(spark):
         ).count()
         == 0
     )
+
+
+def test_dedup_substrings_removes_later_occurrence(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_substrings,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h z"),   # 8-word run of doc 1 at pos 3
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df, min_words=8).collect()
+    }
+    assert got[1]["n_words_removed"] == 0
+    assert got[1]["text_dedup"] == "a b c d e f g h i j"
+    r2 = got[2]
+    assert r2["n_dup_intervals"] == 1
+    assert r2["n_words_removed"] == 8
+    assert r2["text_dedup"] == "x y z"
+    # shorter than W: passes through whole, no grams
+    assert got[3]["n_words_removed"] == 0
+    assert got[3]["text_dedup"] == "short doc"
+
+
+def test_dedup_substrings_merges_overlapping_intervals(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_substrings,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        # doc 1's text twice: duplicate grams at starts 1,2,3 and
+        # 11,12,13 merge into ONE interval covering all 20 words
+        # (start 11 is exactly adjacent to the merged end 11)
+        (2, "a b c d e f g h i j a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df, min_words=8).collect()
+    }
+    r2 = got[2]
+    assert r2["n_dup_intervals"] == 1
+    assert r2["n_words_removed"] == 20
+    assert r2["text_dedup"] == ""
+    assert got[1]["n_words_removed"] == 0

@@ -129,6 +129,21 @@ CHECKS = {
              __import__("re").findall(r"^\(\d+\) Exchange", s, 8)
          ) <= 3 and "Join" not in s and n_scans(s) == 1),
     ],
+    "dedup_substrings": [
+        # r8: gram hashes built map-side; only the narrow
+        # (doc, pos, hash) occurrence relation shuffles. One doc_id
+        # join (corpus <- duplicate starts), no cartesian, two scans
+        # (occurrence branch + reassembly branch).
+        ("narrow occurrence shuffle: <=4 exchanges, 1 join, 2 scans",
+         lambda s: len(
+             __import__("re").findall(r"^\(\d+\) Exchange", s, 8)
+         ) <= 4 and len(
+             __import__("re").findall(r"^\(\d+\) [A-Za-z]*Join", s, 8)
+         ) <= 1 and n_scans(s) == 2),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+        ("first-occurrence window not single-partition",
+         lambda s: "SinglePartition" not in s),
+    ],
     "tpch_q9_product_profit": [
         ("dims broadcast; only fact-fact shuffle is orders join",
          lambda s: s.count("BroadcastHashJoin") >= 3),
