@@ -804,26 +804,62 @@ _SQL_J3 = (
 
 
 def _q_tpch_q1_pricing(spark, sf_dir):
+    """Pricing summary via EXACT-CENTS two-stage aggregation (r8).
+
+    The money columns are 2dp by data contract, so every row maps to
+    exact integer cents (round(x*100) — agrees with the
+    DECIMAL(18,2) cast for any double whose true value is not within
+    ~1e-16 of a half-cent boundary, which 2dp source data never is)
+    and the expensive per-row Decimal128 sum becomes a LONG sum.
+    Overflow safety — the reason the r3 int64 rewrite was rejected —
+    comes from the two-stage shape: stage 1 sums cents per
+    (group, spark_partition_id()), so each partial is bounded by
+    rows-per-partition (<= maxPartitionBytes / row width, ~3e6 rows
+    -> <= ~3e15 for the 1e9-bounded disc-price product, far inside
+    long range NO MATTER the total data size); stage 2 sums the
+    per-partition subtotals as DECIMAL(38,0) — exact at any scale,
+    over only partitions x groups rows. Final values are
+    bit-identical to the all-decimal form (division by the exact
+    power-of-ten scale, one correctly-rounded double conversion) —
+    asserted against the unchanged DuckDB decimal oracle. Measured
+    1.27x on the 6M-row amplified fixture.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )
-    disc = _dec2(F.lit(1) - F.col("l_discount"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec2(F.col("l_extendedprice")))
-            .cast("double")
-            .alias("sum_base_price"),
-            F.sum(_dec2(F.col("l_extendedprice")) * disc)
-            .cast("double")
-            .alias("sum_disc_price"),
-            (
-                F.sum(_dec2(F.col("l_quantity"))).cast("double")
-                / F.count("*")
-            ).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.lit(100).cast("long") - F.round(
+        F.col("l_discount") * 100, 0
+    ).cast("long")
+    stage1 = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.spark_partition_id().alias("__p"),
+    ).agg(
+        F.sum(qty_c).alias("q"),
+        F.sum(price_c).alias("b"),
+        F.sum(price_c * disc_c).alias("d"),
+        F.count("*").alias("n"),
+    )
+
+    def d38(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    return stage1.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(d38("q")) / F.lit(100)).cast("double").alias("sum_qty"),
+        (F.sum(d38("b")) / F.lit(100))
+        .cast("double")
+        .alias("sum_base_price"),
+        (F.sum(d38("d")) / F.lit(10000))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (
+            F.sum(d38("q")).cast("double")
+            / F.lit(100.0)
+            / F.sum("n")
+        ).alias("avg_qty"),
+        F.sum("n").alias("count_order"),
     )
 
 
