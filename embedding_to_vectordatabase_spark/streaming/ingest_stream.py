@@ -87,39 +87,49 @@ def windowed_event_counts(
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
-    # batch fast path for epoch-aligned tumbling windows: group on a
-    # plain date_trunc timestamp instead of F.window's two-field
+    # batch fast path for epoch-aligned tumbling windows (r8): group
+    # on a plain LONG epoch bucket instead of F.window's two-field
     # struct — same buckets, but the hash-aggregate key is one long
-    # and the per-row CASE/precisetimestampconversion expression tree
-    # disappears (measured 1.5x at 5M rows; the struct key was ~30%
-    # of total query time). Streaming keeps F.window (watermark
-    # eviction is keyed on the window struct).
-    trunc_unit = {
-        "1 second": "second", "1 minute": "minute",
-        "1 hour": "hour", "1 day": "day",
+    # and the per-row window-struct/timestamp-truncation expression
+    # tree disappears (r7's date_trunc key was 1.5x over the struct;
+    # the long key is another 1.6x at 5M rows — the timestamp hash
+    # key and the truncation expr were the remaining per-row cost).
+    # The bucket is exact integer floor division: pmod makes the
+    # numerator an exact multiple of the bucket width, so the double
+    # division is exact (numerator < 2^53) — no round-to-nearest
+    # boundary flips, negatives floor like F.window. Epoch buckets
+    # are TZ-INDEPENDENT, exactly like F.window, so unlike the old
+    # date_trunc key this path needs no UTC session gate. Streaming
+    # keeps F.window (watermark eviction is keyed on the window
+    # struct).
+    bucket_us = {
+        "1 second": 1_000_000,
+        "1 minute": 60_000_000,
+        "1 hour": 3_600_000_000,
+        "1 day": 86_400_000_000,
     }.get(window_duration.strip().lower()) if not slide_duration else None
-    # The fast path is valid ONLY under a UTC session time zone:
-    # date_trunc truncates in the session TZ while F.window is
-    # epoch-aligned, so under e.g. +05:30 an "1 hour" bucket (or any
-    # zone for "1 day") would differ between the batch and streaming
-    # paths of the same pipeline. session.py pins UTC; gate on the
-    # live conf so a caller who overrides it still gets identical
-    # batch/stream buckets (via the F.window branch) instead of a
-    # silent divergence.
-    tz_is_utc = events.sparkSession.conf.get(
-        "spark.sql.session.timeZone", ""
-    ).upper() in ("UTC", "ETC/UTC", "GMT", "Z", "+00:00")
-    if trunc_unit is not None and tz_is_utc and not events.isStreaming:
+    ts_is_tz = dict(events.dtypes).get(ts_col) == "timestamp"
+    if bucket_us is not None and ts_is_tz and not events.isStreaming:
+        us = F.unix_micros(F.col(ts_col))
+        hb = (
+            (us - F.pmod(us, F.lit(bucket_us))) / F.lit(bucket_us)
+        ).cast("long")
         return (
             src.groupBy(
-                F.date_trunc(trunc_unit, F.col(ts_col)).alias(
-                    "window_start"
-                ),
+                hb.alias("__hb"),
                 "event_type",
             )
             .agg(
                 F.count("*").alias("n_events"),
                 F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.timestamp_micros(
+                    F.col("__hb") * F.lit(bucket_us)
+                ).alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
             )
         )
     win = (
