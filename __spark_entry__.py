@@ -5788,7 +5788,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("event_value_quantiles", _q_event_value_quantiles, _SQL_EVENT_QUANTILES),
     ("cube_pricing", _q_cube_pricing, _SQL_CUBE_PRICING),
     ("repetition_score", _q_repetition_score, _SQL_REPETITION),
-    ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
+    ("dedup_substrings", _q_dedup_substrings, _SQL_DEDUP_SUBSTRINGS),
     ("bloom_anti_join", _q_bloom_anti_join, _SQL_BLOOM_ANTI),
     ("skew_profile", _q_skew_profile, _SQL_SKEW_PROFILE),
     ("centroid_similarity", _q_centroid_similarity, _SQL_CENTROID_SIM),
@@ -5804,7 +5804,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("rolling_active_users", _q_rolling_active_users, _SQL_ROLLING_ACTIVE),
     ("event_transitions", _q_event_transitions, _SQL_EVENT_TRANSITIONS),
     ("rank_normalize_nchars", _q_rank_normalize, _SQL_RANK_NORMALIZE),
-    ("dedup_substrings", _q_dedup_substrings, _SQL_DEDUP_SUBSTRINGS),
+    ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
     ("lang_id", _q_lang_id, _SQL_LANG_ID),
     ("quality_score", _q_quality_score, _SQL_QUALITY),
     ("doc_fingerprint", _q_doc_fingerprint, _SQL_FINGERPRINT),
