@@ -508,30 +508,67 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # Score each banded match BEFORE deduplicating: the same pair found
-    # in several bands computes the same estimate, so the distinct only
-    # shuffles (doc_a, doc_b, est) — three narrow columns — instead of
-    # carrying both full 2×num_perm signature arrays through the widest
-    # shuffle of the LSH path.  The threshold filter also runs pre-
-    # distinct, shrinking the shuffle to surviving pairs only.
-    est = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"),
-            F.col("b.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_perm)
+    # BUCKET-LOCAL pair generation (r8) instead of the banded
+    # self-join: group each (band, bucket) into a sorted member list
+    # and expand the C(k,2) pairs in-array. The self-join shape
+    # computed the whole shingle+signature pipeline TWICE — the HOF
+    # lambdas inside it (minhash transforms, shingling) defeat
+    # exchange canonicalization, so neither static ReuseExchange nor
+    # AQE stage reuse ever fired (verified on the executed 250k
+    # plan: reused_count 0) — and shuffled the signature arrays on
+    # BOTH join sides. This shape runs the pipeline once and moves
+    # the signatures through ONE exchange. A pathological hot bucket
+    # materializes its members in one aggregation row; that is the
+    # same quadratic blow-up the join form hits as output rows, and
+    # banding/df-pruning bound it in practice.
+    # Scoring stays pre-distinct: the same pair found in several
+    # bands computes the same estimate, so the distinct shuffles only
+    # (doc_a, doc_b, est) — three narrow columns.
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sig"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    # 2-arg transform lambda receives (element, 0-based index); the
+    # partner slice starts past the element, so members sorted by
+    # doc_id emit each pair exactly once with doc_a < doc_b
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (
+                        F.aggregate(
+                            F.zip_with(
+                                x["sig"],
+                                y["sig"],
+                                lambda u, v: F.when(u == v, 1).otherwise(
+                                    0
+                                ),
+                            ),
+                            F.lit(0),
+                            lambda acc, v: acc + v,
+                        )
+                        / F.lit(num_perm)
+                    ).alias("est"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        members.select(F.explode(pair_arr).alias("pr"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(est, 6).alias("est_jaccard"),
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            F.round(F.col("pr.est"), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
