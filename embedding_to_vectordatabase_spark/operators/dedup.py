@@ -511,12 +511,16 @@ def minhash_lsh_pairs(
     # BUCKET-LOCAL pair generation (r8) instead of the banded
     # self-join: group each (band, bucket) into a sorted member list
     # and expand the C(k,2) pairs in-array. The self-join shape
-    # computed the whole shingle+signature pipeline TWICE — the HOF
-    # lambdas inside it (minhash transforms, shingling) defeat
-    # exchange canonicalization, so neither static ReuseExchange nor
-    # AQE stage reuse ever fired (verified on the executed 250k
-    # plan: reused_count 0) — and shuffled the signature arrays on
-    # BOTH join sides. This shape runs the pipeline once and moves
+    # computed the whole shingle+signature pipeline TWICE — DataFrame
+    # self-joins get no exchange reuse in this setup (verified on the
+    # executed 250k plan: reused_count 0; an isolation test shows
+    # even a plain HOF-free self-join does not reuse) — and shuffled
+    # the signature arrays on BOTH join sides. The 64-permutation
+    # signature pipeline is expensive enough that running it once
+    # wins at every measured size (3x cold at 250k, parity-or-better
+    # warm at sf0.1); the cheap-pipeline ngram postings family keeps
+    # its join shape, where codegen'd join probes beat per-pair HOF
+    # struct building (measured 1.7x the other way at the gate SF). This shape runs the pipeline once and moves
     # the signatures through ONE exchange. A pathological hot bucket
     # materializes its members in one aggregation row; that is the
     # same quadratic blow-up the join form hits as output rows, and
