@@ -686,3 +686,39 @@ def test_ann_realloc_lifts_boundary_recall(spark):
     )
     assert recall(re_) >= recall(uni)
     assert recall(re_, boundary) >= recall(uni, boundary)
+
+
+def test_bm25_mid_vocab_relational_path_matches_mapside(spark):
+    """Vocab in (fused_max_vocab, inlist_max_vocab]: the in-array-tf
+    relational path (shared postings exchange + dfreq) must score
+    identically to the map-side path. 64 absent filler tokens push
+    the query over the fused threshold without changing any score
+    (absent terms have no postings / zero tf on either path)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "spark shuffle join engine"),
+        (2, "spark spark shuffle plan"),
+        (3, "postgres btree index scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base_terms = [("q", "spark"), ("q", "scan")]
+    filler = [("q", f"zzfiller{i}") for i in range(64)]
+    qt_small = spark.createDataFrame(
+        base_terms, "query_id string, token string"
+    )
+    qt_big = spark.createDataFrame(
+        base_terms + filler, "query_id string, token string"
+    )
+
+    def keyed(rows_):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["rank"], r["score"])
+            for r in rows_
+        )
+
+    small = keyed(bm25_topk(docs, qt_small, k=10).collect())   # map-side
+    big = keyed(bm25_topk(docs, qt_big, k=10).collect())       # mid path
+    assert small == big
