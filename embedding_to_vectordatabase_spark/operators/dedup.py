@@ -860,17 +860,43 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.block")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-local pair generation (r8), same rationale as
+    # minhash_lsh_pairs: self-joins get no exchange reuse, so the
+    # lane-packed signature pipeline ran once PER SIDE; grouping each
+    # (band, block) into a sorted (doc_id, simhash) member list runs
+    # it once and moves one long per doc through ONE exchange, and
+    # the per-pair work (xor + bit_count) is trivial in-array.
+    members = (
+        banded.groupBy("band", "block")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "block"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        members.select(F.explode(pair_arr).alias("pr"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            F.col("pr.hamming").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
