@@ -1061,6 +1061,12 @@ def main() -> None:
             timings["minhash_lsh_250k_docs"] = dt
             total += dt
             throughput["minhash_250k_docs_per_s"] = round(n_250k / max(dt, 1e-9), 1)
+            # single-shot with no warmup: the CPU probe right after is
+            # the only way to adjudicate a storm-poisoned sample (one
+            # r8 run recorded 51 s against an 18-30 s healthy band
+            # with start/end calib both healthy — only a point probe
+            # catches a mid-run degradation window)
+            calib["after_minhash_250k_ms"] = calib_ms()
 
             def _windowed_5m():
                 out = windowed_event_counts(scratch_ev, "1 hour")
