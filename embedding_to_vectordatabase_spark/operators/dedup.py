@@ -463,6 +463,57 @@ def minhash_bands_maponly(
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def _capped_bucket_pairs(ms: Column, mk_pair, max_bucket_size: int | None) -> Column:
+    """Pair-expansion expression over one bucket's sorted member array.
+
+    For buckets of k <= max_bucket_size members: all C(k,2) pairs,
+    exactly the old in-array expansion.  For hot buckets past the cap
+    (realistically mass-duplicated boilerplate, identical in every
+    band): C(cap,2) pairs among the first ``cap`` members by id order
+    PLUS one exact-scored star edge from member 0 to every tail
+    member.  This bounds the per-row pair array at O(cap^2 + k)
+    elements instead of C(k,2) — the uncapped form exceeds Spark's
+    2^31 array-element limit at ~65k members and OOMs a task well
+    before that — while keeping every bucket member connected to the
+    bucket (so ``dup_clusters`` still collapses the mass-dup cluster).
+    Recall semantics of the cap: tail-to-tail pairs inside an over-cap
+    bucket are not emitted from THIS bucket (other bands may still
+    emit them); every emitted edge's score is computed exactly, so the
+    threshold never admits a false positive.  Gate-SF oracles are
+    unaffected: no bucket approaches the default cap there.
+    """
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2")
+    k = F.size(ms)
+    if max_bucket_size is None:
+        head = ms
+    else:
+        cap = F.lit(max_bucket_size)
+        head = F.when(k > cap, F.slice(ms, 1, cap)).otherwise(ms)
+    # 2-arg transform lambda receives (element, 0-based index); the
+    # partner slice starts past the element, so members sorted by
+    # doc_id emit each pair exactly once with doc_a <= doc_b
+    pairs = F.flatten(
+        F.transform(
+            head,
+            lambda x, i: F.transform(
+                F.slice(head, i + 2, F.size(head) - i - 1),
+                lambda y: mk_pair(x, y),
+            ),
+        )
+    )
+    if max_bucket_size is None:
+        return pairs
+    # star edges: member 0 -> each member past the cap (empty slice
+    # when k <= cap, so the concat is a no-op for normal buckets)
+    anchor = F.element_at(ms, 1)
+    tail = F.transform(
+        F.slice(ms, max_bucket_size + 1, F.greatest(k - cap, F.lit(0))),
+        lambda y: mk_pair(anchor, y),
+    )
+    return F.concat(pairs, tail)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -472,6 +523,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature (bands × r rows),
     bucket-join on (band, band-hash), then verify candidates with the
@@ -480,6 +532,13 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, est_jaccard double). The band join is the
     only shuffle over candidates; with r = num_perm/bands the collision
     probability follows the standard S-curve (1-(1-s^r)^b).
+
+    ``id_col`` values must be unique — duplicate ids would otherwise
+    emit self-pairs with est_jaccard 1.0 (the expansion sorts members
+    and only guarantees doc_a <= doc_b); a doc_a != doc_b guard drops
+    them defensively.  ``max_bucket_size`` bounds hot-bucket memory —
+    see _capped_bucket_pairs for the exact over-cap semantics; None
+    disables the cap (small-corpus exact mode).
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
@@ -521,10 +580,8 @@ def minhash_lsh_pairs(
     # warm at sf0.1); the cheap-pipeline ngram postings family keeps
     # its join shape, where codegen'd join probes beat per-pair HOF
     # struct building (measured 1.7x the other way at the gate SF). This shape runs the pipeline once and moves
-    # the signatures through ONE exchange. A pathological hot bucket
-    # materializes its members in one aggregation row; that is the
-    # same quadratic blow-up the join form hits as output rows, and
-    # banding/df-pruning bound it in practice.
+    # the signatures through ONE exchange. Hot buckets are bounded by
+    # max_bucket_size (see _capped_bucket_pairs).
     # Scoring stays pre-distinct: the same pair found in several
     # bands computes the same estimate, so the distinct shuffles only
     # (doc_a, doc_b, est) — three narrow columns.
@@ -537,36 +594,26 @@ def minhash_lsh_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    ms = F.col("ms")
-    # 2-arg transform lambda receives (element, 0-based index); the
-    # partner slice starts past the element, so members sorted by
-    # doc_id emit each pair exactly once with doc_a < doc_b
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms) - i - 1),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    (
-                        F.aggregate(
-                            F.zip_with(
-                                x["sig"],
-                                y["sig"],
-                                lambda u, v: F.when(u == v, 1).otherwise(
-                                    0
-                                ),
-                            ),
-                            F.lit(0),
-                            lambda acc, v: acc + v,
-                        )
-                        / F.lit(num_perm)
-                    ).alias("est"),
-                ),
-            ),
+
+    def _mk_pair(x, y):
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        x["sig"],
+                        y["sig"],
+                        lambda u, v: F.when(u == v, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(num_perm)
+            ).alias("est"),
         )
-    )
+
+    pair_arr = _capped_bucket_pairs(F.col("ms"), _mk_pair, max_bucket_size)
     return (
         members.select(F.explode(pair_arr).alias("pr"))
         .select(
@@ -574,6 +621,7 @@ def minhash_lsh_pairs(
             F.col("pr.doc_b").alias("doc_b"),
             F.round(F.col("pr.est"), 6).alias("est_jaccard"),
         )
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -831,13 +879,19 @@ def simhash_pairs(
     bands: int = 4,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation by banding the ``bits``-bit hash into
     ``bands`` equal blocks (pigeonhole: any pair within hamming
     distance bands-1 shares at least one exact block); verify with
-    bit_count. Output: (doc_a, doc_b, hamming int)."""
+    bit_count. Output: (doc_a, doc_b, hamming int).
+
+    ``id_col`` values must be unique (duplicate ids would emit
+    hamming-0 self-pairs; a doc_a != doc_b guard drops them).
+    ``max_bucket_size`` bounds hot-bucket memory — see
+    _capped_bucket_pairs; None disables the cap."""
     if bits % bands:
         raise ValueError("bands must divide bits")
     sig = simhash_signatures(df, text_col, id_col, n, bits, hash_fn)
@@ -865,7 +919,8 @@ def simhash_pairs(
     # lane-packed signature pipeline ran once PER SIDE; grouping each
     # (band, block) into a sorted (doc_id, simhash) member list runs
     # it once and moves one long per doc through ONE exchange, and
-    # the per-pair work (xor + bit_count) is trivial in-array.
+    # the per-pair work (xor + bit_count) is trivial in-array.  Hot
+    # buckets are bounded by max_bucket_size (_capped_bucket_pairs).
     members = (
         banded.groupBy("band", "block")
         .agg(
@@ -875,22 +930,17 @@ def simhash_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms) - i - 1),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(
-                        x["simhash"].bitwiseXOR(y["simhash"])
-                    ).alias("hamming"),
-                ),
-            ),
+
+    def _mk_pair(x, y):
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(
+                x["simhash"].bitwiseXOR(y["simhash"])
+            ).alias("hamming"),
         )
-    )
+
+    pair_arr = _capped_bucket_pairs(F.col("ms"), _mk_pair, max_bucket_size)
     return (
         members.select(F.explode(pair_arr).alias("pr"))
         .select(
@@ -898,6 +948,7 @@ def simhash_pairs(
             F.col("pr.doc_b").alias("doc_b"),
             F.col("pr.hamming").alias("hamming"),
         )
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

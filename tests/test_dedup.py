@@ -472,3 +472,104 @@ def test_dedup_substrings_merges_overlapping_intervals(spark):
     assert r2["n_words_removed"] == 20
     assert r2["text_dedup"] == ""
     assert got[1]["n_words_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cap (r9): bucket-local pair generation must stay bounded
+# when one (band, bucket) holds a mass-duplicate cluster.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_cap_noop_on_small_buckets(corpus):
+    """With every bucket under the cap the capped run is bit-identical
+    to the uncapped one (the cap is a pure scale guard)."""
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus, threshold=0.5, max_bucket_size=1024
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_minhash_cap_emits_exact_scores_and_no_false_pairs(spark):
+    """Over-cap buckets emit a SUBSET of the uncapped pairs (head
+    pairwise + star edges), every score exact."""
+    rows = [(i, BASE + f" tail{i % 3}") for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, threshold=0.3, max_bucket_size=4
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, threshold=0.3, max_bucket_size=None
+        ).collect()
+    }
+    assert capped  # the cluster still produces pairs
+    for pair, est in capped.items():
+        assert pair in uncapped and uncapped[pair] == est
+
+
+def test_minhash_hot_bucket_50k_identical_docs_bounded(spark):
+    """VERDICT r8 item 4: 50k identical docs — every band maps all of
+    them into ONE bucket.  The uncapped in-array expansion would build
+    a C(50k,2) ≈ 1.25e9-element pair array in a single row (over
+    Spark's 2^31 array limit per a few more doublings, OOM well
+    before); the cap bounds the per-row array at C(cap,2) + (k - cap)
+    elements.  All 50k docs must stay connected through star edges."""
+    k, cap = 50_000, 1024
+    df = (
+        spark.range(1, k + 1)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.lit(BASE))
+    )
+    pairs = minhash_lsh_pairs(
+        df, num_perm=16, bands=4, threshold=0.5, max_bucket_size=cap
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("est_jaccard").alias("min_est"),
+    ).collect()[0]
+    # head pairwise + star edges, deduped across identical bands
+    assert agg["n_pairs"] == cap * (cap - 1) // 2 + (k - cap)
+    assert agg["min_est"] == 1.0
+    n_docs_connected = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert n_docs_connected == k
+
+
+def test_simhash_cap_star_edges_connect_bucket(spark):
+    rows = [(i, BASE) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=3, max_bucket_size=4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # C(4,2) head pairs + 4 star edges to doc 1
+    assert len(got) == 10
+    connected = {d for p in got for d in p}
+    assert connected == set(range(1, 9))
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_pair_generation_drops_duplicate_id_self_pairs(spark):
+    """ADVICE r8: duplicate doc_id values must not emit doc_a == doc_b
+    self-pairs (est 1.0 would always survive the threshold)."""
+    rows = [(1, BASE), (1, BASE), (2, BASE + " extra tail words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_lsh_pairs(df, threshold=0.2).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in mh)
+    sh = simhash_pairs(df, max_hamming=10).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in sh)
