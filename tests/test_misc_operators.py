@@ -179,10 +179,19 @@ def test_harness_contract():
         "ingest_chunks",
         "sketch_distinct_users",
     }
-    # the gate samples a registry prefix: oracle-bearing queries first
+    # the gate samples the first-50 registry prefix; r10's rotation
+    # (__spark_entry__._R10_WINDOW) declares it explicitly — the
+    # window must be exactly the declared names, in order, and the
+    # tail past the window keeps oracle-bearing entries before
+    # rows-only ones (so any window growth picks up hash-checkable
+    # queries first)
     names = list(qs)
-    tail = [n for n in names if n not in sqls]
-    assert names[-len(tail):] == tail
+    assert names[: len(e._R10_WINDOW)] == e._R10_WINDOW
+    assert len(e._R10_WINDOW) == 50
+    tail = names[len(e._R10_WINDOW):]
+    tail_rows_only = [n for n in tail if n not in sqls]
+    if tail_rows_only:
+        assert tail[-len(tail_rows_only):] == tail_rows_only
 
 
 def test_clean_corpus_filters_and_dedups(spark):
