@@ -5418,7 +5418,7 @@ def _q_dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(d, F.col("text"), n=2)
 
 
-_SQL_DUP_NGRAM_STATS = """
+_SQL_DUP_NGRAM_STATS = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(
