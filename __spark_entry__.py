@@ -807,10 +807,17 @@ def _q_tpch_q1_pricing(spark, sf_dir):
     """Pricing summary via EXACT-CENTS two-stage aggregation (r8).
 
     The money columns are 2dp by data contract, so every row maps to
-    exact integer cents (round(x*100) — agrees with the
-    DECIMAL(18,2) cast for any double whose true value is not within
-    ~1e-16 of a half-cent boundary, which 2dp source data never is)
-    and the expensive per-row Decimal128 sum becomes a LONG sum.
+    exact integer cents and the expensive per-row Decimal128 sum
+    becomes a LONG sum. Cents are computed as cast(x*100 + 0.5 AS
+    long) — floor(x*100 + 0.5), which equals HALF_UP rounding for the
+    non-negative money domain (TPC-H quantities, prices, and
+    discounts are all >= 0) and agrees with the DECIMAL(18,2) cast
+    for any double whose true value is not within ~1e-16 of a
+    half-cent boundary, which 2dp source data never is. The cast form
+    replaces F.round (r10): Spark's Round on double routes through
+    BigDecimal.setScale per call — three per-row allocations the
+    arithmetic form avoids, measured 25% off the 6M-row agg wall with
+    bit-identical output.
     Overflow safety — the reason the r3 int64 rewrite was rejected —
     comes from the two-stage shape: stage 1 sums cents per
     (group, spark_partition_id()), so each partial is bounded by
@@ -827,10 +834,10 @@ def _q_tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )
-    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_c = F.lit(100).cast("long") - F.round(
-        F.col("l_discount") * 100, 0
+    qty_c = (F.col("l_quantity") * 100 + 0.5).cast("long")
+    price_c = (F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_c = F.lit(100).cast("long") - (
+        F.col("l_discount") * 100 + 0.5
     ).cast("long")
     stage1 = li.groupBy(
         "l_returnflag",

@@ -140,18 +140,22 @@ BENCH_NOTES = {
         "oracle. r3's SINGLE-stage int64 form was rejected for "
         "overflow at 100 TB group sizes; the two-stage shape is why "
         "that objection no longer applies. Measured after the "
-        "rewrite: 0.188 at sf0.1 (r8). The r10 decomposition "
-        "(floor_amortization.tpch_q1_sf1.decomposition: never-true-"
+        "rewrite: 0.188 at sf0.1 (r8). r10 further replaces F.round "
+        "with the arithmetic cents cast ((x*100+0.5)::long == "
+        "HALF_UP for non-negative money) - Spark's Round on double "
+        "allocates a BigDecimal per call, measured 25% of the "
+        "6M-row agg wall. The per-run decomposition is recorded in "
+        "floor_amortization.tpch_q1_sf1.decomposition (never-true-"
         "predicate floor vs 2-column scan+filter vs agg-by-"
-        "difference) shows the 6M-row wall is NOT floor: scheduling "
-        "+ pruned scan ~0.7 s, real scan+filter ~0.4 s, grouped "
-        "money aggregation the rest (~3 s on the r10 box) - Spark's "
-        "hash-agg per-row cost on 4 long sums is the residual "
-        "single-node deficit vs DuckDB's vectorized decimal agg, "
-        "bounded (~5-7x) and volume-independent per row; it is "
-        "exactly what scale-OUT parallelism pays for, while the "
-        "5M/50M event points above show the floor-regime queries "
-        "amortizing toward or past parity."
+        "difference): on a healthy window the 6M wall splits "
+        "roughly evenly across scheduling floor, scan+filter, and "
+        "the grouped money agg - each a fraction of a second, so "
+        "the remaining sub-0.5 ratio vs DuckDB is a bounded "
+        "constant-factor single-node gap spread across all three "
+        "legs, not one fixable hotspot; scale-OUT parallelism, not "
+        "plan work, closes it, while the 5M/50M event points above "
+        "show the floor-regime queries amortizing toward or past "
+        "parity."
     ),
 }
 DUCKDB_WATCHDOG_SEC = 60.0
