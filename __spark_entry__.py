@@ -5942,8 +5942,12 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # in NO driver window yet follow, so each gets at least a recorded
 # rows-only check (the driver logs `err: no_oracle` + spark_rows for
 # these — weak, but on the record); (c) the rest of the window back-fills
-# oracle-bearing queries whose LATEST driver record is oldest (r2 → r7
-# order, from the committed CORRECTNESS_r0*.json files).  Displaced
+# queries whose LATEST driver record is oldest (r2 → r7 order, from the
+# committed CORRECTNESS_r0*.json files) — the r2 group is the four
+# rows-only ANN/simhash queries whose only driver rows are r2-era
+# `no_oracle` records (deliberate: refreshing those stale weak records
+# answers the r9 ADVICE provenance note); the r3+ groups are all
+# oracle-bearing and get fresh hash checks.  Displaced
 # queries remain covered by tools/oracle_check.py and
 # tests/test_oracle_window.py at both gate SFs every round.
 _R10_WINDOW: list[str] = [
