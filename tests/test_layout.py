@@ -1,15 +1,19 @@
-"""Range clustering (row-group skipping layout) + compaction."""
+"""Range clustering (row-group skipping layout), Z-order clustering,
+and compaction."""
 
 from __future__ import annotations
 
 import glob
 
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from embedding_to_vectordatabase_spark.sinks.layout import (
     cluster_by,
     compact,
+    zorder_by,
+    zorder_value,
 )
 
 
@@ -62,6 +66,92 @@ def test_cluster_by_gives_tight_disjoint_row_group_ranges(spark, tmp_path):
     got = spark.read.parquet(clustered)
     assert got.count() == n
     assert got.agg(F.sum("k")).first()[0] == n * (n - 1) // 2
+
+
+def _rg_hits(path: str, bands: dict[str, tuple[float, float]]) -> tuple[int, int]:
+    """(row groups intersecting ALL bands, total row groups) from the
+    parquet footers — what a stats-pruning scan must read for a
+    conjunctive box predicate."""
+    hits = total = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            ok = True
+            for i in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(i)
+                band = bands.get(col.path_in_schema)
+                if band is None:
+                    continue
+                lo, hi = band
+                st = col.statistics
+                if st.max < lo or st.min > hi:
+                    ok = False
+                    break
+            if ok:
+                hits += 1
+    return hits, total
+
+
+def test_zorder_skips_2d_box_better_than_1d_clustering(spark, tmp_path):
+    """A conjunctive box predicate over (x, y): 1D clustering on x
+    prunes only the x band (every x-slice file spans all of y), while
+    the Z-order layout localizes both dimensions, so the box touches
+    far fewer row groups. Correctness: identical row multiset."""
+    # 64 files: a Z-curve split into f contiguous chunks localizes
+    # both dims only once f exceeds the quad-tree depth the box size
+    # needs — at 16 files each chunk is a 250-wide quadrant block and
+    # the curve's locality cannot beat plain x-slices yet. Measured at
+    # 64 files with a 250-wide box: Z reads 12-13 row groups vs 17
+    # for 1D x-clustering when the box sits inside a root quadrant;
+    # a box CENTERED on the global median (straddling the top split
+    # of both dims — the curve's known worst case) degrades Z to 16,
+    # still under 1D. The advantage widens with file count; the test
+    # uses the quadrant-interior box and asserts the robust margin.
+    n, files = 100_000, 64
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 1000)).cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    one_d = str(tmp_path / "xcluster")
+    cluster_by(df, ["x"], num_files=files).write.parquet(one_d)
+    z_d = str(tmp_path / "zorder")
+    zorder_by(df, ["x", "y"], num_files=files).write.parquet(z_d)
+
+    # same rows back
+    assert spark.read.parquet(z_d).count() == n
+    assert (
+        spark.read.parquet(z_d).agg(F.sum("payload")).first()[0]
+        == n * (n - 1) // 2
+    )
+
+    # a quadrant-interior box covering 25% of each dimension (~6% of
+    # the area)
+    bands = {"x": (100.0, 350.0), "y": (100.0, 350.0)}
+    x_hits, x_total = _rg_hits(one_d, bands)
+    z_hits, z_total = _rg_hits(z_d, bands)
+    assert x_total >= files and z_total >= files
+    # 1D layout: the x band selects ~1/4 of slices, y prunes nothing
+    # within them; Z-order touches only row groups near the box
+    assert z_hits < x_hits, (z_hits, x_hits)
+    assert z_hits / z_total <= 0.25
+
+
+def test_zorder_value_guards(spark):
+    with pytest.raises(ValueError):
+        zorder_value([F.col("a")], [0.0], [1.0])
+    with pytest.raises(ValueError):
+        zorder_value(
+            [F.col("a"), F.col("b")], [0.0, 0.0], [1.0, 1.0], bits=32
+        )
+    # constant column contributes zero but does not break the key
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        F.lit(5.0).alias("b"),
+    )
+    out = zorder_by(df, ["a", "b"], num_files=2)
+    assert out.count() == 100
 
 
 def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
