@@ -295,6 +295,18 @@ def main() -> None:
         # the r9 lesson: a run whose own probes are out of band must
         # say so IN the artifact, not wait for the judge to diff
         # calibration numbers across rounds
+        # Artifact-level flag keys on the IDLE probes (start/end, taken
+        # with no Spark work in flight — the r9 poison signature was
+        # start 8.7 / end 7.1) or on EVERY probe being out of band
+        # (sustained degradation). Mid-run point probes (after_*) run
+        # right after heavy sections and routinely catch lingering
+        # JVM/GC activity on a healthy box — they label their own
+        # section's sample (recorded per-entry as calib_ms) but do not
+        # alone condemn the whole artifact.
+        idle_probes = [
+            v for k, v in ((k, calib.get(k)) for k in ("start_ms", "end_ms"))
+            if v is not None
+        ]
         cpu_probes = [
             v for k, v in calib.items()
             if k.endswith("_ms") and not k.startswith("io_") and v is not None
@@ -303,7 +315,8 @@ def main() -> None:
             v for k, v in calib.items() if k.startswith("io_") and v and v > 0
         ]
         calib["outlier"] = bool(
-            any(v > CALIB_OUTLIER_MS for v in cpu_probes)
+            any(v > CALIB_OUTLIER_MS for v in idle_probes)
+            or (cpu_probes and all(v > CALIB_OUTLIER_MS for v in cpu_probes))
             or (
                 len(io_probes) >= 2
                 and max(io_probes) > 5.0 * max(min(io_probes), 1e-9)
@@ -312,11 +325,12 @@ def main() -> None:
         )
         if calib["outlier"]:
             calib["outlier_note"] = (
-                "one or more probes out of the healthy band (cpu "
-                f"> {CALIB_OUTLIER_MS} ms vs committed 1.9-4.0, or io "
-                "probe drifting 5x within the run) - treat this "
-                "artifact's single-shot and ratio numbers as "
-                "degraded-box samples, not engine regressions"
+                "idle (start/end) probe out of the healthy band (cpu "
+                f"> {CALIB_OUTLIER_MS} ms vs committed 1.9-4.0), every "
+                "probe out of band, or the io probe drifting 5x "
+                "within the run - treat this artifact's single-shot "
+                "and ratio numbers as degraded-box samples, not "
+                "engine regressions"
             )
         # sections that never ran AND never hit an explicit skip gate
         # (watchdog emission mid-section, outer kill) still label
