@@ -4250,6 +4250,73 @@ FROM embeddings
 """
 
 
+_ZORDER_BITS = 12
+
+
+def _q_zorder_key(spark, sf_dir):
+    """Morton (Z-curve) clustering key over (doc_id, n_chars) — the
+    value the r10 multi-column layout op (sinks/layout.py:zorder_by)
+    sorts by. Quantizes each column to 12 bits against its min/max
+    (one bounded agg collected driver-side) and bit-interleaves — all
+    native shift/or expressions, so DuckDB reproduces the key
+    bit-for-bit (the oracle mimics Spark's double->long truncation
+    with FLOOR; values are non-negative so trunc == floor)."""
+    from embedding_to_vectordatabase_spark.sinks.layout import (
+        zorder_value,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id").cast("double"), F.col("n_chars").cast("double")]
+    row = d.agg(
+        F.min(cols[0]).alias("mn0"),
+        F.max(cols[0]).alias("mx0"),
+        F.min(cols[1]).alias("mn1"),
+        F.max(cols[1]).alias("mx1"),
+    ).first()
+    z = zorder_value(
+        cols,
+        [row["mn0"], row["mn1"]],
+        [row["mx0"], row["mx1"]],
+        bits=_ZORDER_BITS,
+    )
+    return d.select("doc_id", z.alias("zkey"))
+
+
+def _sql_zorder_key() -> str:
+    """DuckDB mirror of zorder_value at bits=12, k=2: identical
+    quantization arithmetic (same IEEE ops in the same order; FLOOR
+    before the BIGINT cast mimics Spark's truncating cast on the
+    non-negative domain) and the same interleave positions i*2+j."""
+    bits, top = _ZORDER_BITS, (1 << _ZORDER_BITS) - 1
+
+    def quant(col: str, mn: str, mx: str) -> str:
+        return (
+            f"LEAST(CAST({top} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+            f"CAST(FLOOR((CAST({col} AS DOUBLE) - {mn}) / ({mx} - {mn}) "
+            f"* {float(top)}) AS BIGINT)))"
+        )
+
+    terms = []
+    for i in range(bits):
+        for j, q in enumerate(("q0", "q1")):
+            terms.append(f"((({q} >> {i}) & 1) << {i * 2 + j})")
+    z = " | ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT min(CAST(doc_id AS DOUBLE)) AS mn0,
+         max(CAST(doc_id AS DOUBLE)) AS mx0,
+         min(CAST(n_chars AS DOUBLE)) AS mn1,
+         max(CAST(n_chars AS DOUBLE)) AS mx1
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         {quant('doc_id', 'b.mn0', 'b.mx0')} AS q0,
+         {quant('n_chars', 'b.mn1', 'b.mx1')} AS q1
+  FROM documents, b)
+SELECT doc_id, CAST({z} AS BIGINT) AS zkey FROM q
+"""
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction pass over a corpus seeded with known spans —
     emails/SSNs/phone runs become typed placeholders
@@ -5925,6 +5992,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),
     ("simhash_pairs", _q_simhash_pairs, None),
     ("embedding_near_dup", _q_embedding_near_dup, _SQL_NEAR_DUP),
+    ("zorder_key", _q_zorder_key, _sql_zorder_key()),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),
     ("multimodal_features", _q_multimodal_features, None),
