@@ -58,3 +58,30 @@ def test_out_of_window_oracle_queries_stay_green(spark, sf_dir):
         f"out-of-window oracle regressions (invisible to the driver "
         f"gate) at {sf_dir}: {failing}"
     )
+
+
+def test_oracle_queries_return_scalar_columns_only(spark):
+    """The driver's comparator canonicalizes results with pandas
+    ``sort_values``, which cannot factorize array/map/struct cells —
+    an oracle-bearing query returning one is mechanically ungradable
+    (the r9 ``v_normalize`` failure: ``TypeError: unhashable type:
+    'list'`` in the driver harness, the registry's only red row that
+    round). Schema-only check (no execution), every oracle-bearing
+    entry: posexplode arrays / flatten structs before returning."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    offenders = []
+    for name in qs:
+        if name not in oracles:
+            continue  # rows-only: the driver never canonicalizes these
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if any(x in t for x in ("array", "map", "struct")):
+                offenders.append((name, f.name, t))
+    assert not offenders, (
+        "oracle-bearing queries with driver-unsortable column types "
+        f"(reshape to scalar rows): {offenders}"
+    )
