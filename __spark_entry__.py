@@ -4290,10 +4290,15 @@ def _sql_zorder_key() -> str:
     bits, top = _ZORDER_BITS, (1 << _ZORDER_BITS) - 1
 
     def quant(col: str, mn: str, mx: str) -> str:
+        # the constant-column (mx == mn) branch mirrors Spark's
+        # zorder_value, which emits literal 0 when the collected
+        # bounds are equal — without it the SQL divides by zero on a
+        # degenerate column and parity breaks
         return (
+            f"CASE WHEN {mx} = {mn} THEN CAST(0 AS BIGINT) ELSE "
             f"LEAST(CAST({top} AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
             f"CAST(FLOOR((CAST({col} AS DOUBLE) - {mn}) / ({mx} - {mn}) "
-            f"* {float(top)}) AS BIGINT)))"
+            f"* {float(top)}) AS BIGINT))) END"
         )
 
     terms = []

@@ -281,7 +281,7 @@ def main() -> None:
 
     emitted = threading.Event()
 
-    def emit_json() -> None:
+    def emit_json(watchdog: bool = False) -> None:
         """Print the full + compact JSON lines from CURRENT state.
         Idempotent — the first caller (normal end or watchdog) wins."""
         if emitted.is_set():
@@ -292,6 +292,13 @@ def main() -> None:
             calib["io_end_ms"] = io_probe_ms()
         except Exception:  # noqa: BLE001 — never block the JSON line
             pass
+        if watchdog:
+            # on the watchdog path the end probes run CONCURRENTLY
+            # with whatever Spark job overran the deadline — they
+            # measure contention, not box health, and must not feed
+            # the idle-probe outlier rule (a healthy box that merely
+            # overran would otherwise be mislabeled degraded)
+            calib["watchdog_emission"] = True
         # the r9 lesson: a run whose own probes are out of band must
         # say so IN the artifact, not wait for the judge to diff
         # calibration numbers across rounds
@@ -303,9 +310,12 @@ def main() -> None:
         # JVM/GC activity on a healthy box — they label their own
         # section's sample (recorded per-entry as calib_ms) but do not
         # alone condemn the whole artifact.
+        idle_keys = (
+            ("start_ms",) if calib.get("watchdog_emission")
+            else ("start_ms", "end_ms")
+        )
         idle_probes = [
-            v for k, v in ((k, calib.get(k)) for k in ("start_ms", "end_ms"))
-            if v is not None
+            v for v in (calib.get(k) for k in idle_keys) if v is not None
         ]
         cpu_probes = [
             v for k, v in calib.items()
@@ -500,7 +510,7 @@ def main() -> None:
         time.sleep(max(5.0, BENCH_DEADLINE_SEC + 15 - (time.time() - t_start)))
         if not emitted.is_set():
             progress("WATCHDOG deadline+15s: emitting partial results")
-            emit_json()
+            emit_json(watchdog=True)
             os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -2081,6 +2091,46 @@ def main() -> None:
         # run after the curve — see the ordering note above the curve
         run_round6_ops()
 
+        def rg_hits_bands(p: str, bands: dict) -> tuple[int, int]:
+            """(row groups intersecting ALL bands, total row groups)
+            from the parquet footers — what a stats-pruning scan must
+            READ for a conjunctive band predicate; the rest skip from
+            the footer alone. ``bands`` maps column name -> (lo, hi).
+            Shared by the 1D layout and Z-order sections (one place
+            for the None-stats and tz-strip conventions: pyarrow
+            timestamp stats are tz-aware UTC, Spark's collected
+            datetimes naive UTC wall)."""
+            import datetime as _dt
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            total = hits = 0
+            for fpath in _glob.glob(os.path.join(p, "*.parquet")):
+                md = _pq.ParquetFile(fpath).metadata
+                names = [
+                    md.row_group(0).column(i).path_in_schema
+                    for i in range(md.num_columns)
+                ]
+                idx = {c: names.index(c) for c in bands}
+                for rg in range(md.num_row_groups):
+                    total += 1
+                    ok = True
+                    for c, (lo_b, hi_b) in bands.items():
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None:  # no stats => must read
+                            continue
+                        st_min, st_max = st.min, st.max
+                        if isinstance(st_min, _dt.datetime):
+                            st_min = st_min.replace(tzinfo=None)
+                            st_max = st_max.replace(tzinfo=None)
+                        if st_max < lo_b or st_min >= hi_b:
+                            ok = False
+                            break
+                    if ok:
+                        hits += 1
+            return hits, total
+
         # layout evidence: the same 1-hour-band query over the same 5M
         # events, raw (shuffled writer order) vs range-clustered by ts
         # (sinks/layout.cluster_by) — the clustered footers let the
@@ -2133,38 +2183,12 @@ def main() -> None:
             raw_sec = band_count(ev5m_path)
             clus_sec = band_count(ev_clustered_path)
 
-            def rg_hit_ratio(p: str) -> tuple[int, int]:
-                # row groups whose footer ts min/max intersects the
-                # band = what any engine must READ; the rest are
-                # skipped from the footer alone
-                import glob as _glob
-
-                import pyarrow.parquet as _pq
-
-                total = hits = 0
-                for fpath in _glob.glob(os.path.join(p, "*.parquet")):
-                    md = _pq.ParquetFile(fpath).metadata
-                    schema_names = [
-                        md.row_group(0).column(i).path_in_schema
-                        for i in range(md.num_columns)
-                    ]
-                    ts_i = schema_names.index("ts")
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ts_i).statistics
-                        total += 1
-                        if st is None:  # no stats => must read
-                            hits += 1
-                            continue
-                        # pyarrow stats are tz-aware UTC; Spark's
-                        # collected datetimes are naive UTC wall
-                        st_min = st.min.replace(tzinfo=None)
-                        st_max = st.max.replace(tzinfo=None)
-                        if st_max >= band_lo and st_min < band_hi:
-                            hits += 1
-                return hits, total
-
-            raw_hits, raw_total = rg_hit_ratio(ev5m_path)
-            clus_hits, clus_total = rg_hit_ratio(ev_clustered_path)
+            raw_hits, raw_total = rg_hits_bands(
+                ev5m_path, {"ts": (band_lo, band_hi)}
+            )
+            clus_hits, clus_total = rg_hits_bands(
+                ev_clustered_path, {"ts": (band_lo, band_hi)}
+            )
             layout_skipping.update(
                 raw_sec=raw_sec,
                 clustered_sec=clus_sec,
@@ -2334,39 +2358,12 @@ def main() -> None:
             uband_lo = ulo + (uhi - ulo) // 8
             uband_hi = uband_lo + (uhi - ulo) // 4
 
-            def rg_hits_2d(p: str) -> tuple[int, int]:
-                import glob as _glob
-
-                import pyarrow.parquet as _pq
-
-                hits = total_rg = 0
-                for fpath in _glob.glob(os.path.join(p, "*.parquet")):
-                    md = _pq.ParquetFile(fpath).metadata
-                    names = [
-                        md.row_group(0).column(i).path_in_schema
-                        for i in range(md.num_columns)
-                    ]
-                    ts_i, u_i = names.index("ts"), names.index("user_id")
-                    for rg in range(md.num_row_groups):
-                        total_rg += 1
-                        st_t = md.row_group(rg).column(ts_i).statistics
-                        st_u = md.row_group(rg).column(u_i).statistics
-                        if st_t is None or st_u is None:
-                            hits += 1
-                            continue
-                        t_min = st_t.min.replace(tzinfo=None)
-                        t_max = st_t.max.replace(tzinfo=None)
-                        if (
-                            t_max >= zband_lo
-                            and t_min < zband_hi
-                            and st_u.max >= uband_lo
-                            and st_u.min < uband_hi
-                        ):
-                            hits += 1
-                return hits, total_rg
-
-            c_hits, c_total = rg_hits_2d(ev_c_path)
-            z_hits, z_total = rg_hits_2d(ev_z_path)
+            zbands = {
+                "ts": (zband_lo, zband_hi),
+                "user_id": (uband_lo, uband_hi),
+            }
+            c_hits, c_total = rg_hits_bands(ev_c_path, zbands)
+            z_hits, z_total = rg_hits_bands(ev_z_path, zbands)
             layout_skipping.update(
                 zorder_conjunctive_band={
                     "ts_clustered_row_groups_read": f"{c_hits}/{c_total}",

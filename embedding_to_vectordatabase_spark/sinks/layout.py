@@ -74,6 +74,11 @@ def zorder_value(
         raise ValueError("zorder needs >= 2 columns (use cluster_by for 1)")
     if k * bits > 62:
         raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    if len(mins) != k or len(maxs) != k:
+        raise ValueError(
+            f"mins/maxs must have one entry per column: got "
+            f"{len(mins)}/{len(maxs)} for {k} columns"
+        )
     top = (1 << bits) - 1
     quantized = []
     for c, mn, mx in zip(cols, mins, maxs):
@@ -122,19 +127,37 @@ def zorder_by(
     quality bucket) scanning the whole store and scanning ~the slice.
 
     One bounded min/max agg (k columns, one row collected) calibrates
-    the quantization; then the same single exchange ``cluster_by``
-    pays (repartitionByRange + sortWithinPartitions on the z key).
+    the quantization and counts NULL keys — any NULL raises, because
+    ``greatest(0, NULL)`` would silently quantize null-key rows to
+    the z-origin, piling them into the min-corner files and breaking
+    the tight-hyper-rectangle property (fill or filter nulls first).
     Numeric and timestamp columns supported (cast to double).
     Returns the re-laid-out DataFrame — write with any writer."""
+    if "__z" in df.columns:
+        raise ValueError(
+            "input already has a __z column - rename it before zorder_by"
+        )
     key_cols = [F.col(c).cast("double") for c in cols]
     row = df.agg(
         *[F.min(c).alias(f"__mn{i}") for i, c in enumerate(key_cols)],
         *[F.max(c).alias(f"__mx{i}") for i, c in enumerate(key_cols)],
+        *[
+            F.count(F.when(c.isNull(), 1)).alias(f"__nn{i}")
+            for i, c in enumerate(key_cols)
+        ],
     ).first()
     mins = [row[f"__mn{i}"] for i in range(len(cols))]
     maxs = [row[f"__mx{i}"] for i in range(len(cols))]
-    if any(v is None for v in mins + maxs):
-        raise ValueError("zorder_by columns must be non-null numeric")
+    nulls = {
+        cols[i]: row[f"__nn{i}"]
+        for i in range(len(cols))
+        if row[f"__nn{i}"]
+    }
+    if nulls or any(v is None for v in mins + maxs):
+        raise ValueError(
+            f"zorder_by columns must be non-null numeric; null keys: "
+            f"{nulls or cols}"
+        )
     z = zorder_value(key_cols, mins, maxs, bits=bits)
     staged = df.withColumn("__z", z)
     parts = (

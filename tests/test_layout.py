@@ -85,6 +85,8 @@ def _rg_hits(path: str, bands: dict[str, tuple[float, float]]) -> tuple[int, int
                     continue
                 lo, hi = band
                 st = col.statistics
+                if st is None:  # no stats => unprunable on this column
+                    continue
                 if st.max < lo or st.min > hi:
                     ok = False
                     break
@@ -152,6 +154,22 @@ def test_zorder_value_guards(spark):
     )
     out = zorder_by(df, ["a", "b"], num_files=2)
     assert out.count() == 100
+    # mins/maxs arity must match the column count (zip would silently
+    # truncate and drop a column from the interleave)
+    with pytest.raises(ValueError):
+        zorder_value([F.col("a"), F.col("b")], [0.0], [1.0])
+    # per-row NULL keys raise (greatest(0, NULL) would silently pile
+    # null-key rows at the z-origin) and a pre-existing __z collides
+    with_nulls = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("a"),
+        (F.col("id") * 2.0).alias("b"),
+    )
+    with pytest.raises(ValueError, match="null"):
+        zorder_by(with_nulls, ["a", "b"], num_files=2)
+    with pytest.raises(ValueError, match="__z"):
+        zorder_by(df.withColumn("__z", F.lit(1)), ["a", "b"])
 
 
 def test_zorder_value_matches_python_reference(spark):

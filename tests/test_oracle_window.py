@@ -66,8 +66,11 @@ def test_oracle_queries_return_scalar_columns_only(spark):
     an oracle-bearing query returning one is mechanically ungradable
     (the r9 ``v_normalize`` failure: ``TypeError: unhashable type:
     'list'`` in the driver harness, the registry's only red row that
-    round). Schema-only check (no execution), every oracle-bearing
-    entry: posexplode arrays / flatten structs before returning."""
+    round). Checks the schema of every oracle-bearing entry without
+    collecting results (builders that run a bounded calibration
+    action at construction time — e.g. zorder_key's min/max agg —
+    still execute that pre-flight): posexplode arrays / flatten
+    structs before returning."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
