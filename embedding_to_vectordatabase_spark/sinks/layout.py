@@ -174,13 +174,18 @@ def compact(
     out_path: str,
     target_file_bytes: int = 128 << 20,
     cluster_cols: list[str] | None = None,
+    method: str = "range",
 ) -> int:
     """Rewrite a many-small-files parquet store into ~target-sized
-    files; optionally range-cluster by ``cluster_cols`` while at it
-    (the rewrite pays the shuffle anyway, so clustering rides along
-    free). Returns the number of parquet data files actually written
-    (coalesce cannot split, so a source with fewer partitions than
-    the requested count yields fewer files).
+    files; optionally cluster by ``cluster_cols`` while at it (the
+    rewrite pays the shuffle anyway, so clustering rides along free).
+    ``method='range'`` (default) range-clusters — note that for
+    multiple columns this is LEXICOGRAPHIC (tight ranges on the first
+    key only); ``method='zorder'`` Morton-interleaves >= 2 columns so
+    every written file covers a tight hyper-rectangle (see
+    ``zorder_by``). Returns the number of parquet data files actually
+    written (coalesce cannot split, so a source with fewer partitions
+    than the requested count yields fewer files).
 
     Compaction is an OUT-OF-PLACE rewrite: ``out_path`` must differ
     from ``path`` (Spark refuses to overwrite a path it is reading,
@@ -202,10 +207,14 @@ def compact(
             f"{out_path!r} resolves to the source path — write to a "
             "sibling directory and swap after the rewrite lands"
         )
+    if method not in ("range", "zorder"):
+        raise ValueError("method must be 'range' or 'zorder'")
     total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-int(total) // int(target_file_bytes)))
     df = spark.read.parquet(path)
-    if cluster_cols:
+    if cluster_cols and method == "zorder":
+        out = zorder_by(df, cluster_cols, num_files=n_files)
+    elif cluster_cols:
         out = cluster_by(df, cluster_cols, num_files=n_files)
     else:
         out = df.coalesce(n_files)

@@ -232,3 +232,29 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     stats = pq.ParquetFile(glob.glob(f"{out2}/*.parquet")[0]).metadata
     col = stats.row_group(0).column(0)
     assert col.statistics.min == 0  # sorted within the single file
+
+
+def test_compact_zorder_method(spark, tmp_path):
+    """compact(method='zorder') rewrites through the Morton layout —
+    rows preserved, invalid method rejected."""
+    src = str(tmp_path / "zsrc")
+    spark.range(10_000).select(
+        (F.col("id") % 100).cast("double").alias("a"),
+        (F.pmod(F.xxhash64("id"), 100)).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(16).write.parquet(src)
+
+    out = str(tmp_path / "zcompacted")
+    n = compact(
+        spark, src, out,
+        target_file_bytes=1 << 30,
+        cluster_cols=["a", "b"],
+        method="zorder",
+    )
+    assert n >= 1
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("payload")).first()[0] == 10_000 * 9_999 // 2
+
+    with pytest.raises(ValueError, match="method"):
+        compact(spark, src, str(tmp_path / "bad"), method="hilbert")
