@@ -312,6 +312,19 @@ CHECKS = {
          lambda s: "CartesianProduct" not in s
          and "BroadcastNestedLoopJoin" not in s),
     ],
+    # round-10: Morton key build — the min/max calibration is a
+    # separate bounded pre-flight job, so the key projection itself
+    # must be exchange-free, single-scan, and JVM-native (pure
+    # shift/or expressions, no Python eval of any kind)
+    "zorder_key": [
+        ("map-only key build (no exchange)",
+         lambda s: "Exchange" not in s),
+        ("single scan, JVM-native shift/or",
+         lambda s: n_scans(s) == 1
+         and "BatchEvalPython" not in s
+         and "ArrowEvalPython" not in s
+         and "MapInPandas" not in s),
+    ],
 }
 
 
