@@ -131,19 +131,34 @@ def zorder_by(
     ``greatest(0, NULL)`` would silently quantize null-key rows to
     the z-origin, piling them into the min-corner files and breaking
     the tight-hyper-rectangle property (fill or filter nulls first).
-    Numeric and timestamp columns supported (cast to double).
+    Numeric and timestamp columns cast to double directly. STRING
+    (and binary) columns key on ``xxhash64`` of the value — hashing
+    destroys order, so a string dimension supports EQUALITY pruning
+    only (all rows of one tenant/lang co-locate into few row groups,
+    whose footer min/max on the ORIGINAL string column then prune
+    ``col = 'x'`` scans), not range predicates — the same contract
+    Delta's ZORDER gives string columns.
     Returns the re-laid-out DataFrame — write with any writer."""
     if "__z" in df.columns:
         raise ValueError(
             "input already has a __z column - rename it before zorder_by"
         )
-    key_cols = [F.col(c).cast("double") for c in cols]
+    dtypes = dict(df.dtypes)
+    key_cols = [
+        F.xxhash64(c).cast("double")
+        if dtypes.get(c) in ("string", "binary")
+        else F.col(c).cast("double")
+        for c in cols
+    ]
+    # null check on the ORIGINAL columns: xxhash64(NULL) returns the
+    # seed hash (a constant), so a null string would silently pass a
+    # check on the derived key and co-locate with real values
     row = df.agg(
         *[F.min(c).alias(f"__mn{i}") for i, c in enumerate(key_cols)],
         *[F.max(c).alias(f"__mx{i}") for i, c in enumerate(key_cols)],
         *[
-            F.count(F.when(c.isNull(), 1)).alias(f"__nn{i}")
-            for i, c in enumerate(key_cols)
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn{i}")
+            for i, c in enumerate(cols)
         ],
     ).first()
     mins = [row[f"__mn{i}"] for i in range(len(cols))]

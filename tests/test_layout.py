@@ -234,6 +234,47 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     assert col.statistics.min == 0  # sorted within the single file
 
 
+def test_zorder_string_dimension_equality_pruning(spark, tmp_path):
+    """A string key (tenant/lang) z-orders via xxhash64: all rows of
+    one value co-locate, so the footer min/max of the ORIGINAL string
+    column prunes equality scans — while the numeric co-key keeps its
+    range pruning. Hashing destroys order, so only equality (not
+    range) pruning is promised for the string dim."""
+    n, files = 50_000, 32
+    langs = ["en", "de", "fr", "es", "it", "pt", "nl", "pl"]
+    df = spark.range(n).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("id") % 8 + 1).cast("int"),
+        ).alias("lang"),
+        (F.pmod(F.xxhash64("id"), 1000)).cast("double").alias("score"),
+        F.col("id").alias("payload"),
+    )
+    z_d = str(tmp_path / "zlang")
+    zorder_by(df, ["lang", "score"], num_files=files).write.parquet(z_d)
+    assert spark.read.parquet(z_d).count() == n
+
+    # equality pruning on the string dim: row groups whose footer
+    # (min, max) excludes 'de' are skippable; one lang is 1/8 of rows
+    # so most row groups must be skippable
+    bands = {"lang": ("de", "de")}
+    hits, total = _rg_hits(z_d, bands)
+    assert total >= files
+    assert hits / total <= 0.5, (hits, total)
+
+    # null string keys must raise (xxhash64(NULL) is a constant seed
+    # hash - without the original-column check they'd co-locate
+    # silently)
+    with_null = df.withColumn(
+        "lang",
+        F.when(F.col("payload") % 100 == 0, None).otherwise(
+            F.col("lang")
+        ),
+    )
+    with pytest.raises(ValueError, match="null"):
+        zorder_by(with_null, ["lang", "score"], num_files=4)
+
+
 def test_compact_zorder_method(spark, tmp_path):
     """compact(method='zorder') rewrites through the Morton layout —
     rows preserved, invalid method rejected."""
