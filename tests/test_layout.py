@@ -235,11 +235,25 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
 
 
 def test_zorder_string_dimension_equality_pruning(spark, tmp_path):
-    """A string key (tenant/lang) z-orders via xxhash64: all rows of
-    one value co-locate, so the footer min/max of the ORIGINAL string
-    column prunes equality scans — while the numeric co-key keeps its
-    range pruning. Hashing destroys order, so only equality (not
-    range) pruning is promised for the string dim."""
+    """A low-cardinality string key (tenant/lang) z-orders via VALUE
+    -rank quantization: the <= cap distinct values are collected,
+    sorted in value order, and mapped to evenly spaced quantized
+    points, so every value separates at the shallowest file
+    granularity AND co-located groups are lexicographically
+    contiguous (tight footer min/max on the original column). The
+    numeric co-key keeps its range pruning.
+
+    History: the r10 version of this test was suite-order flaky
+    (16 vs 17 of 32 at an exact-half threshold). Two root causes:
+    (a) the then hash-min/max quantization let 'de'/'es'/'en' share
+    their top-4 quantized bits by hash luck, so no file count could
+    separate them — structural, fixed by value-rank quantization
+    (every lang now hits ~8-13 of 32 instead of 16-17);
+    (b) RangePartitioner's sample seed derives from the global RDD id
+    counter (byteswap32(-rdd.id - 1)), so tests running earlier shift
+    the file boundaries by a row group or two — inherent, absorbed by
+    asserting a >= 2x margin against a same-run unclustered baseline
+    instead of a knife-edge absolute ratio."""
     n, files = 50_000, 32
     langs = ["en", "de", "fr", "es", "it", "pt", "nl", "pl"]
     df = spark.range(n).select(
@@ -250,17 +264,26 @@ def test_zorder_string_dimension_equality_pruning(spark, tmp_path):
         (F.pmod(F.xxhash64("id"), 1000)).cast("double").alias("score"),
         F.col("id").alias("payload"),
     )
+    raw_d = str(tmp_path / "rawlang")
+    df.repartition(files).write.parquet(raw_d)
     z_d = str(tmp_path / "zlang")
     zorder_by(df, ["lang", "score"], num_files=files).write.parquet(z_d)
     assert spark.read.parquet(z_d).count() == n
 
-    # equality pruning on the string dim: row groups whose footer
-    # (min, max) excludes 'de' are skippable; one lang is 1/8 of rows
-    # so most row groups must be skippable
-    bands = {"lang": ("de", "de")}
-    hits, total = _rg_hits(z_d, bands)
-    assert total >= files
-    assert hits / total <= 0.5, (hits, total)
+    # same-run baseline: a round-robin layout leaves every lang in
+    # ~every row group (nothing skippable)
+    for lang in langs:
+        bands = {"lang": (lang, lang)}
+        raw_hits, raw_total = _rg_hits(raw_d, bands)
+        z_hits, z_total = _rg_hits(z_d, bands)
+        assert raw_total >= files and z_total >= files
+        assert raw_hits / raw_total >= 0.9, (lang, raw_hits, raw_total)
+        # >= 2x pruning vs baseline for EVERY value, with real margin:
+        # measured worst is ~0.41 of total across RDD-id perturbations
+        # vs this 0.5-of-baseline bar
+        assert z_hits / z_total <= 0.5 * (raw_hits / raw_total), (
+            lang, z_hits, z_total, raw_hits, raw_total,
+        )
 
     # null string keys must raise (xxhash64(NULL) is a constant seed
     # hash - without the original-column check they'd co-locate
@@ -273,6 +296,45 @@ def test_zorder_string_dimension_equality_pruning(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="null"):
         zorder_by(with_null, ["lang", "score"], num_files=4)
+
+
+def test_zorder_string_high_cardinality_falls_back_to_hash(spark, tmp_path):
+    """Above string_rank_cap distinct values the rank map would be
+    unbounded — the dim falls back to min/max-normalized xxhash64
+    (weak footer pruning at that cardinality regardless of layout).
+    Rows and values must round-trip either way."""
+    n = 5_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),  # all distinct
+        (F.col("id") % 97).cast("double").alias("score"),
+        F.col("id").alias("payload"),
+    )
+    out = zorder_by(df, ["uid", "score"], num_files=4, string_rank_cap=64)
+    assert out.count() == n
+    assert out.agg(F.sum("payload")).first()[0] == n * (n - 1) // 2
+    assert set(out.columns) == {"uid", "score", "payload"}
+
+
+def test_zorder_nan_and_empty_input_guards(spark):
+    """NaN in a float key is not NULL, but max() returns NaN and the
+    mx > mn calibration comparison goes False — without the guard the
+    dimension silently degrades to the constant-0 branch. And an
+    empty input must say 'no rows', not blame the key columns."""
+    nan_df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, float("nan"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("a"),
+        (F.col("id") * 2.0).alias("b"),
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        zorder_by(nan_df, ["a", "b"], num_files=2)
+
+    empty = spark.range(0).select(
+        F.col("id").cast("double").alias("a"),
+        F.col("id").cast("double").alias("b"),
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        zorder_by(empty, ["a", "b"], num_files=2)
 
 
 def test_compact_zorder_method(spark, tmp_path):
@@ -299,3 +361,63 @@ def test_compact_zorder_method(spark, tmp_path):
 
     with pytest.raises(ValueError, match="method"):
         compact(spark, src, str(tmp_path / "bad"), method="hilbert")
+    # double dims are NOT footer-safe (parquet omits NaN from float
+    # stats, which would bypass the NaN guard) - agg calibration ran
+    assert compact.last_calibration == "agg"
+
+
+def test_compact_zorder_integer_dims_calibrate_from_footers(spark, tmp_path):
+    """compact(method='zorder') over all-integer dims on a local
+    store reads its min/max calibration from the parquet footers —
+    the rewrite then scans the data exactly once (at 100 TB: half
+    the read volume). The footer bounds must equal the agg path's
+    bounds exactly, and null keys still fail loud."""
+    from embedding_to_vectordatabase_spark.sinks.layout import _footer_bounds
+
+    src = str(tmp_path / "intsrc")
+    spark.range(20_000).select(
+        (F.col("id") % 613).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(997)).alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8).write.parquet(src)
+
+    out = str(tmp_path / "intz")
+    n = compact(
+        spark, src, out,
+        target_file_bytes=1 << 30,
+        cluster_cols=["a", "b"],
+        method="zorder",
+    )
+    assert compact.last_calibration == "footers"
+    assert n >= 1
+    got = spark.read.parquet(out)
+    assert got.count() == 20_000
+    assert got.agg(F.sum("payload")).first()[0] == 20_000 * 19_999 // 2
+
+    # footer bounds == agg bounds, bit for bit
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(hconf)
+    df = spark.read.parquet(src)
+    bounds = _footer_bounds(
+        fs, fs.makeQualified(jpath), ["a", "b"], dict(df.dtypes)
+    )
+    agg = df.agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).first()
+    assert bounds == ([float(agg[0]), float(agg[2])],
+                      [float(agg[1]), float(agg[3])])
+
+    # null keys surface through the footer null_count - same
+    # fail-loud contract as the agg path
+    null_src = str(tmp_path / "nullsrc")
+    spark.range(1_000).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id")).alias("a"),
+        (F.col("id") % 13).alias("b"),
+    ).write.parquet(null_src)
+    with pytest.raises(ValueError, match="null"):
+        compact(
+            spark, null_src, str(tmp_path / "nullz"),
+            cluster_cols=["a", "b"], method="zorder",
+        )
