@@ -3814,6 +3814,24 @@ def _q_t1_chunk_recursive(spark, sf_dir):
     )
 
 
+def _q_t1_chunk_recursive_prod(spark, sf_dir):
+    """Rows-only: the recursive splitter at the reference's PRODUCTION
+    config — chunk_size=3200 / overlap=100 (/root/reference/
+    config.json:60-63) — the one config axis the default-parameter
+    query leaves unexercised. Most corpus docs fit one 3200-char
+    chunk, so the fan-out profile differs sharply from the 200/50
+    default (merge-dominated instead of split-dominated); goldens in
+    tests/test_chunking.py pin the kernel at this config too."""
+    from embedding_to_vectordatabase_spark.operators.chunking import (
+        chunk_recursive,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_recursive(d, "text", chunk_size=3200, overlap=100).select(
+        "doc_id", "block_id", F.length("chunk").alias("chunk_chars")
+    )
+
+
 def _q_split_sentences(spark, sf_dir):
     from embedding_to_vectordatabase_spark.operators.chunking import (
         split_sentences,
@@ -5999,6 +6017,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("embedding_near_dup", _q_embedding_near_dup, _SQL_NEAR_DUP),
     ("zorder_key", _q_zorder_key, _sql_zorder_key()),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
+    ("t1_chunk_recursive_prod", _q_t1_chunk_recursive_prod, None),
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),
     ("multimodal_features", _q_multimodal_features, None),
     ("ingest_chunks", _q_ingest_chunks, None),
@@ -6017,76 +6036,74 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # these — weak, but on the record); (c) the rest of the window back-fills
 # queries whose LATEST driver record is oldest (r2 → r7 order, from the
 # committed CORRECTNESS_r0*.json files) — the r2 group is the four
-# rows-only ANN/simhash queries whose only driver rows are r2-era
-# `no_oracle` records (deliberate: refreshing those stale weak records
-# answers the r9 ADVICE provenance note); the r3+ groups are all
-# oracle-bearing and get fresh hash checks.  Displaced
-# queries remain covered by tools/oracle_check.py and
-# tests/test_oracle_window.py at both gate SFs every round.
-_R10_WINDOW: list[str] = [
-    # (a) sentinels for r10-touched code
-    "v_normalize",
-    "minhash_lsh_pairs",
-    "simhash_pairs_md5",
-    "dedup_substrings",
-    # (b) never driver-checked (rows-only)
-    "t1_chunk_recursive",
-    "t2_semantic_chunks",
-    "multimodal_features",
-    "ingest_chunks",
-    "sketch_distinct_users",
-    # (c) oldest latest-record first: r2
-    "ann_topk_bucketed",
-    "ann_topk_ivf",
-    "ann_similarity_join_mllib",
-    "simhash_pairs",
-    # r3
-    "st_sessionize",
-    "st_session_window",
-    "st_stateful_dedup",
-    "v4_dense_ip",
-    "v5_sparse_ip",
-    "v6_rerank",
-    "v6_rerank_texts",
-    "v7_dense_l2",
-    "o4_dense_topk",
-    "sparse_topk_inverted",
-    "dedup_exact",
-    "exact_duplicate_groups",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
-    "embedding_near_dup",
-    # r4
-    "a1_file_stats",
-    "a2_manager_stats",
-    "a4_breakpoint_stats",
-    "events_type_counts",
-    # r5
-    "o1_sorted_registry",
-    "o2_point_lookup",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_dormant_customers",
-    # r6
-    "j3_kb_scope",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q4_order_priority",
-    # r7 head (fills the window to exactly 50)
-    "p2_clean_title",
-    "p3_reformat_doc",
+# r11 rotation: zorder_key leads (the one oracle-bearing query with NO
+# driver CORRECTNESS record — added r10 at position 153, outside that
+# round's window; VERDICT r10 item 2); then the entire r7-latest-record
+# cohort (48 queries, all oracle-bearing — the oldest provenance in the
+# registry after r10 refreshed r2-r7-head); the tail slot seats the new
+# rows-only prod-config chunking query (rows-only kept at the TAIL per
+# r10 ADVICE so marginal gate-sample growth prefers hash-checkable
+# entries). Displaced queries remain covered by tools/oracle_check.py
+# and tests/test_oracle_window.py at both gate SFs every round.
+_R11_WINDOW: list[str] = [
+    # (a) never driver-checked
+    "zorder_key",
+    # (b) oldest latest-record: the full r7 cohort, registry order
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "profile_documents",
+    "corpus_clean",
+    "table_stats",
+    "funnel_view_click_purchase",
+    "asof_attribution",
+    "range_join_error_context",
+    "rollup_hierarchy",
+    "retention_cohorts",
+    "rolling_daily_value",
+    "scd2_registry",
+    "validate_documents",
+    "daily_event_anomalies",
+    "props_k_counts",
+    "edit_distance_pairs",
+    "token_budget_sample",
+    "day2_incremental_pipeline",
+    "temperature_mix_sqrt",
+    "grouped_split_counts",
+    "pretraining_mix",
+    "dup_line_stats",
+    "item_cooccurrence",
+    "winsorize_nchars",
+    "lang_drift_psi",
+    "nchars_histogram",
+    "w2_chunk_fixed",
+    "split_sentences",
+    "multimodal_meta",
+    "v8_labeling",
+    "k7_delete_where",
+    "p4_sparse_cast",
+    "p9_word_count",
+    "p10_expr_filter",
+    "token_count",
+    "s4_file_name",
+    "s5_swap_extension",
+    "s10_generate_corpus",
+    "s1_jsonl_scan",
+    "s5_whole_files",
+    "w1_row_numbers",
+    "w1_row_numbers_scalable",
+    "s2_row_range",
+    "j1_registry_matched",
+    "j1_registry_unmatched",
+    "j2_anti_ingested",
+    "auto_join_hot_agg",
+    # (c) new this round, rows-only — window tail by policy
+    "t1_chunk_recursive_prod",
 ]
 
 
 def _registry_order() -> list[tuple[str, Callable, str | None]]:
-    rank = {n: i for i, n in enumerate(_R10_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R11_WINDOW)}
     head = sorted(
         (e for e in _REGISTRY_ENTRIES if e[0] in rank),
         key=lambda e: rank[e[0]],

@@ -61,6 +61,34 @@ class TestSplitTextRecursive:
         for c in split_text_recursive(text, 50, 10):
             assert len(c) <= 50
 
+    def test_production_config_3200_100(self):
+        """The reference's deployed config (config.json:60-63:
+        chunk_size=3200, overlap=100) — merge-dominated: many small
+        paragraphs rejoin under the 3200 budget, and the 100-char
+        overlap carries whole trailing pieces, so consecutive chunks
+        share a suffix/prefix."""
+        # ~7800 chars of 97-char lines ("\n" is the reference's
+        # paragraph separator - SEPARATORS has no "\n\n") -> 3 chunks
+        paras = [f"para {i:03d} " + "x" * 88 for i in range(80)]
+        text = "\n".join(paras)
+        chunks = split_text_recursive(text, 3200, 100)
+        assert len(chunks) == 3
+        for c in chunks:
+            assert len(c) <= 3200
+        # every paragraph survives somewhere
+        joined = "\n".join(chunks)
+        for p in paras:
+            assert p in joined
+        # overlap: each next chunk starts with the previous chunk's
+        # trailing piece (the <=100-char carry: one 97-char line)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            head = nxt.split("\n")[0]
+            assert len(head) <= 100
+            assert prev.endswith(head)
+        # a doc under the budget returns itself - the common corpus
+        # case at the prod config
+        assert split_text_recursive("short doc", 3200, 100) == ["short doc"]
+
 
 def test_chunk_recursive_dataframe(spark):
     df = spark.createDataFrame(

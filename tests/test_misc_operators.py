@@ -174,21 +174,22 @@ def test_harness_contract():
         "ann_similarity_join_mllib",
         "simhash_pairs",
         "t1_chunk_recursive",
+        "t1_chunk_recursive_prod",
         "t2_semantic_chunks",
         "multimodal_features",
         "ingest_chunks",
         "sketch_distinct_users",
     }
-    # the gate samples the first-50 registry prefix; r10's rotation
-    # (__spark_entry__._R10_WINDOW) declares it explicitly — the
+    # the gate samples the first-50 registry prefix; r11's rotation
+    # (__spark_entry__._R11_WINDOW) declares it explicitly — the
     # window must be exactly the declared names, in order, and the
     # tail past the window keeps oracle-bearing entries before
     # rows-only ones (so any window growth picks up hash-checkable
     # queries first)
     names = list(qs)
-    assert names[: len(e._R10_WINDOW)] == e._R10_WINDOW
-    assert len(e._R10_WINDOW) == 50
-    tail = names[len(e._R10_WINDOW):]
+    assert names[: len(e._R11_WINDOW)] == e._R11_WINDOW
+    assert len(e._R11_WINDOW) == 50
+    tail = names[len(e._R11_WINDOW):]
     tail_rows_only = [n for n in tail if n not in sqls]
     if tail_rows_only:
         assert tail[-len(tail_rows_only):] == tail_rows_only
