@@ -354,6 +354,63 @@ _AUTO_JOIN_UNIFORM_CHECKS = [
 ]
 
 
+def _q_zorder_compact_rewrite(spark, sf):
+    """Single-scan compact-zorder rewrite (VERDICT r10 item 5): with
+    footer-stats calibration (sinks/layout._footer_bounds — min/max +
+    null counts from the parquet footers, metadata only) the rewrite
+    plan is the ONLY pass over the data; the builder asserts the
+    footer path actually engaged, mirroring auto_join's last_strategy
+    assertion. Like zorder_key, the builder runs a bounded pre-flight
+    (writing the 10k-row fixture on first use) before the audited
+    plan is constructed."""
+    import os as _os
+
+    from embedding_to_vectordatabase_spark.sinks.layout import (
+        _footer_bounds,
+        zorder_by,
+    )
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".plan_audit_scratch",
+        "zorder_int_src",
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        spark.range(10_000).select(
+            (F.col("id") % 97).alias("a"),
+            F.pmod(F.xxhash64("id"), F.lit(89)).alias("b"),
+            F.col("id").alias("payload"),
+        ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    bounds = _footer_bounds(
+        fs, fs.makeQualified(jpath), ["a", "b"], dict(df.dtypes)
+    )
+    assert bounds is not None, (
+        "footer calibration must engage on all-integer dims"
+    )
+    return zorder_by(df, ["a", "b"], num_files=4, _bounds=bounds)
+
+
+_ZORDER_COMPACT_CHECKS = [
+    ("single scan (footer calibration adds no data pass)",
+     lambda s: n_scans(s) == 1),
+    ("only the clustering range exchange",
+     lambda s: "rangepartitioning" in s
+     and "hashpartitioning" not in s
+     and "SinglePartition" not in s),
+    ("JVM-native Morton key (no Python eval)",
+     lambda s: "BatchEvalPython" not in s
+     and "ArrowEvalPython" not in s
+     and "MapInPandas" not in s),
+]
+
+
 _INGEST_CHECKS = [
     ("no single-partition exchange", lambda s: "SinglePartition" not in s),
     ("registry joins broadcast", lambda s: "BroadcastHashJoin" in s and "SortMergeJoin" not in s),
@@ -386,6 +443,13 @@ def run_audits(
     audits.append(("ingest (flagship plan)", entry._q_ingest_chunks, _INGEST_CHECKS))
     audits.append(
         ("auto_join (uniform key)", _q_auto_join_uniform, _AUTO_JOIN_UNIFORM_CHECKS)
+    )
+    audits.append(
+        (
+            "zorder compact rewrite (footer calibration)",
+            _q_zorder_compact_rewrite,
+            _ZORDER_COMPACT_CHECKS,
+        )
     )
     for name, fn, checks in audits:
         s = explain_str(fn(spark, sf))
