@@ -3238,6 +3238,82 @@ FROM pairs WHERE ROUND(cosine, 6) >= 0.3
 """
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means over the embedding
+    space + within-cluster cosine thresholding, keeping the
+    lowest-centroid-similarity member of each duplicate group
+    (operators/dedup.py:semdedup). Rows-only: the k-means quantizer
+    is not SQL-expressible (seeded Lloyd iterations on a bounded
+    spread sample); survivor-set invariants are pinned by
+    tests/test_dedup.py instead."""
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are well-spread (sf0.001 max pairwise
+    # cosine 0.48), so seed the corpus with true semantic duplicates:
+    # scaled copies of the 50 lowest-id rows (scaling preserves cosine
+    # exactly — same direction, different bytes)
+    dups = (
+        emb.orderBy("vec_id")
+        .limit(50)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.001)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    return semdedup(
+        emb.unionByName(dups), vec_col="embedding", id_col="vec_id",
+        n_clusters=8, eps=0.05, seed=42,
+    ).select("vec_id", "label", "cluster", "cent_sim")
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 keyterms by smoothed TF-IDF
+    (operators/textanalysis.py:tfidf_top_terms): idf rounded to 6dp
+    before the tf product, DECIMAL(18,6) ranking, token ASC
+    tie-break — engine-exact ordering."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+_SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           s -> s <> '')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         CAST(ROUND(
+           CAST(tf AS DOUBLE)
+           * ROUND(ln((1.0 + CAST(n_docs AS DOUBLE))
+                      / (1.0 + CAST(df AS DOUBLE))) + 1.0, 6),
+           6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd)
+SELECT doc_id, token, tf, CAST(s AS DOUBLE) AS score, rank FROM (
+  SELECT doc_id, token, tf, s,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY s DESC, token ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -6015,7 +6091,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("simhash_signatures", _q_simhash_signatures, _SQL_SIMHASH),
     ("simhash_pairs", _q_simhash_pairs, None),
     ("embedding_near_dup", _q_embedding_near_dup, _SQL_NEAR_DUP),
+    ("tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     ("zorder_key", _q_zorder_key, _sql_zorder_key()),
+    ("semdedup_survivors", _q_semdedup, None),
     ("t1_chunk_recursive", _q_t1_chunk_recursive, None),
     ("t1_chunk_recursive_prod", _q_t1_chunk_recursive_prod, None),
     ("t2_semantic_chunks", _q_t2_semantic_chunks, None),

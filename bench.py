@@ -518,11 +518,20 @@ def main() -> None:
         print(json.dumps(full))
         # the driver keeps only a 2,000-char stdout tail, so the full
         # per-query detail also lands in a committed, diffable file
-        # (overwritten each round; VERDICT r6 item 3)
+        # (overwritten each round; VERDICT r6 item 3). Only the graded
+        # default SF writes the canonical name — quick runs at other
+        # SFs repeatedly dirtied the committed sf0.1 artifact (the r10
+        # provenance finding), so they get an SF-tagged, gitignored
+        # file instead.
         try:
+            detail_name = (
+                "BENCH_DETAIL.json"
+                if sf == 0.1
+                else f"BENCH_DETAIL_{_SF_TAG}.json"
+            )
             detail_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_DETAIL.json",
+                detail_name,
             )
             with open(detail_path, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
@@ -1340,7 +1349,14 @@ def main() -> None:
             # Spark scheduling floor (measured 0.15/0.01 "ratios"
             # that say nothing about throughput), and their scale
             # story is the plan audit, not this section
-            r6_queue = ["bm25_topk", "dedup_spans", "dedup_substrings"]
+            r6_queue = [
+                "bm25_topk",
+                "dedup_spans",
+                "dedup_substrings",
+                # r11: per-doc top-5 keyterms — tokenize + two aggs +
+                # vocab-keyed join + per-doc window at 250k docs
+                "tfidf_top_terms",
+            ]
             for r6_i, qname in enumerate(r6_queue):
                 if time_left() < 60:
                     # record EVERY not-yet-run entry, not just the
@@ -2144,6 +2160,41 @@ def main() -> None:
                     "the scale story"
                 ),
             }
+            # SemDeDup over the same hard fixture (r11): the 5k
+            # distractors ARE semantic duplicates of their originals
+            # (cos ~0.999 vs ~0.96 +/- 0.01 for within-cluster
+            # non-dups at this geometry), so eps=0.01 should drop
+            # ~5000 rows — a correctness-checkable scale point for
+            # the grouped-map blocked-BLAS plan (O(n x dim) shuffle
+            # bytes; per-cluster |c|^2 x dim flops across 20 natural
+            # clusters at dim=1024).
+            if time_left() < 45:
+                skip("semdedup_105k", "bench deadline (needs 45 s)")
+            else:
+                from embedding_to_vectordatabase_spark.operators.dedup import (  # noqa: E501
+                    semdedup,
+                )
+
+                progress("semdedup 105k vecs dim=1024 (hard fixture)")
+                n_hard = cvecs.count()
+                mk_sd = lambda: semdedup(  # noqa: E731
+                    cvecs, n_clusters=20, eps=0.01, seed=42
+                )
+                n_survivors = mk_sd().count()  # warmup + drop count
+                sd_sec = round(sample_min(mk_sd, 2), 3)
+                if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
+                    steal_flags["semdedup_105k"] = (
+                        sample_min.last_steal_pct
+                    )
+                timings["semdedup_105k"] = sd_sec
+                total += sd_sec
+                throughput["semdedup_105k_vecs_per_s"] = round(
+                    n_hard / max(sd_sec, 1e-9), 1
+                )
+                throughput["semdedup_105k_n_dropped"] = (
+                    n_hard - n_survivors
+                )
+                calib["after_semdedup_ms"] = calib_ms()
         except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
             skip("ann_recall", repr(e))
 

@@ -1333,3 +1333,108 @@ def dedup_substrings(
         (F.col("n_words") - F.size("__kept")).alias("n_words_removed"),
         F.concat_ws(" ", "__kept").alias("text_dedup"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 64,
+    eps: float = 0.05,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering of the embedding space plus
+    within-cluster cosine thresholding — the scale path for
+    embedding near-dedup when no natural blocking column exists
+    (``embedding_near_dup_pairs`` requires one; this op LEARNS the
+    blocks from the data, which is exactly the paper's trick for
+    avoiding the corpus-quadratic all-pairs comparison).
+
+    Semantics (paper §2.2): cluster all embeddings with k-means;
+    within each cluster, any pair with cosine similarity >= 1 - eps
+    is a semantic-duplicate pair; from each group of duplicates KEEP
+    the example with the LOWEST cosine similarity to its cluster
+    centroid (the least-redundant member — the one carrying the most
+    information the centroid doesn't). Implemented as a dominance
+    filter with no connected-components pass: row x is dropped iff
+    some same-cluster y with cos(x, y) >= 1 - eps has strictly lower
+    centroid-similarity (ties on centroid-similarity broken by id
+    ASC, so the result is deterministic and exactly one member of
+    every mutual-duplicate set survives).
+
+    Scale shape: the quantizer trains on a bounded driver-side sample
+    (reuses the IVF trainer — spread-sampled heads, 10 Lloyd
+    iterations); cluster assignment + centroid-similarity is ONE
+    map-only Arrow kernel over the corpus (a single (batch x k) BLAS
+    matmul serves both the argmin and the cosine); the duplicate
+    test is a grouped map (applyInPandas) keyed by cluster that
+    RETURNS THE SURVIVORS — so the whole operator is one scan, one
+    cluster-keyed exchange, one grouped map, and NO join (a
+    dropped-ids + anti-join spelling was measured and rejected: the
+    anti-join's two references to the staged input each recompute
+    it — no exchange reuse, same r8 self-join finding — and a union
+    input gets the join pushed through it, running the grouped map
+    once PER BRANCH). Each vector crosses the shuffle exactly once —
+    O(n x dim) bytes, never O(pairs x dim) like a pair self-join
+    would ship — and the intra-cluster similarity matrix is a
+    blocked BLAS matmul (1024-row strips: peak task memory is
+    |c| x row_width + 1024 x |c|, never |c|^2). Per-cluster compute
+    is O(|c|^2 x dim) flops — bounded by sizing ``n_clusters`` ~
+    corpus/target_cluster_size exactly as the paper does (50k
+    clusters at LAION scale). Select wide payload columns away
+    before calling if rows carry large text blobs; the cluster's
+    rows are held in one pandas frame per task.
+
+    Output: the surviving rows of ``df`` with ``cluster`` (int) and
+    ``cent_sim`` (double, cosine to own centroid) appended.
+    """
+    import numpy as np
+
+    from .search import _cluster_sim_udf, _train_ivf_centroids
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    cent = _train_ivf_centroids(
+        df, vec_col, n_clusters, seed, train_fraction, n_corpus
+    )
+    assign = _cluster_sim_udf(cent.T, (cent**2).sum(axis=1))
+
+    staged = df.withColumn("__a", assign(F.col(vec_col))).select(
+        "*",
+        F.col("__a.cluster").alias("cluster"),
+        F.col("__a.cent_sim").alias("cent_sim"),
+    ).drop("__a")
+
+    thr = 1.0 - eps
+
+    def _survivors(pdf):
+        n = len(pdf)
+        if n <= 1:
+            return pdf
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Xn = X / norms
+        cs = pdf["cent_sim"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        drop = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            strip = Xn[s : s + block]
+            sims = strip @ Xn.T  # (b, n)
+            cs_b = cs[s : s + block, None]
+            id_b = ids[s : s + block, None]
+            dom = (cs[None, :] < cs_b) | (
+                (cs[None, :] == cs_b) & (ids[None, :] < id_b)
+            )
+            drop[s : s + block] = ((sims >= thr) & dom).any(axis=1)
+        return pdf[~drop]
+
+    return staged.groupBy("cluster").applyInPandas(
+        _survivors, staged.schema
+    )

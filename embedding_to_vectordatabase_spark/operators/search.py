@@ -913,6 +913,48 @@ def _nearest_list_udf(cm: np.ndarray, c2: np.ndarray):
     return nearest_list
 
 
+def _cluster_sim_udf(cm: np.ndarray, c2: np.ndarray):
+    """Arrow-native (nearest cluster, cosine-to-own-centroid) in ONE
+    (batch × nlist) BLAS matmul per Arrow batch — the dots serve both
+    the argmin distance and the cosine numerator. Used by
+    operators.dedup.semdedup, kept here with the other ANN kernels
+    (module-level pa/np/T are what arrow_udf's hint inference needs)."""
+    cnorm = np.sqrt(c2)
+    cnorm[cnorm == 0] = 1.0
+    out_t = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cent_sim", T.DoubleType()),
+        ]
+    )
+
+    @F.arrow_udf(out_t)
+    def cluster_sim(vecs: pa.Array) -> pa.Array:
+        if len(vecs) == 0:
+            return pa.array(
+                [],
+                type=pa.struct(
+                    [("cluster", pa.int32()), ("cent_sim", pa.float64())]
+                ),
+            )
+        V = _pa_matrix(vecs)
+        dots = V @ cm  # (n, nlist)
+        d = c2[None, :] - 2.0 * dots  # ||v-c||² up to +||v||²
+        a = d.argmin(axis=1)
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0] = 1.0
+        sims = dots[np.arange(len(a)), a] / (vn * cnorm[a])
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(a.astype(np.int32), type=pa.int32()),
+                pa.array(sims, type=pa.float64()),
+            ],
+            names=["cluster", "cent_sim"],
+        )
+
+    return cluster_sim
+
+
 def _probe_lists_udf(cm: np.ndarray, c2: np.ndarray, npb: int):
     """Arrow-native npb-nearest-centroid probe lists (query side —
     a handful of rows, but the same kernel keeps both sides exact)."""

@@ -627,3 +627,94 @@ def c4_quality_signals(
             6,
         ).alias("short_line_frac"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyterms by smoothed TF-IDF — the keyword
+    / topic-surface extraction pass of a curation pipeline (the
+    document-centric complement of ``search.bm25_topk``, which scores
+    documents against a QUERY; this ranks each document's own terms).
+
+    score(d, t) = tf(d, t) * idf(t),
+    idf(t) = ln((1 + N) / (1 + df(t))) + 1   (sklearn's smooth_idf,
+    strictly positive so corpus-universal terms still rank behind
+    rarer ones instead of vanishing to exactly 0 and tying on token).
+
+    Determinism across engines: idf is rounded to 6dp BEFORE the tf
+    product, the product is rounded to 6dp and ranked as
+    DECIMAL(18,6) (exact ordering, no double ulp ties), token ASC
+    tie-break; score is returned as double.
+
+    Scale shape: the corpus text is tokenized exactly ONCE —
+    tf is one shuffle on (doc_id, token) with map-side partial
+    combine, and df(t) comes from a count window PARTITIONED BY
+    token over the tf rows (already distinct per (doc, token), so
+    count(*) == docs containing t; a groupBy-then-join spelling of
+    the same df re-scans and re-tokenizes the corpus because
+    DataFrame self-references get no exchange reuse here — verified
+    on the physical plan, same finding as the r8 self-join audit);
+    N is a 1-row agg over the pruned id column broadcast by
+    crossJoin; top-k is a WindowGroupLimit-pruned row_number window
+    partitioned by doc_id — all well-distributed keys, nothing
+    corpus-quadratic, no Python.
+
+    Output: (doc_id, token, tf, score, rank), rank 1..k per doc.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    wdf = Window.partitionBy("token")
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    idf = F.round(
+        F.log(
+            (F.lit(1.0) + F.col("n_docs").cast("double"))
+            / (F.lit(1.0) + F.col("df").cast("double"))
+        )
+        + F.lit(1.0),
+        6,
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(wdf))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf").cast("double") * idf, 6)
+            .cast("decimal(18,6)")
+            .alias("__s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__s").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("__s").cast("double").alias("score"),
+            "rank",
+        )
+    )

@@ -608,3 +608,103 @@ def test_pair_generation_drops_duplicate_id_self_pairs(spark):
     assert all(r["doc_a"] != r["doc_b"] for r in mh)
     sh = simhash_pairs(df, max_hamming=10).collect()
     assert all(r["doc_a"] != r["doc_b"] for r in sh)
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def test_semdedup_eps_range(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="eps"):
+        semdedup(df, eps=0.0)
+
+
+def test_semdedup_keeps_lowest_centroid_sim(spark):
+    """n_clusters=1 makes the centroid the (deterministic) global
+    mean, so the paper's keep-rule is hand-checkable: of the near-dup
+    pair {x1, x2}, x1 sits farther from the mean (cos(x1, m)=0.836 <
+    cos(x2, m)=0.956) and must be the survivor."""
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.96, 0.28]),  # cos(x1,x2)=0.96 >= 0.95 -> dup of 1
+        (3, [0.0, 1.0]),    # far from both
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, n_clusters=1, eps=0.05, seed=7)
+    surv = {r["vec_id"] for r in out.collect()}
+    assert surv == {1, 3}
+    assert {"cluster", "cent_sim"} <= set(out.columns)
+
+
+def test_semdedup_one_survivor_per_duplicate_group(spark):
+    """Two well-separated regions, each holding a group of mutual
+    near-identical vectors plus a distinct singleton: exactly one
+    member of each group survives and no surviving same-cluster pair
+    is still a near-dup, regardless of how k-means carved the space."""
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+    from embedding_to_vectordatabase_spark.functions.vector import (
+        dense_cosine,
+    )
+
+    rows = [
+        # group A: 3 near-identical around [1,0,0]
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.999, 0.002, 0.0]),
+        # singleton near A's region but below threshold
+        (4, [0.9, 0.436, 0.0]),
+        # group B: 2 near-identical around [0,0,1]
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.0, 0.001, 1.0]),
+        # singleton in B's region
+        (7, [0.0, 0.436, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, n_clusters=2, eps=0.05, seed=42).collect()
+    surv = {r["vec_id"] for r in out}
+    assert len(surv & {1, 2, 3}) == 1
+    assert len(surv & {5, 6}) == 1
+    assert {4, 7} <= surv
+    # output is mutual-dup-free within every cluster
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    for members in by_cluster.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                assert (
+                    cos(members[i]["embedding"], members[j]["embedding"])
+                    < 0.95
+                )
+
+
+def test_semdedup_deterministic(spark):
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+    )
+    a = sorted(
+        r["vec_id"]
+        for r in semdedup(df, n_clusters=8, eps=0.2, seed=42).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semdedup(df, n_clusters=8, eps=0.2, seed=42).collect()
+    )
+    assert a == b and len(a) >= 1

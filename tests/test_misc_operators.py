@@ -179,6 +179,7 @@ def test_harness_contract():
         "multimodal_features",
         "ingest_chunks",
         "sketch_distinct_users",
+        "semdedup_survivors",
     }
     # the gate samples the first-50 registry prefix; r11's rotation
     # (__spark_entry__._R11_WINDOW) declares it explicitly — the
@@ -790,3 +791,52 @@ def test_auto_join_null_hot_key_not_salted(spark):
         assert out.count() == n
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc fixture with hand-computed smooth-idf scores:
+    idf = ln((1+N)/(1+df)) + 1, N=3; apple/durian df=1 ->
+    ln(2)+1 = 1.693147; banana/cherry df=2 -> ln(4/3)+1 = 1.287682."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert rows[(1, 1)] == ("apple", 2, 3.386294)
+    assert rows[(1, 2)] == ("banana", 1, 1.287682)
+    # doc 2 ties on score (both df=2, tf=1): token ASC breaks it
+    assert rows[(2, 1)][0] == "banana" and rows[(2, 2)][0] == "cherry"
+    assert rows[(3, 1)] == ("cherry", 2, 2.575364)
+    assert rows[(3, 2)] == ("durian", 1, 1.693147)
+
+
+def test_tfidf_top_terms_null_text_and_k_cap(spark):
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "only two tokens"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=10).collect()
+    by_doc: dict[int, int] = {}
+    for r in out:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    # NULL text yields no terms but still counts in N (df stays honest)
+    assert 1 not in by_doc
+    assert by_doc[2] == 3 and by_doc[3] == 1
+    # rank is dense 1..n per doc
+    ranks = sorted(r["rank"] for r in out if r["doc_id"] == 2)
+    assert ranks == [1, 2, 3]

@@ -98,6 +98,37 @@ CHECKS = {
         ("band-bucket window, no cartesian",
          lambda s: "CartesianProduct" not in s),
     ],
+    # round-11 additions
+    "tfidf_top_terms": [
+        # the corpus text must be tokenized exactly once: df(t) is a
+        # count window over the tf rows, NOT a groupBy+join back
+        # (self-references get no exchange reuse — the join spelling
+        # re-scans and re-tokenizes; verified r11). The second scan
+        # is the column-pruned doc_id pass for N.
+        ("corpus tokenized once (single Generate)",
+         lambda s: len(__import__("re").findall(r"^\(\d+\) Generate", s, 8)) == 1),
+        ("N scan pruned to the id column",
+         lambda s: "ReadSchema: struct<doc_id:bigint>" in s),
+        ("top-k pruned before the doc window shuffle",
+         lambda s: "WindowGroupLimit" in s),
+        ("no cartesian beyond the 1-row N broadcast",
+         lambda s: "CartesianProduct" not in s),
+    ],
+    "semdedup_survivors": [
+        # assignment is one map-only Arrow kernel; the duplicate test
+        # is ONE grouped map keyed by cluster returning the survivors
+        # (vectors cross the wire once — O(n x dim)), never a pair
+        # self-join (O(pairs x dim)) and never an anti-join (whose
+        # double reference to the staged input recomputes it, twice
+        # per union branch — measured r11)
+        ("map-only Arrow cluster assignment",
+         lambda s: "ArrowEvalPython" in s),
+        ("one grouped map, not a pair self-join",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) FlatMapGroupsInPandas", s, 8)) == 1),
+        ("join-free (no recompute-prone anti-join, no cartesian)",
+         lambda s: "Join" not in s and "CartesianProduct" not in s),
+    ],
     # round-6 additions (this session)
     "bm25_topk": [
         # r8 map-side path (small vocab): corpus stats are collected
