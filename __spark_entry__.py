@@ -4763,6 +4763,31 @@ def _q_sketch_distinct_users(spark, sf_dir):
     )
 
 
+def _q_sketch_value_quantiles(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of the value column via a mergeable
+    KLL quantile sketch — built per (event_type, day) then merged to
+    event_type, the persist-then-reaggregate rollup shape
+    (operators/sketches.py:kll_sketches/kll_merge/kll_quantiles; the
+    quantile twin of sketch_distinct_users). Rows-only: KLL
+    compaction is randomized per build, so even two local runs differ
+    inside the rank-error band; the tolerance-vs-exact and
+    merge-n-lossless properties are asserted in
+    tests/test_sketches.py."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketches,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    daily = kll_sketches(ev, ["event_type", "day"], "value")
+    return kll_quantiles(
+        kll_merge(daily, ["event_type"]), ranks=[0.5, 0.9, 0.99]
+    ).orderBy("event_type")
+
+
 def _q_scd2_registry(spark, sf_dir):
     """Type-2 SCD maintenance of a registry dimension
     (operators/scd.py:scd2_apply). The history is the customer table
@@ -6100,6 +6125,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("multimodal_features", _q_multimodal_features, None),
     ("ingest_chunks", _q_ingest_chunks, None),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
+    ("sketch_value_quantiles", _q_sketch_value_quantiles, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

@@ -93,3 +93,78 @@ def top_n_by_count(
     return counts.orderBy(
         F.desc("n_occurrences"), *[F.asc(c) for c in key_cols]
     ).limit(n)
+
+
+def kll_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 200,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Per-group mergeable KLL quantile sketch (binary) of
+    ``value_col`` — the quantile twin of ``hll_sketches``: at 100 TB,
+    "p99 per day / per source / overall" rollups are answered by
+    persisting one small sketch per fine group in the ingest pass and
+    merging later, never by re-scanning the raw store (exact
+    percentiles need a full sort per question). Spark 4.1 ships
+    Apache DataSketches KLL natively (``kll_sketch_agg_double`` et
+    al.), so the sketch is a first-class binary column like the HLL
+    one. k=200 -> ~1.65% rank error, a few KB per sketch.
+
+    Scale shape: one shuffle on the group keys with map-side partial
+    sketch combine; everything downstream touches kilobytes."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias(sketch_col),
+        F.count(value_col).alias("n_values"),
+    )
+
+
+def kll_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Re-aggregate persisted KLL sketches to a coarser grouping
+    without touching raw data (per-source -> total, hour -> day).
+    ``kll_sketch_merge_double`` is a scalar two-sketch merge, so the
+    group fold is collect_list + a linear ``aggregate()`` lambda —
+    the list holds one ~KB sketch per FINE GROUP member (bounded by
+    the rollup fan-in, never by row count). Merged n is exact (KLL
+    tracks n losslessly); quantile error stays within the sketch's
+    rank-error bound."""
+    g = df.groupBy(*group_cols).agg(
+        F.collect_list(sketch_col).alias("__sks"),
+        F.sum("n_values").alias("n_values"),
+    )
+    merged = F.aggregate(
+        F.slice(
+            F.col("__sks"),
+            2,
+            F.greatest(F.size("__sks") - 1, F.lit(0)),
+        ),
+        F.element_at(F.col("__sks"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return g.select(
+        *group_cols, merged.alias(sketch_col), "n_values"
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    ranks: list[float],
+    sketch_col: str = "kll",
+    out_col: str = "quantiles",
+) -> DataFrame:
+    """Read quantile estimates off a sketch column (cheap expression;
+    one array<double> of values per row, parallel to ``ranks``)."""
+    return df.withColumn(
+        out_col,
+        F.kll_sketch_get_quantile_double(
+            F.col(sketch_col),
+            F.array(*[F.lit(float(r)) for r in ranks]),
+        ),
+    ).drop(sketch_col)

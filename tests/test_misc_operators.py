@@ -179,6 +179,7 @@ def test_harness_contract():
         "multimodal_features",
         "ingest_chunks",
         "sketch_distinct_users",
+        "sketch_value_quantiles",
         "semdedup_survivors",
     }
     # the gate samples the first-50 registry prefix; r11's rotation

@@ -72,3 +72,80 @@ def test_top_n_plan_has_no_global_sort(spark):
     df = spark.createDataFrame([("a",)] * 4, "k string")
     plan = top_n_by_count(df, ["k"], 2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _values_df(spark):
+    # deterministic skewed values: value = (i*i) % 1009 over 3 sources
+    rows = [
+        (i, ["s1", "s2", "s3"][i % 3], float((i * i) % 1009))
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, source string, value double"
+    )
+
+
+def test_kll_quantiles_within_rank_tolerance_of_exact(spark):
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketches,
+    )
+
+    df = _values_df(spark)
+    vals = sorted(r["value"] for r in df.collect())
+    out = kll_quantiles(
+        kll_sketches(df, [], "value"), ranks=[0.5, 0.9, 0.99]
+    ).collect()[0]
+    assert out["n_values"] == len(vals)
+    # k=200 -> ~1.65% rank error; allow 4% of n either side
+    tol = int(0.04 * len(vals))
+    for rank, got in zip([0.5, 0.9, 0.99], out["quantiles"]):
+        pos = int(rank * (len(vals) - 1))
+        lo = vals[max(0, pos - tol)]
+        hi = vals[min(len(vals) - 1, pos + tol)]
+        assert lo <= got <= hi, (rank, got, lo, hi)
+
+
+def test_kll_merge_n_exact_and_quantiles_sane(spark):
+    """Merged per-source sketches must carry the EXACT total n (KLL
+    tracks n losslessly) and the merged median must stay within the
+    rank-error band of the exact global median."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketches,
+    )
+
+    df = _values_df(spark)
+    per_source = kll_sketches(df, ["source"], "value")
+    assert per_source.count() == 3
+    merged = kll_merge(per_source, [])
+    out = kll_quantiles(merged, ranks=[0.5]).collect()[0]
+    assert out["n_values"] == 3000
+    vals = sorted(r["value"] for r in df.collect())
+    tol = int(0.04 * len(vals))
+    pos = len(vals) // 2
+    assert vals[pos - tol] <= out["quantiles"][0] <= vals[pos + tol]
+
+
+def test_kll_merge_single_sketch_group_is_identity(spark):
+    """A 1-sketch group's merge fold performs zero merges and must
+    return the input sketch byte-identically. The sketch is
+    MATERIALIZED first (collect + re-create): KLL compaction is
+    randomized per build, so two lazy re-evaluations of the same
+    build plan may yield different (both-in-tolerance) sketches."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketches,
+    )
+
+    df = _values_df(spark).filter(F.col("source") == "s1")
+    built = kll_sketches(df, ["source"], "value")
+    one = spark.createDataFrame(built.collect(), built.schema)
+    direct = kll_quantiles(one, ranks=[0.5]).collect()[0]
+    merged = kll_quantiles(
+        kll_merge(one, ["source"]), ranks=[0.5]
+    ).collect()[0]
+    assert merged["n_values"] == direct["n_values"]
+    assert merged["quantiles"] == direct["quantiles"]
