@@ -2165,9 +2165,11 @@ def main() -> None:
             # (cos ~0.999 vs ~0.96 +/- 0.01 for within-cluster
             # non-dups at this geometry), so eps=0.01 should drop
             # ~5000 rows — a correctness-checkable scale point for
-            # the grouped-map blocked-BLAS plan (O(n x dim) shuffle
-            # bytes; per-cluster |c|^2 x dim flops across 20 natural
-            # clusters at dim=1024).
+            # the cluster-co-located mapInArrow blocked-BLAS plan
+            # (O(n x dim) shuffle bytes; per-cluster |c|^2/2 x dim
+            # flops at dim=1024 — the wall is the LARGEST k-means
+            # cluster, ~15k rows on this fixture's geometry, at the
+            # workers' OMP_NUM_THREADS=1 sgemm rate).
             if time_left() < 45:
                 skip("semdedup_105k", "bench deadline (needs 45 s)")
             else:

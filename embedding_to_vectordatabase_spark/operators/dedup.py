@@ -1370,7 +1370,10 @@ def semdedup(
     iterations); cluster assignment + centroid-similarity is ONE
     map-only Arrow kernel over the corpus (a single (batch x k) BLAS
     matmul serves both the argmin and the cosine); the duplicate
-    test is a grouped map (applyInPandas) keyed by cluster that
+    test is a grouped map (applyInArrow — the cluster's vectors read
+    zero-copy off the Arrow buffers; the pandas route materializes
+    |c| x dim Python floats and dominated the kernel) keyed by
+    cluster that
     RETURNS THE SURVIVORS — so the whole operator is one scan, one
     cluster-keyed exchange, one grouped map, and NO join (a
     dropped-ids + anti-join spelling was measured and rejected: the
@@ -1409,32 +1412,85 @@ def semdedup(
     ).drop("__a")
 
     thr = 1.0 - eps
+    vec_name, id_name = vec_col, id_col
+    col_idx = {f.name: j for j, f in enumerate(staged.schema.fields)}
 
-    def _survivors(pdf):
-        n = len(pdf)
-        if n <= 1:
-            return pdf
-        X = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
+    def _per_partition(batches):
+        import pyarrow as pa
+
+        from .search import _pa_matrix
+
+        # one partition holds WHOLE clusters (hash repartition on the
+        # cluster id below), so buffering it bounds task memory at
+        # partition bytes ~ max cluster bytes. mapInArrow is used
+        # instead of groupBy().applyInArrow because
+        # FlatMapGroupsInArrowExec converts array columns per group at
+        # InternalRow granularity: an IDENTITY grouped map over these
+        # 105k x 1024 rows measured ~50 s where the same bytes through
+        # mapInArrow cost 3.2 s.
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        n = tbl.num_rows
+        if n == 0:
+            return
+        X = _pa_matrix(tbl.column(col_idx[vec_name]), dtype=np.float32)
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         Xn = X / norms
-        cs = pdf["cent_sim"].to_numpy()
-        ids = pdf[id_col].to_numpy()
+        cl = tbl.column(col_idx["cluster"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cs = tbl.column(col_idx["cent_sim"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ids = tbl.column(col_idx[id_name]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
         drop = np.zeros(n, dtype=bool)
-        block = 1024
-        for s in range(0, n, block):
-            strip = Xn[s : s + block]
-            sims = strip @ Xn.T  # (b, n)
-            cs_b = cs[s : s + block, None]
-            id_b = ids[s : s + block, None]
-            dom = (cs[None, :] < cs_b) | (
-                (cs[None, :] == cs_b) & (ids[None, :] < id_b)
-            )
-            drop[s : s + block] = ((sims >= thr) & dom).any(axis=1)
-        return pdf[~drop]
+        order = np.argsort(cl, kind="stable")
+        bounds = np.flatnonzero(np.diff(cl[order])) + 1
+        thr32 = np.float32(thr)
+        block = 2048
+        for g in np.split(order, bounds):
+            if len(g) <= 1:
+                continue
+            # sort the cluster by (cent_sim ASC, id ASC): x is
+            # dominated iff SOME EARLIER row is a near-dup, so the
+            # dominance test collapses to a lower-triangle index mask
+            # and each sgemm strip only needs columns up to its own
+            # end — half the flops of the full square, and no float
+            # comparisons in the inner loop
+            m = len(g)
+            srt = g[np.lexsort((ids[g], cs[g]))]
+            Xg = Xn[srt]
+            dropped_g = np.zeros(m, dtype=bool)
+            for s in range(0, m, block):
+                b = min(block, m - s)
+                strip = Xg[s : s + b]
+                hit = np.zeros(b, dtype=bool)
+                if s:
+                    # columns < s are earlier than every strip row:
+                    # no mask needed
+                    hit = (strip @ Xg[:s].T >= thr32).any(axis=1)
+                diag = strip @ strip.T  # (b, b) within-strip block
+                tri = np.arange(b)
+                hit |= (
+                    (diag >= thr32) & (tri[None, :] < tri[:, None])
+                ).any(axis=1)
+                dropped_g[s : s + b] = hit
+            drop[srt] = dropped_g
+        for rb in tbl.filter(pa.array(~drop)).to_batches():
+            yield rb
 
-    return staged.groupBy("cluster").applyInPandas(
-        _survivors, staged.schema
+    # spread clusters over ~8x more hash buckets than clusters so two
+    # clusters rarely share a task (hash(cluster) % 32 packed 3-4
+    # clusters per task and the straggler WAS the wall: measured 20 s
+    # vs ~3 s of balanced work); empty partitions cost nothing
+    n_parts = max(
+        8 * len(cent), df.sparkSession.sparkContext.defaultParallelism
+    )
+    return staged.repartition(n_parts, F.col("cluster")).mapInArrow(
+        _per_partition, staged.schema
     )

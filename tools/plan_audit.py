@@ -123,9 +123,12 @@ CHECKS = {
         # per union branch — measured r11)
         ("map-only Arrow cluster assignment",
          lambda s: "ArrowEvalPython" in s),
-        ("one grouped map, not a pair self-join",
+        ("one cluster-keyed kernel pass, not a pair self-join "
+         "(and not FlatMapGroupsInArrow, whose per-group InternalRow "
+         "conversion of array columns measured ~15x mapInArrow)",
          lambda s: len(__import__("re").findall(
-             r"^\(\d+\) FlatMapGroupsInPandas", s, 8)) == 1),
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 1
+         and "FlatMapGroups" not in s),
         ("join-free (no recompute-prone anti-join, no cartesian)",
          lambda s: "Join" not in s and "CartesianProduct" not in s),
     ],
