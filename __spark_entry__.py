@@ -4981,6 +4981,50 @@ FROM events GROUP BY 1
 """
 
 
+def _q_variant_props_stats(spark, sf_dir):
+    """Semi-structured props via Spark 4 VARIANT: try_parse_json
+    parses the events props column ONCE into the binary variant form,
+    then typed try_variant_get extractions walk the parsed value —
+    the parse-once/extract-many ingest contract, vs json_field's
+    one-full-parse-per-extraction
+    (functions/text.py:parse_props_variant/variant_field). Output is
+    per-event-type aggregates over two typed extractions of the same
+    variant, so the plan demonstrably reuses one parse."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        parse_props_variant,
+        variant_field,
+    )
+
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        "event_type",
+        parse_props_variant(F.col("props")).alias("__v"),
+    ).select(
+        "event_type",
+        variant_field(F.col("__v"), "k", "bigint").alias("k"),
+        F.length(variant_field(F.col("__v"), "k", "string")).alias(
+            "k_strlen"
+        ),
+    )
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum("k_strlen").alias("sum_k_strlen"),
+    )
+
+
+_SQL_VARIANT_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_distinct_k,
+       SUM(length(json_extract_string(props, '$.k'))) AS sum_k_strlen
+FROM events GROUP BY event_type
+"""
+
+
 def _q_edit_distance_pairs(spark, sf_dir):
     """Typo-level near-dup pairs by Levenshtein distance on the
     normalized 24-char text prefix with length-band blocking
@@ -6043,6 +6087,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("validate_documents", _q_validate_documents, _SQL_VALIDATE),
     ("daily_event_anomalies", _q_daily_event_anomalies, _SQL_ANOMALIES),
     ("props_k_counts", _q_props_k_counts, _SQL_PROPS_K),
+    ("variant_props_stats", _q_variant_props_stats, _SQL_VARIANT_PROPS),
     ("edit_distance_pairs", _q_edit_distance_pairs, _SQL_EDIT_DISTANCE),
     ("token_budget_sample", _q_token_budget_sample, _SQL_TOKEN_BUDGET),
     ("day2_incremental_pipeline", _q_day2_pipeline, _SQL_DAY2_PIPELINE),

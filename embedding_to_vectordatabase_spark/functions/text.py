@@ -122,3 +122,21 @@ def json_int_field(col: Column, path: str) -> Column:
     """`json_field` as bigint — try_cast, so a non-numeric value is
     NULL rather than a task-killing ANSI cast error mid-corpus."""
     return json_field(col, path).try_cast("bigint")
+
+
+def parse_props_variant(col: Column) -> Column:
+    """Parse a JSON string column ONCE into Spark 4's VARIANT binary
+    form (`try_parse_json` — malformed rows become NULL, never a
+    task-killing parse error). The 100 TB semi-structured contract:
+    `json_field` re-parses the string on EVERY extraction, so a query
+    touching f fields pays f parses per row; a variant column is
+    parsed once (ideally at ingest, persisted in parquet) and each
+    `variant_field` after that is a cheap binary path walk."""
+    return F.try_parse_json(col)
+
+
+def variant_field(v: Column, path: str, dtype: str = "string") -> Column:
+    """Extract one typed field from a VARIANT column —
+    `try_variant_get`, so a missing path or an uncastable value is
+    NULL rather than an error. ``path`` is the bare field name."""
+    return F.try_variant_get(v, f"$.{path}", dtype)

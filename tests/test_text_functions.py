@@ -263,3 +263,36 @@ def test_c4_terminal_punct_allows_closing_quotes(spark):
     )
     r = c4_quality_signals(df, F.col("text")).collect()[0]
     assert abs(r["terminal_punct_line_frac"] - 0.5) < 1e-6
+
+
+def test_variant_parse_once_extract_typed(spark):
+    """VARIANT path: try_parse_json parses once; typed try_variant_get
+    extractions are NULL-safe on malformed JSON, missing paths, and
+    uncastable values — never task-killing errors."""
+    from pyspark.sql import functions as F
+
+    from embedding_to_vectordatabase_spark.functions.text import (
+        parse_props_variant,
+        variant_field,
+    )
+
+    rows = [
+        (1, '{"k": 42, "tag": "a"}'),
+        (2, '{"tag": "b"}'),          # missing k
+        (3, 'not json at all'),       # malformed -> NULL variant
+        (4, '{"k": "noncast"}'),      # k present, not castable to int
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    v = parse_props_variant(F.col("props"))
+    out = {
+        r["event_id"]: (r["k"], r["tag"])
+        for r in df.select(
+            "event_id",
+            variant_field(v, "k", "bigint").alias("k"),
+            variant_field(v, "tag", "string").alias("tag"),
+        ).collect()
+    }
+    assert out[1] == (42, "a")
+    assert out[2] == (None, "b")
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
