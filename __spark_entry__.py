@@ -4788,6 +4788,62 @@ def _q_sketch_value_quantiles(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_theta_user_overlap(spark, sf_dir):
+    """Audience set algebra over mergeable Theta sketches
+    (operators/sketches.py:theta_*): per-event-type sketches of
+    user_id, then |view AND click| via intersection, |view NOT click|
+    via a-not-b, |any type| via union. Oracle-bearing: every gate SF
+    keeps distinct users per type (15/150/1500) far below the
+    sketch's 4096 nominal entries, so Theta is in EXACT mode and the
+    estimates equal the true set sizes DuckDB computes relationally;
+    the sampling-mode tolerance behavior is covered in
+    tests/test_sketches.py."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        theta_difference,
+        theta_intersection,
+        theta_sketches,
+        theta_union,
+    )
+
+    ev = _events(spark, sf_dir)
+    per = theta_sketches(ev, ["event_type"], "user_id")
+    vc = per.filter(F.col("event_type").isin("view", "click"))
+    inter = theta_intersection(vc, []).select(
+        F.expr("theta_sketch_estimate(theta)")
+        .cast("bigint")
+        .alias("n_view_and_click")
+    )
+    uni = theta_union(per, []).select(
+        F.expr("theta_sketch_estimate(theta)")
+        .cast("bigint")
+        .alias("n_any_type")
+    )
+    v = per.filter(F.col("event_type") == "view").select(
+        F.col("theta").alias("sv")
+    )
+    c = per.filter(F.col("event_type") == "click").select(
+        F.col("theta").alias("sc")
+    )
+    diff = v.crossJoin(c).select(
+        F.expr("theta_sketch_estimate(theta_difference(sv, sc))")
+        .cast("bigint")
+        .alias("n_view_not_click")
+    )
+    return inter.crossJoin(diff).crossJoin(uni)
+
+
+_SQL_THETA_OVERLAP = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT
+  (SELECT count(*) FROM v WHERE user_id IN (SELECT user_id FROM c))
+    AS n_view_and_click,
+  (SELECT count(*) FROM v WHERE user_id NOT IN (SELECT user_id FROM c))
+    AS n_view_not_click,
+  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_any_type
+"""
+
+
 def _q_scd2_registry(spark, sf_dir):
     """Type-2 SCD maintenance of a registry dimension
     (operators/scd.py:scd2_apply). The history is the customer table
@@ -6171,6 +6227,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ingest_chunks", _q_ingest_chunks, None),
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
     ("sketch_value_quantiles", _q_sketch_value_quantiles, None),
+    ("theta_user_overlap", _q_theta_user_overlap, _SQL_THETA_OVERLAP),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

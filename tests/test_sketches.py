@@ -149,3 +149,46 @@ def test_kll_merge_single_sketch_group_is_identity(spark):
     ).collect()[0]
     assert merged["n_values"] == direct["n_values"]
     assert merged["quantiles"] == direct["quantiles"]
+
+
+def test_theta_set_algebra_exact_below_nominal(spark):
+    """In exact mode (distinct counts << 2^lg_k) theta union /
+    intersection / difference estimates equal the true set sizes."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        theta_difference,
+        theta_estimate,
+        theta_intersection,
+        theta_sketches,
+        theta_union,
+    )
+
+    # group a: users 0..99; group b: users 50..149 -> |a∩b|=50,
+    # |a∪b|=150, |a\b|=50
+    rows = [("a", u) for u in range(100)] + [
+        ("b", u) for u in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    per = theta_sketches(df, ["g"], "user_id")
+    assert (
+        theta_estimate(theta_union(per, []))
+        .first()["n_distinct_approx"]
+        == 150
+    )
+    assert (
+        theta_estimate(theta_intersection(per, []))
+        .first()["n_distinct_approx"]
+        == 50
+    )
+    a = per.filter(F.col("g") == "a").select(
+        F.col("theta").alias("sa")
+    )
+    b = per.filter(F.col("g") == "b").select(
+        F.col("theta").alias("sb")
+    )
+    diff = (
+        a.crossJoin(b)
+        .select(theta_difference("sa", "sb").alias("theta"))
+    )
+    assert (
+        theta_estimate(diff).first()["n_distinct_approx"] == 50
+    )
