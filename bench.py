@@ -219,7 +219,7 @@ DUCKDB_WATCHDOG_SEC = 60.0
 # ~80 s of added clean-run work. Raised to 700 in round 11 for the
 # x4 stream amortization point (VERDICT r10 item 6: ~25-35 s — 4x
 # jsonl fixture build is cached after the first run).
-BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "700"))
+BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "780"))
 
 
 def main() -> None:
@@ -2183,7 +2183,13 @@ def main() -> None:
                     cvecs, n_clusters=20, eps=0.01, seed=42
                 )
                 n_survivors = mk_sd().count()  # warmup + drop count
-                sd_sec = round(sample_min(mk_sd, 2), 3)
+                # single timed shot (the warmup above already JIT/page
+                # -warmed the plan): this section sits between the ANN
+                # recall block and the floor-amortization curve, and a
+                # best-of-2 here (up to 4 shots under storm extension)
+                # measured 40-80 s of budget the floor section then
+                # starved on - the curve outranks a second sample
+                sd_sec = round(sample_min(mk_sd, 1), 3)
                 if sample_min.last_steal_pct >= STEAL_FLAG_PCT:
                     steal_flags["semdedup_105k"] = (
                         sample_min.last_steal_pct
