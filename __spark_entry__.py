@@ -4788,6 +4788,59 @@ def _q_sketch_value_quantiles(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) for an English-like
+    target: every document scored by sum of hashed unigram+bigram
+    bucket log-ratios ln(p_en-docs / p_all-docs)
+    (operators/sampling.py:dsir_weights; md5 portable buckets,
+    6dp-rounded per-bucket ratios summed as DECIMAL). The
+    data-selection primitive: rank raw docs by target-likeness and
+    take the head as the mixture's high-quality slice."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096
+    )
+
+
+_SQL_DSIR = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           s -> s <> '') AS ws
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(ws) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
+  FROM (SELECT doc_id, lang, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM tok)),
+bf AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b
+  FROM feats),
+raw_c AS (SELECT b, COUNT(*) AS rc FROM bf GROUP BY b),
+tgt_c AS (SELECT b, COUNT(*) AS tc FROM bf WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM bf) AS tr,
+               (SELECT COUNT(*) FROM bf WHERE lang = 'en') AS tt),
+lr AS (
+  SELECT raw_c.b,
+         CAST(ROUND(
+           ln((COALESCE(tgt_c.tc, 0) + 1.0) / (tt + 1.0 * 4096))
+           - ln((raw_c.rc + 1.0) / (tr + 1.0 * 4096)),
+           6) AS DECIMAL(18,6)) AS w
+  FROM raw_c LEFT JOIN tgt_c ON raw_c.b = tgt_c.b CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_features,
+       CAST(SUM(w) AS DOUBLE) AS dsir_weight
+FROM bf JOIN lr ON bf.b = lr.b GROUP BY doc_id
+"""
+
+
 def _q_theta_user_overlap(spark, sf_dir):
     """Audience set algebra over mergeable Theta sketches
     (operators/sketches.py:theta_*): per-event-type sketches of
@@ -6228,6 +6281,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("sketch_distinct_users", _q_sketch_distinct_users, None),
     ("sketch_value_quantiles", _q_sketch_value_quantiles, None),
     ("theta_user_overlap", _q_theta_user_overlap, _SQL_THETA_OVERLAP),
+    ("dsir_weights_en", _q_dsir_weights, _SQL_DSIR),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

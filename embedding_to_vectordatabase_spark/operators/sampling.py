@@ -451,3 +451,118 @@ def temperature_mix(
         .filter(u < F.col(rate_col))
         .select(*df.columns)
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how target-like it is under
+    hashed n-gram feature distributions — the data-selection
+    primitive for building a pretraining mixture that matches a
+    small high-quality target (the paper's Wikipedia/books use
+    case). weight(d) = sum over d's unigram+bigram features of
+    ln(p_target(bucket) / p_raw(bucket)), both add-alpha-smoothed
+    over ``n_buckets`` hash buckets.
+
+    Determinism across engines: features hash through md5 hex →
+    conv(hex,16,10) % n_buckets (the repo's portable bucket pattern;
+    ``hash_fn='xxhash64'`` is the narrow production knob, same
+    tradeoff as dedup_substrings); each bucket's log-ratio is rounded
+    to 6dp and doc weights sum as DECIMAL (exact, order-insensitive —
+    the bm25 technique), cast to double only on output.
+
+    Scale shape: feature extraction is map-only (tokens + adjacent
+    bigrams from one split, exploded); the two bucket-count aggs have
+    map-side combine and their outputs are ≤ n_buckets rows, so the
+    log-ratio table BROADCASTS to the scoring join; totals are 1-row
+    agg crossJoins. The per-doc weight agg's partial combine runs
+    before its exchange (exploded features of a doc never shuffle
+    raw), so the only corpus-sized exchange moves ~1 row per doc.
+    Docs with no tokens produce no row (no features to score).
+    Output: (doc_id, n_features long, dsir_weight double).
+    """
+    def feats(df: DataFrame, idc: str) -> DataFrame:
+        toks = F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+                r"\s+",
+            ),
+            lambda s: s != "",
+        )
+        staged = df.select(F.col(idc).alias("doc_id"), toks.alias("__ws"))
+        ws = F.col("__ws")
+        bigrams = F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i),
+                    F.element_at(ws, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        if hash_fn == "md5":
+            def bucket(c):
+                return (
+                    F.conv(F.substring(F.md5(c), 1, 15), 16, 10)
+                    .cast("long")
+                    % n_buckets
+                )
+        elif hash_fn == "xxhash64":
+            def bucket(c):
+                return F.pmod(F.xxhash64(c), F.lit(n_buckets))
+        else:
+            raise ValueError(
+                f"unknown hash_fn {hash_fn!r}; use md5|xxhash64"
+            )
+        return staged.select(
+            "doc_id",
+            F.explode(F.concat(ws, bigrams)).alias("__f"),
+        ).select("doc_id", bucket(F.col("__f")).alias("b"))
+
+    raw_bf = feats(raw, id_col)
+    tgt_bf = feats(target, id_col)
+    raw_c = raw_bf.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt_c = tgt_bf.groupBy("b").agg(F.count("*").alias("tc"))
+    raw_tot = raw_bf.agg(F.count("*").alias("tr"))
+    tgt_tot = tgt_bf.agg(F.count("*").alias("tt"))
+    lr = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)).cast("double")
+                     + F.lit(alpha))
+                    / (F.col("tt").cast("double")
+                       + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("rc").cast("double") + F.lit(alpha))
+                    / (F.col("tr").cast("double")
+                       + F.lit(alpha * n_buckets))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    return (
+        raw_bf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w").cast("double").alias("dsir_weight"),
+        )
+    )

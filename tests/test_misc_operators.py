@@ -841,3 +841,60 @@ def test_tfidf_top_terms_null_text_and_k_cap(spark):
     # rank is dense 1..n per doc
     ranks = sorted(r["rank"] for r in out if r["doc_id"] == 2)
     assert ranks == [1, 2, 3]
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR selection property: documents drawn from the target
+    distribution outscore off-target documents, and the weight is a
+    per-feature average-able sum (docs with no tokens emit no row)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    en = [
+        "the cat is on the mat and the dog is here with the ball",
+        "the sun is up and the day is warm with the wind",
+        "the code is fast and the test is green with the fix",
+    ]
+    de = [
+        "der hund und die katze sind mit dem ball und der sonne",
+        "die nacht und der tag sind mit dem wind und der zeit",
+    ]
+    rows = [(i, t) for i, t in enumerate(en + de + [None])]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter(F.col("doc_id") < 3)  # the en docs
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(raw, target).collect()
+    }
+    assert 5 not in out  # NULL text -> no features -> no row
+    avg_en = sum(out[i] for i in range(3)) / 3
+    avg_de = sum(out[i] for i in (3, 4)) / 2
+    assert avg_en > avg_de
+    # per-doc normalized too (length-robust ordering on this fixture)
+    n_feats = {
+        r["doc_id"]: r["n_features"]
+        for r in dsir_weights(raw, target).collect()
+    }
+    assert all(n_feats[i] > 0 for i in out)
+
+
+def test_dsir_weights_xxhash64_knob_same_shape(spark):
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        dsir_weights,
+    )
+    import pytest as _pytest
+
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e")], "doc_id long, text string"
+    )
+    md5 = dsir_weights(raw, raw, hash_fn="md5").collect()
+    xx = dsir_weights(raw, raw, hash_fn="xxhash64").collect()
+    # target == raw -> every bucket ratio is ln(tt-normalizer shift)
+    # of identical counts: weights identical across hash fns too
+    assert {r["doc_id"] for r in md5} == {1, 2}
+    assert {r["doc_id"]: r["n_features"] for r in md5} == {
+        r["doc_id"]: r["n_features"] for r in xx
+    }
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dsir_weights(raw, raw, hash_fn="sha1").collect()
