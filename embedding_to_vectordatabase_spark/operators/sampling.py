@@ -480,11 +480,16 @@ def dsir_weights(
 
     Scale shape: feature extraction is map-only (tokens + adjacent
     bigrams from one split, exploded); the two bucket-count aggs have
-    map-side combine and their outputs are ≤ n_buckets rows, so the
+    map-side combine and their outputs are ≤ n_buckets rows —
+    persist()ed, since both are referenced twice (totals + log-ratio
+    join) and re-evaluation would re-tokenize the corpus — so the
     log-ratio table BROADCASTS to the scoring join; totals are 1-row
-    agg crossJoins. The per-doc weight agg's partial combine runs
-    before its exchange (exploded features of a doc never shuffle
-    raw), so the only corpus-sized exchange moves ~1 row per doc.
+    agg crossJoins over the pinned count tables. The raw corpus is
+    tokenized exactly twice (count build + scoring stream; the
+    scoring reference is inherent), the target once. The per-doc
+    weight agg's partial combine runs before its exchange (exploded
+    features of a doc never shuffle raw), so the only corpus-sized
+    exchange moves ~1 row per doc.
     Docs with no tokens produce no row (no features to score).
     Output: (doc_id, n_features long, dsir_weight double).
     """
@@ -530,10 +535,16 @@ def dsir_weights(
 
     raw_bf = feats(raw, id_col)
     tgt_bf = feats(target, id_col)
-    raw_c = raw_bf.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt_c = tgt_bf.groupBy("b").agg(F.count("*").alias("tc"))
-    raw_tot = raw_bf.agg(F.count("*").alias("tr"))
-    tgt_tot = tgt_bf.agg(F.count("*").alias("tt"))
+    # the count tables are <= n_buckets rows but their INPUT is the
+    # full corpus, and DataFrame self-references get no exchange
+    # reuse here (r8 finding): each reference re-scans and
+    # re-tokenizes. Both tables are referenced twice (totals + the
+    # log-ratio join), so persist() pins the tiny table and the
+    # extraction runs exactly once per corpus
+    raw_c = raw_bf.groupBy("b").agg(F.count("*").alias("rc")).persist()
+    tgt_c = tgt_bf.groupBy("b").agg(F.count("*").alias("tc")).persist()
+    raw_tot = raw_c.agg(F.sum("rc").alias("tr"))
+    tgt_tot = tgt_c.agg(F.sum("tc").alias("tt"))
     lr = (
         raw_c.join(tgt_c, "b", "left")
         .crossJoin(F.broadcast(raw_tot))
