@@ -6298,17 +6298,26 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # committed CORRECTNESS_r0*.json files) — the r2 group is the four
 # r11 rotation: zorder_key leads (the one oracle-bearing query with NO
 # driver CORRECTNESS record — added r10 at position 153, outside that
-# round's window; VERDICT r10 item 2); then the entire r7-latest-record
-# cohort (48 queries, all oracle-bearing — the oldest provenance in the
-# registry after r10 refreshed r2-r7-head); the tail slot seats the new
-# rows-only prod-config chunking query (rows-only kept at the TAIL per
-# r10 ADVICE so marginal gate-sample growth prefers hash-checkable
-# entries). Displaced queries remain covered by tools/oracle_check.py
-# and tests/test_oracle_window.py at both gate SFs every round.
+# round's window; VERDICT r10 item 2); then THIS round's four new
+# oracle-bearing queries (tfidf_top_terms, variant_props_stats,
+# theta_user_overlap, dsir_weights_en — seating them now avoids
+# repeating the r10 zorder_key provenance gap); then the
+# r7-latest-record cohort (the oldest provenance in the registry) up
+# to the 47-slot oracle budget; the three tail slots seat the round's
+# rows-only newcomers (prod-config chunking, semdedup, KLL quantiles
+# — rows-only kept at the TAIL per r10 ADVICE so marginal gate-sample
+# growth prefers hash-checkable entries). Displaced r7-cohort queries
+# keep their r7-green records and remain covered by
+# tools/oracle_check.py and tests/test_oracle_window.py at both gate
+# SFs every round.
 _R11_WINDOW: list[str] = [
-    # (a) never driver-checked
+    # (a) never driver-checked: r10's gap + this round's new oracles
     "zorder_key",
-    # (b) oldest latest-record: the full r7 cohort, registry order
+    "tfidf_top_terms",
+    "variant_props_stats",
+    "theta_user_overlap",
+    "dsir_weights_en",
+    # (b) oldest latest-record: r7 cohort, registry order
     "lang_id",
     "quality_score",
     "doc_fingerprint",
@@ -6351,14 +6360,10 @@ _R11_WINDOW: list[str] = [
     "s1_jsonl_scan",
     "s5_whole_files",
     "w1_row_numbers",
-    "w1_row_numbers_scalable",
-    "s2_row_range",
-    "j1_registry_matched",
-    "j1_registry_unmatched",
-    "j2_anti_ingested",
-    "auto_join_hot_agg",
     # (c) new this round, rows-only — window tail by policy
     "t1_chunk_recursive_prod",
+    "semdedup_survivors",
+    "sketch_value_quantiles",
 ]
 
 
