@@ -132,6 +132,20 @@ CHECKS = {
         ("join-free (no recompute-prone anti-join, no cartesian)",
          lambda s: "Join" not in s and "CartesianProduct" not in s),
     ],
+    "dsir_weights_en": [
+        # the two bucket-count tables are persist()ed: their builds
+        # appear as InMemoryRelations (one Generate each), and the
+        # only other tokenization is the scoring stream — three
+        # Generates total, none re-run per downstream reference
+        ("count tables pinned in memory (no re-tokenization per reference)",
+         lambda s: "InMemoryRelation" in s),
+        ("corpus tokenized once per role (scoring + two pinned builds)",
+         lambda s: len(__import__("re").findall(r"^\(\d+\) Generate", s, 8)) == 3),
+        ("log-ratio table broadcast to the scoring join",
+         lambda s: "BroadcastHashJoin Inner" in s),
+        ("no cartesian beyond the 1-row totals broadcasts",
+         lambda s: "CartesianProduct" not in s),
+    ],
     # round-6 additions (this session)
     "bm25_topk": [
         # r8 map-side path (small vocab): corpus stats are collected
