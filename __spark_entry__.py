@@ -4772,20 +4772,38 @@ def _q_sketch_value_quantiles(spark, sf_dir):
     compaction is randomized per build, so even two local runs differ
     inside the rank-error band; the tolerance-vs-exact and
     merge-n-lossless properties are asserted in
-    tests/test_sketches.py."""
+    tests/test_sketches.py. Output is posexploded to scalar
+    (event_type, rank, value, n_values) rows — the driver
+    canonicalizer sorts/hashes EVERY recorded query's cells
+    (rows-only included, as the r11 crash row proved), and an
+    array<double> cell is unhashable there."""
     from embedding_to_vectordatabase_spark.operators.sketches import (
         kll_merge,
         kll_quantiles,
         kll_sketches,
     )
 
+    ranks = [0.5, 0.9, 0.99]
     ev = _events(spark, sf_dir).withColumn(
         "day", F.to_date(F.col("ts"))
     )
     daily = kll_sketches(ev, ["event_type", "day"], "value")
-    return kll_quantiles(
-        kll_merge(daily, ["event_type"]), ranks=[0.5, 0.9, 0.99]
-    ).orderBy("event_type")
+    q = kll_quantiles(kll_merge(daily, ["event_type"]), ranks=ranks)
+    ranks_arr = F.array(*[F.lit(float(r)) for r in ranks])
+    return (
+        q.select(
+            "event_type",
+            "n_values",
+            F.posexplode("quantiles").alias("pos", "value"),
+        )
+        .select(
+            "event_type",
+            F.element_at(ranks_arr, F.col("pos") + 1).alias("rank"),
+            "value",
+            "n_values",
+        )
+        .orderBy("event_type", "rank")
+    )
 
 
 def _q_dsir_weights(spark, sf_dir):
@@ -5126,10 +5144,12 @@ def _q_variant_props_stats(spark, sf_dir):
 _SQL_VARIANT_PROPS = """
 SELECT event_type,
        count(*) AS n_events,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
          AS n_distinct_k,
-       SUM(length(json_extract_string(props, '$.k'))) AS sum_k_strlen
+       CAST(SUM(length(json_extract_string(props, '$.k'))) AS BIGINT)
+         AS sum_k_strlen
 FROM events GROUP BY event_type
 """
 

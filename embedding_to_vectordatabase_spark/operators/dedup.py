@@ -1362,8 +1362,14 @@ def semdedup(
     filter with no connected-components pass: row x is dropped iff
     some same-cluster y with cos(x, y) >= 1 - eps has strictly lower
     centroid-similarity (ties on centroid-similarity broken by id
-    ASC, so the result is deterministic and exactly one member of
-    every mutual-duplicate set survives).
+    ASC, so the result is deterministic). Guarantee — the paper's
+    filter semantics, NOT one-per-clique: no two survivors in a
+    cluster are near-duplicates of each other, and the
+    lowest-centroid-similarity member of every duplicate chain
+    survives; on a NON-transitive chain (sim(A,B) and sim(B,C) over
+    threshold but sim(A,C) under it, A ranked first) B and C are
+    BOTH dropped, so a mutual-duplicate subset may keep zero members
+    as long as some chain neighbor that dominated them survives.
 
     Scale shape: the quantizer trains on a bounded driver-side sample
     (reuses the IVF trainer — spread-sampled heads, 10 Lloyd

@@ -461,6 +461,7 @@ def dsir_weights(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     hash_fn: str = "md5",
+    eager: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every raw-corpus document by how target-like it is under
@@ -492,6 +493,19 @@ def dsir_weights(
     exchange moves ~1 row per doc.
     Docs with no tokens produce no row (no features to score).
     Output: (doc_id, n_features long, dsir_weight double).
+
+    Cache lifecycle: the two persisted count tables back the LAZY
+    returned plan, so the operator cannot unpersist them itself —
+    in the default mode the CALLER owns cleanup (materialize the
+    result, then ``spark.catalog.clearCache()`` or re-call with
+    ``eager=True``); repeated lazy calls in a long-lived session
+    otherwise accumulate pinned ≤ n_buckets-row tables. With
+    ``eager=True`` the count build runs AT CALL TIME: the log-ratio
+    table (≤ n_buckets rows, the bounded-collect pattern) is
+    collected and re-created as a literal DataFrame, both count
+    tables are unpersisted before returning, and the returned plan
+    holds no cache references — same values, two corpus passes
+    either way (the paper's own two-pass structure).
     """
     def feats(df: DataFrame, idc: str) -> DataFrame:
         toks = F.filter(
@@ -569,6 +583,12 @@ def dsir_weights(
             .alias("w"),
         )
     )
+    if eager:
+        lr_rows = lr.collect()  # ≤ n_buckets rows by construction
+        lr_schema = lr.schema
+        raw_c.unpersist()
+        tgt_c.unpersist()
+        lr = raw.sparkSession.createDataFrame(lr_rows, lr_schema)
     return (
         raw_bf.join(F.broadcast(lr), "b")
         .groupBy("doc_id")

@@ -134,7 +134,14 @@ def kll_merge(
     the list holds one ~KB sketch per FINE GROUP member (bounded by
     the rollup fan-in, never by row count). Merged n is exact (KLL
     tracks n losslessly); quantile error stays within the sketch's
-    rank-error bound."""
+    rank-error bound.
+
+    All-NULL groups (every fine sketch NULL, e.g. value_col entirely
+    NULL): collect_list drops NULLs so ``__sks`` is empty, and the
+    fold seed uses ``try_element_at`` — under Spark 4's default ANSI
+    mode a plain ``element_at`` on the empty array would throw
+    INVALID_ARRAY_INDEX and kill the task; try_element_at yields a
+    NULL sketch for the group instead."""
     g = df.groupBy(*group_cols).agg(
         F.collect_list(sketch_col).alias("__sks"),
         F.sum("n_values").alias("n_values"),
@@ -145,7 +152,7 @@ def kll_merge(
             2,
             F.greatest(F.size("__sks") - 1, F.lit(0)),
         ),
-        F.element_at(F.col("__sks"), 1),
+        F.try_element_at(F.col("__sks"), F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
     return g.select(
@@ -170,6 +177,17 @@ def kll_quantiles(
     ).drop(sketch_col)
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into an
+    ``F.expr`` SQL fragment (the Theta functions have no Python
+    binding yet, so the column reference must travel as SQL text).
+    Without quoting, a name with a space/hyphen breaks the parse —
+    or worse, a name containing an expression fragment EXECUTES as
+    SQL. Backticks make any name a plain identifier; embedded
+    backticks are escaped by doubling per Spark's lexer."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def theta_sketches(
     df: DataFrame,
     group_cols: list[str],
@@ -187,10 +205,10 @@ def theta_sketches(
     distinct values per sketch (lg_k=12 default) Theta is in exact
     mode and estimates are exact integers; above it, within ~3%.
 
-    ``value_col``/``sketch_col`` are interpolated into SQL
-    expressions — pass simple column names."""
+    ``value_col``/``sketch_col`` travel as SQL text but are
+    backtick-quoted by ``_ident`` — any column name is safe."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"theta_sketch_agg({value_col})").alias(sketch_col)
+        F.expr(f"theta_sketch_agg({_ident(value_col)})").alias(sketch_col)
     )
 
 
@@ -200,7 +218,7 @@ def theta_union(
     """Re-aggregate Theta sketches to a coarser grouping: distinct
     of the UNION of the fine groups' value sets."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"theta_union_agg({sketch_col})").alias(sketch_col)
+        F.expr(f"theta_union_agg({_ident(sketch_col)})").alias(sketch_col)
     )
 
 
@@ -211,14 +229,14 @@ def theta_intersection(
     values present in EVERY fine group of the coarser key — the
     "did all of X, Y, Z" audience primitive HLL cannot express."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"theta_intersection_agg({sketch_col})").alias(sketch_col)
+        F.expr(f"theta_intersection_agg({_ident(sketch_col)})").alias(sketch_col)
     )
 
 
 def theta_difference(a: str, b: str):
     """Column expression: sketch of values in ``a``'s set but not
     ``b``'s (a-not-b). ``a``/``b`` are sketch column names."""
-    return F.expr(f"theta_difference({a}, {b})")
+    return F.expr(f"theta_difference({_ident(a)}, {_ident(b)})")
 
 
 def theta_estimate(
@@ -230,5 +248,5 @@ def theta_estimate(
     expression; exact below the sketch's nominal-entries bound)."""
     return df.withColumn(
         out_col,
-        F.expr(f"theta_sketch_estimate({sketch_col})").cast("bigint"),
+        F.expr(f"theta_sketch_estimate({_ident(sketch_col)})").cast("bigint"),
     ).drop(sketch_col)

@@ -898,3 +898,34 @@ def test_dsir_weights_xxhash64_knob_same_shape(spark):
     }
     with _pytest.raises(ValueError, match="hash_fn"):
         dsir_weights(raw, raw, hash_fn="sha1").collect()
+
+
+def test_dsir_weights_eager_mode_same_values_no_pinned_cache(spark):
+    """eager=True must (a) return identical weights to the lazy
+    default and (b) leave no persisted count tables behind — the lazy
+    plan pins two ≤ n_buckets-row caches the caller has to clean up;
+    the eager path collects the bounded log-ratio table and
+    unpersists before returning (ADVICE r11)."""
+    from embedding_to_vectordatabase_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "der hund lief"), (3, "the dog ran")],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id") != 2)
+    lazy = {
+        r["doc_id"]: (r["n_features"], r["dsir_weight"])
+        for r in dsir_weights(raw, target).collect()
+    }
+    spark.catalog.clearCache()  # the documented lazy-mode cleanup
+    eager = {
+        r["doc_id"]: (r["n_features"], r["dsir_weight"])
+        for r in dsir_weights(raw, target, eager=True).collect()
+    }
+    assert lazy == eager
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0, (
+        "eager dsir_weights left persisted tables behind"
+    )

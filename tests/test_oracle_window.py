@@ -63,22 +63,22 @@ def test_out_of_window_oracle_queries_stay_green(spark, sf_dir):
 def test_oracle_queries_return_scalar_columns_only(spark):
     """The driver's comparator canonicalizes results with pandas
     ``sort_values``, which cannot factorize array/map/struct cells —
-    an oracle-bearing query returning one is mechanically ungradable
-    (the r9 ``v_normalize`` failure: ``TypeError: unhashable type:
-    'list'`` in the driver harness, the registry's only red row that
-    round). Checks the schema of every oracle-bearing entry without
-    collecting results (builders that run a bounded calibration
-    action at construction time — e.g. zorder_key's min/max agg —
-    still execute that pre-flight): posexplode arrays / flatten
-    structs before returning."""
+    a recorded query returning one is mechanically ungradable
+    (the r9 ``v_normalize`` failure and the r11
+    ``sketch_value_quantiles`` crash: ``TypeError: unhashable type:
+    'list'`` in the driver harness). The r10 version of this guard
+    exempted rows-only queries on the assumption the driver never
+    canonicalizes them — r11's crash row falsified that, so the
+    guard now pins EVERY registry query, oracle-bearing or not.
+    Checks schemas without collecting results (builders that run a
+    bounded calibration action at construction time — e.g.
+    zorder_key's min/max agg — still execute that pre-flight):
+    posexplode arrays / flatten structs before returning."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
     offenders = []
     for name in qs:
-        if name not in oracles:
-            continue  # rows-only: the driver never canonicalizes these
         df = qs[name](spark, "/root/testdata/sf0.001")
         for f in df.schema.fields:
             t = f.dataType.simpleString()
@@ -87,4 +87,37 @@ def test_oracle_queries_return_scalar_columns_only(spark):
     assert not offenders, (
         "oracle-bearing queries with driver-unsortable column types "
         f"(reshape to scalar rows): {offenders}"
+    )
+
+
+def test_oracle_sql_planned_types_have_no_hugeint():
+    """DuckDB types a bare ``SUM(BIGINT)`` as HUGEINT (int128);
+    ``fetchdf()`` materializes that as float64, which the driver's
+    canonicalizer hashes differently from Spark's bigint even when
+    the values are bit-identical (the r11 ``variant_props_stats``
+    red row), and which silently loses exactness past 2^53 at larger
+    scale. Plan every oracle at sf0.001 and pin that no output
+    column is HUGEINT/UHUGEINT — sums must be written
+    ``CAST(SUM(...) AS BIGINT/DOUBLE)`` per the repo convention."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from oracle_check import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, tp in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(tp).upper():
+                offenders.append((name, col, str(tp)))
+    con.close()
+    assert not offenders, (
+        "oracle SQL columns DuckDB types as int128 (fetchdf -> "
+        f"float64 -> driver hash mismatch): {offenders}"
     )

@@ -192,3 +192,58 @@ def test_theta_set_algebra_exact_below_nominal(spark):
     assert (
         theta_estimate(diff).first()["n_distinct_approx"] == 50
     )
+
+
+def test_kll_merge_all_null_sketch_group_yields_null_sketch(spark):
+    """A coarse group whose every fine-group SKETCH CELL is NULL
+    (possible when rollup tables come through outer joins or
+    hand-persisted partial builds — ``kll_sketch_agg_double`` itself
+    returns an empty-but-non-NULL sketch for all-NULL values) must
+    merge to a NULL sketch, not an ANSI INVALID_ARRAY_INDEX task
+    error: collect_list drops the NULLs so the fold list is empty,
+    and the try_element_at seed must absorb that (ADVICE r11)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        kll_merge,
+        kll_sketches,
+    )
+
+    real = kll_sketches(
+        spark.createDataFrame(
+            [("b", 0, 1.0), ("b", 1, 2.0)],
+            "grp string, day int, value double",
+        ),
+        ["grp", "day"],
+        "value",
+    )
+    nulls = spark.createDataFrame(
+        [("a", 8, None, 0), ("a", 9, None, 0)],
+        "grp string, day int, kll binary, n_values long",
+    )
+    fine = real.unionByName(nulls)
+    out = {
+        r["grp"]: (r["kll"], r["n_values"])
+        for r in kll_merge(fine, ["grp"]).collect()
+    }
+    assert out["a"][0] is None and out["a"][1] == 0
+    assert out["b"][0] is not None and out["b"][1] == 2
+
+
+def test_theta_sketches_quote_awkward_column_names(spark):
+    """value/sketch column names travel as SQL text inside F.expr;
+    the _ident backtick-quoting must make names with spaces/hyphens
+    work instead of breaking the parse (ADVICE r11)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        theta_estimate,
+        theta_sketches,
+        theta_union,
+    )
+
+    df = spark.createDataFrame(
+        [("x", i % 7) for i in range(50)], "grp string, `user id` int"
+    ).withColumnRenamed("`user id`", "user id")
+    sk = theta_sketches(df, ["grp"], "user id", sketch_col="the-ta")
+    est = theta_estimate(
+        theta_union(sk, ["grp"], sketch_col="the-ta"),
+        sketch_col="the-ta",
+    ).collect()
+    assert est[0]["n_distinct_approx"] == 7
