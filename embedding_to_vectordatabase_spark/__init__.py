@@ -119,3 +119,16 @@ from .streaming.ingest_stream import (  # noqa: E402,F401
     throttle_events,
 )
 from .operators.sampling import rank_normalize  # noqa: E402,F401
+from .operators.textanalysis import (  # noqa: E402,F401
+    pmi_collocations,
+    word_entropy,
+)
+from .operators.sketches import (  # noqa: E402,F401
+    cms_estimate,
+    cms_merge_estimate,
+    cms_sketches,
+)
+from .functions.text import (  # noqa: E402,F401
+    variant_array_field,
+    variant_path,
+)

@@ -140,3 +140,24 @@ def variant_field(v: Column, path: str, dtype: str = "string") -> Column:
     `try_variant_get`, so a missing path or an uncastable value is
     NULL rather than an error. ``path`` is the bare field name."""
     return F.try_variant_get(v, f"$.{path}", dtype)
+
+
+def variant_path(v: Column, path: str, dtype: str = "string") -> Column:
+    """Extract a typed value from a VARIANT column at a FULL JSON
+    path — nested objects and array indices (`$.meta.t`,
+    `$.vals[0]`), not just top-level fields like ``variant_field``.
+    `try_variant_get` semantics: missing path or uncastable value is
+    NULL, never a task-killing error. ``path`` must start with $."""
+    if not path.startswith("$"):
+        raise ValueError(f"variant path must start with $: {path!r}")
+    return F.try_variant_get(v, path, dtype)
+
+
+def variant_array_field(v: Column, path: str, element_type: str = "string") -> Column:
+    """Extract an array-typed value from a VARIANT column as a real
+    Spark array (``array<element_type>``) — the typed bridge from
+    semi-structured to the engine's native array functions (size,
+    explode, aggregate). NULL for missing path / non-array value."""
+    if not path.startswith("$"):
+        raise ValueError(f"variant path must start with $: {path!r}")
+    return F.try_variant_get(v, path, f"array<{element_type}>")

@@ -1528,12 +1528,24 @@ def bm25_topk(
                 F.filter(F.col("__p.hits"), lambda x: x == tok)
             )
 
-        packed = docs.select(
+        # conditional respread of the RAW docs, not an unconditional
+        # shuffle of the packed projection: the old
+        # `.repartition(defaultParallelism)` exchanged the packed
+        # rows on EVERY call — measured 0.84 s vs 0.45 s for the
+        # scoring job at 100k docs on a well-partitioned input (r12)
+        # — and, being placed after the projection, it did not even
+        # spread the tokenizer (which ran pre-shuffle at input
+        # parallelism). ensure_parallelism shuffles only when the
+        # scan splits would under-fill the cores, and upstream of
+        # the tokenizer when it does.
+        from ..util import ensure_parallelism
+
+        packed = ensure_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             F.struct(
                 F.size(words).alias("dl"), hits.alias("hits")
             ).alias("__p"),
-        ).repartition(spark.sparkContext.defaultParallelism)
+        )
         staged = packed.select(
             "doc_id",
             F.struct(

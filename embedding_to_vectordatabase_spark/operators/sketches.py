@@ -250,3 +250,110 @@ def theta_estimate(
         out_col,
         F.expr(f"theta_sketch_estimate({_ident(sketch_col)})").cast("bigint"),
     ).drop(sketch_col)
+
+
+def cms_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """Per-group mergeable Count-Min sketch (binary) of ``value_col``
+    — the FREQUENCY sibling of the HLL/KLL/Theta family (Cormode &
+    Muthukrishnan 2005): "how often did THIS user/token/URL appear"
+    point queries off a kilobyte summary, where HLL answers distinct
+    counts and KLL answers quantiles. At 100 TB, per-key frequency
+    questions over rolled-up history are answered by persisting one
+    sketch per fine group at ingest and estimating later — never by
+    re-scanning raw events.
+
+    Spark ships its own CMS natively (``F.count_min_sketch``, a JVM
+    aggregate with map-side partial combine — one shuffle on the
+    group keys, kilobytes downstream). Guarantee: estimate >= true
+    count always (never under), and <= true + eps * total with
+    probability ``confidence``. eps=0.001/conf=0.99 -> a 2000x7
+    long table, ~112 KB per sketch. Deterministic for a fixed seed.
+
+    Output: group_cols + (sketch_col binary, n_values long)."""
+    return df.groupBy(*group_cols).agg(
+        F.count_min_sketch(
+            F.col(value_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias(sketch_col),
+        F.count(value_col).alias("n_values"),
+    )
+
+
+def _cms_read(spark, raw: bytes):
+    """Deserialize one Spark CountMinSketch from its binary column
+    form via the JVM class (`org.apache.spark.util.sketch
+    .CountMinSketch.readFrom` — the same public class the aggregate
+    serializes with; Spark exposes no SQL-side point-query or merge
+    function for CMS, so estimate/merge run driver-side over the
+    BOUNDED per-group sketch rows, exactly like a rollup table
+    read)."""
+    return (
+        spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(raw)
+        )
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    items: list,
+    group_cols: list[str],
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """Point-query frequency estimates off a CMS sketch column for a
+    fixed probe set of ``items`` (ints or strings — must match the
+    type the sketch was built over; Spark's CMS hashes integral and
+    string items differently).
+
+    Driver-side by design: Spark has no SQL function to read its CMS
+    binary, and the sketch table is group-count-bounded (the rollup
+    contract — kilobyte sketches, never corpus rows), so the collect
+    here is the bounded-collect pattern, not a distributed-work
+    smell. Output: group_cols + (item string, est_count long,
+    n_values long), one row per (group, probe item), as a new
+    DataFrame so downstream stays in the engine."""
+    spark = df.sparkSession
+    rows = df.select(*group_cols, sketch_col, "n_values").collect()
+    out = []
+    for r in rows:
+        sk = _cms_read(spark, r[sketch_col])
+        for it in items:
+            out.append(
+                tuple(r[g] for g in group_cols)
+                + (str(it), int(sk.estimateCount(it)), r["n_values"])
+            )
+    # group cols keep their input types; probe item travels as string
+    fields = ", ".join(
+        [f.simpleString() for f in df.select(*group_cols).schema.fields]
+        + ["item:string", "est_count:bigint", "n_values:bigint"]
+    ).replace(":", " ")
+    return spark.createDataFrame(out, fields)
+
+
+def cms_merge_estimate(
+    df: DataFrame,
+    items: list,
+    sketch_col: str = "cms",
+):
+    """Merge ALL sketch rows of ``df`` into one (driver-side
+    ``mergeInPlace`` over the bounded sketch table — fine-group ->
+    total rollup) and point-query the probe ``items``. Returns a
+    list of (item, est_count) tuples plus the merged total n.
+    Sketches must share eps/confidence/seed (Spark throws
+    IncompatibleMergeException otherwise — surfaced as-is)."""
+    spark = df.sparkSession
+    rows = df.select(sketch_col, "n_values").collect()
+    if not rows:
+        return [], 0
+    merged = _cms_read(spark, rows[0][sketch_col])
+    for r in rows[1:]:
+        merged.mergeInPlace(_cms_read(spark, r[sketch_col]))
+    n = sum(r["n_values"] for r in rows)
+    return [(str(it), int(merged.estimateCount(it))) for it in items], n

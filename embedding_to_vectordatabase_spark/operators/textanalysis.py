@@ -718,3 +718,176 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information (Church & Hanks 1990) — the classic corpus-analysis
+    pass for multiword expressions ("new york", "machine learning"):
+    PMI scores how much more often a pair co-occurs than its words'
+    frequencies predict. Beyond-reference extension: phrase discovery
+    feeds tokenizer-vocab curation and boilerplate detection in
+    LLM-pipeline corpora.
+
+        pmi(x, y) = ln( (c(x,y) / n_pairs) / ((c(x)/n) * (c(y)/n)) )
+
+    with c(x,y) = adjacent-pair count, c(x) = token count, n = total
+    tokens, n_pairs = total adjacent pairs. ``min_count`` floors the
+    PAIR count (rare pairs have unreliable, explosive PMI).
+
+    Determinism across engines: pmi is rounded to 6dp and ranked as
+    DECIMAL(18,6) with (w1, w2) ASC tie-break (the tfidf technique).
+
+    Scale shape: the corpus is tokenized and exploded exactly ONCE —
+    each token emits one (w, next_w) struct (next_w NULL at doc end
+    via try_element_at, so every token is the FIRST element of
+    exactly one pair), and ONE map-side-combined shuffle produces the
+    pair-count table. Everything downstream reads that table, never
+    the corpus: unigram counts are sum(c12) grouped by w1 (each token
+    is counted once as a first element), n and n_pairs are 1-row aggs
+    over the count tables, and the two c(x)/c(y) lookups are
+    equi-joins between vocabulary-scale tables. The pair-count table
+    is persist()ed because it is referenced four times and DataFrame
+    self-references get no exchange reuse (the r8 finding — without
+    the pin each reference would re-tokenize the corpus). Cache
+    lifecycle: vocabulary-pair-scale (bounded by distinct adjacent
+    pairs, far below corpus scale) — the caller owns cleanup after
+    materializing, same contract as dsir_weights' lazy mode.
+
+    Output: (w1, w2, n_pair, pmi double), top_n rows by pmi DESC —
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    heaps, no global sort).
+    """
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"
+        ),
+        lambda s: s != "",
+    )
+    staged = df.select(toks.alias("__ws")).filter(F.size("__ws") > 0)
+    ws = F.col("__ws")
+    pairs_col = F.transform(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.try_element_at(ws, i + 1).alias("w2"),
+        ),
+    )
+    pc = (
+        staged.select(F.explode(pairs_col).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .persist()
+    )
+    uni = pc.groupBy("w1").agg(F.sum("c12").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("double").alias("n_tokens")
+    )
+    tot_pairs = pc.filter(F.col("w2").isNotNull()).agg(
+        F.sum("c12").cast("double").alias("n_pairs")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_tokens"))
+                * (F.col("c2").cast("double") / F.col("n_tokens"))
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        pc.filter(
+            F.col("w2").isNotNull() & (F.col("c12") >= min_count)
+        )
+        .join(
+            uni.select(F.col("w1").alias("__u1"), F.col("c").alias("c1")),
+            F.col("w1") == F.col("__u1"),
+        )
+        .join(
+            uni.select(F.col("w1").alias("__u2"), F.col("c").alias("c2")),
+            F.col("w2") == F.col("__u2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_pairs))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            pmi.alias("__pmi"),
+        )
+        .orderBy(
+            F.col("__pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(top_n)
+        .select(
+            "w1", "w2", "n_pair",
+            F.col("__pmi").cast("double").alias("pmi"),
+        )
+    )
+
+
+def word_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — a
+    quality/diversity signal (low entropy = repetitive or templated
+    text, e.g. keyword-stuffed spam; filters on it appear throughout
+    public corpus-curation pipelines alongside the Gopher rules).
+
+        H(d) = -sum_w p(w) ln p(w) = ln(n) - (1/n) sum_w c(w) ln c(w)
+
+    Determinism across engines: each word's c*ln(c) term is rounded
+    to 6dp and summed as DECIMAL (exact, order-insensitive — the bm25
+    summation technique), and the final H is rounded to 6dp.
+
+    Scale shape: one explode + one map-side-combined shuffle on
+    (doc_id, word), then a per-doc agg that re-uses the same
+    partitioning (doc_id is a prefix of the first shuffle's key, so
+    AQE coalesces rather than re-exchanges); no joins, no Python.
+    Docs with no tokens emit no row (entropy undefined).
+
+    Output: (doc_id, n_tokens, n_unique_tokens, word_entropy double).
+    """
+    wc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .groupBy("doc_id", "__w")
+        .agg(F.count("*").alias("c"))
+    )
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(28,6)")
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique_tokens"),
+        F.sum(term).alias("__s"),
+    )
+    h = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - F.col("__s").cast("double") / F.col("n_tokens").cast("double"),
+        6,
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        h.alias("word_entropy"),
+    )

@@ -75,6 +75,23 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
         return df
     if size < 0:
         return df
+    # a small-by-bytes input can still fill the cores (a 35 MB corpus
+    # written as 32 files scans as 32 splits); respreading it is pure
+    # exchange cost — measured 0.4 s per bm25 call at 100k docs
+    # (r12). The actual split count is only safe to read off df.rdd
+    # when the plan is shuffle-free (building the RDD of a plan with
+    # exchanges executes those stages eagerly under AQE), so the
+    # check is gated on the optimized plan's node types.
+    try:
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        if not re.search(
+            r"(?i)join|aggregate|window|repartition|sort|distinct|limit",
+            plan,
+        ):
+            if df.rdd.getNumPartitions() >= target:
+                return df
+    except Exception:
+        pass
     if size < target * _SMALL_INPUT_BYTES_PER_CORE:
         return df.repartition(target)
     max_split = _parse_bytes(

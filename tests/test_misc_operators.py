@@ -929,3 +929,83 @@ def test_dsir_weights_eager_mode_same_values_no_pinned_cache(spark):
     assert jsc.getPersistentRDDs().size() == 0, (
         "eager dsir_weights left persisted tables behind"
     )
+
+
+def test_pmi_collocations_prefers_fixed_phrases(spark):
+    """PMI ranks the always-together pair above pairs of
+    independently frequent words, exact counts come through, and the
+    min_count floor drops rare pairs."""
+    import math
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        pmi_collocations,
+    )
+
+    # "neural network" always adjacent (6x); "the" everywhere; the
+    # rare pair "odd couple" appears once
+    docs = (
+        ["the neural network runs on the data"] * 6
+        + ["the data runs on the model"] * 4
+        + ["odd couple"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=2, top_n=50)
+    rows = {(r["w1"], r["w2"]): r for r in out.collect()}
+    assert ("odd", "couple") not in rows  # under min_count
+    nn = rows[("neural", "network")]
+    assert nn["n_pair"] == 6
+    # hand-computed: n_tokens = 6*7 + 4*6 + 2 = 68, n_pairs = 68 - 11
+    # docs = 57, c(neural) = c(network) = c(neural,network) = 6
+    exp = math.log((6 / 57) / ((6 / 68) * (6 / 68)))
+    assert abs(nn["pmi"] - round(exp, 6)) < 1e-9
+    # the exclusive pair outranks the promiscuous high-freq pair
+    assert nn["pmi"] > rows[("the", "data")]["pmi"]
+    spark.catalog.clearCache()  # pair-count table cleanup contract
+
+
+def test_pmi_collocations_null_and_empty_docs(spark):
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "  "), (2, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): r["n_pair"]
+        for r in pmi_collocations(df, min_count=1, top_n=10).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b", "a"): 2}
+    spark.catalog.clearCache()
+
+
+def test_word_entropy_known_values_and_edges(spark):
+    """Exact entropy on hand-computable docs: uniform distribution ->
+    ln(k); single repeated word -> 0; empty/null docs emit no row."""
+    import math
+
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        word_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # uniform over 4 -> ln(4)
+            (1, "spam spam spam"),   # one word -> 0.0
+            (2, "a a b"),            # H = ln(3) - (2 ln 2)/3
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert abs(out[0]["word_entropy"] - round(math.log(4), 6)) < 1e-9
+    assert out[0]["n_tokens"] == 4 and out[0]["n_unique_tokens"] == 4
+    assert out[1]["word_entropy"] == 0.0
+    # term rounding happens per word at 6dp; recompute the same way
+    exp2 = round(math.log(3) - round(2 * math.log(2), 6) / 3, 6)
+    assert abs(out[2]["word_entropy"] - exp2) < 1e-9

@@ -247,3 +247,74 @@ def test_theta_sketches_quote_awkward_column_names(spark):
         sketch_col="the-ta",
     ).collect()
     assert est[0]["n_distinct_approx"] == 7
+
+
+def _cms_events(spark):
+    # user 3 appears 60x, user 7 30x, the rest once each
+    rows = (
+        [("view", 3)] * 60
+        + [("view", 7)] * 30
+        + [("view", u) for u in range(100, 140)]
+        + [("click", 3)] * 10
+    )
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_cms_estimate_never_under_and_within_eps_bound(spark):
+    """CMS guarantee: estimate >= exact always; <= exact + eps*n with
+    prob `confidence` (deterministic here — fixed seed)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketches,
+    )
+
+    ev = _cms_events(spark)
+    sk = cms_sketches(ev, ["event_type"], "user_id", eps=0.01, seed=7)
+    est = {
+        (r["event_type"], r["item"]): (r["est_count"], r["n_values"])
+        for r in cms_estimate(
+            sk, [3, 7, 999], ["event_type"]
+        ).collect()
+    }
+    exact = {("view", "3"): 60, ("view", "7"): 30, ("view", "999"): 0,
+             ("click", "3"): 10, ("click", "7"): 0, ("click", "999"): 0}
+    for k, (e, n) in est.items():
+        assert e >= exact[k], f"CMS underestimated {k}"
+        assert e <= exact[k] + 0.01 * n + 1, f"CMS blew eps bound {k}"
+    # heavy hitter is estimated exactly at this scale/width
+    assert est[("view", "3")][0] == 60
+
+
+def test_cms_merge_estimate_rollup_total(spark):
+    """Driver-side mergeInPlace rollup: per-event-type sketches merge
+    to a total whose estimates cover the union (still never under the
+    exact total count)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_merge_estimate,
+        cms_sketches,
+    )
+
+    ev = _cms_events(spark)
+    sk = cms_sketches(ev, ["event_type"], "user_id", eps=0.01, seed=7)
+    ests, n = cms_merge_estimate(sk, [3, 7])
+    assert n == 141
+    d = dict(ests)
+    assert d["3"] >= 70 and d["7"] >= 30
+
+
+def test_cms_string_items(spark):
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "tok1")] * 5 + [("a", "tok2")] * 2,
+        "grp string, tok string",
+    )
+    sk = cms_sketches(df, ["grp"], "tok", eps=0.01, seed=11)
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(sk, ["tok1", "tok2"], ["grp"]).collect()
+    }
+    assert est["tok1"] >= 5 and est["tok2"] >= 2

@@ -296,3 +296,77 @@ def test_variant_parse_once_extract_typed(spark):
     assert out[2] == (None, "b")
     assert out[3] == (None, None)
     assert out[4] == (None, None)
+
+
+def test_variant_parquet_roundtrip(spark, tmp_path):
+    """The parse-once-at-ingest contract the docstring promises: a
+    VARIANT column persists to parquet and reads back with the same
+    typed extractions — so downstream queries pay a binary path walk,
+    never a JSON re-parse (functions/text.py:parse_props_variant)."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        parse_props_variant,
+        variant_field,
+        variant_path,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "meta": {"t": "x"}, "vals": [1, 2]}'),
+            (2, '{"k": -3, "meta": {"t": "y"}, "vals": []}'),
+            (3, "broken {"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    staged = df.select(
+        "id", parse_props_variant(F.col("props")).alias("v")
+    )
+    path = str(tmp_path / "variant_roundtrip")
+    staged.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.simpleString() == "variant"
+
+    def extract(d):
+        return {
+            r["id"]: (r["k"], r["t"])
+            for r in d.select(
+                "id",
+                variant_field(F.col("v"), "k", "bigint").alias("k"),
+                variant_path(F.col("v"), "$.meta.t", "string").alias("t"),
+            ).collect()
+        }
+
+    pre, post = extract(staged), extract(back)
+    assert pre == post
+    assert post[1] == (7, "x") and post[2] == (-3, "y")
+    assert post[3] == (None, None) and post[4] == (None, None)
+
+
+def test_variant_nested_paths_and_typed_arrays(spark):
+    """variant_path walks nested objects and array indices;
+    variant_array_field lands a REAL array<bigint> usable by native
+    array functions; missing paths and type mismatches are NULL."""
+    from embedding_to_vectordatabase_spark.functions.text import (
+        parse_props_variant,
+        variant_array_field,
+        variant_path,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": [10, 20, 30]}, "s": "txt"}')],
+        "id long, j string",
+    )
+    v = parse_props_variant(F.col("j"))
+    row = df.select(
+        variant_path(v, "$.a.b[1]", "bigint").alias("b1"),
+        variant_path(v, "$.a.missing", "bigint").alias("miss"),
+        variant_path(v, "$.s", "bigint").alias("badcast"),
+        variant_array_field(v, "$.a.b", "bigint").alias("arr"),
+        F.size(variant_array_field(v, "$.a.b", "bigint")).alias("n"),
+    ).first()
+    assert row["b1"] == 20
+    assert row["miss"] is None and row["badcast"] is None
+    assert row["arr"] == [10, 20, 30] and row["n"] == 3
+    with _pytest.raises(ValueError, match="must start with"):
+        variant_path(v, "a.b")
