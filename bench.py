@@ -1400,6 +1400,11 @@ def main() -> None:
                 "bm25_topk",
                 "dedup_spans",
                 "dedup_substrings",
+                # r12: adjacent-pair PMI (one explode + pinned pair
+                # table) and per-doc word entropy (one (doc, word)
+                # shuffle) — both real per-row text work at 100k docs
+                "pmi_collocations",
+                "word_entropy",
                 # r11: per-doc top-5 keyterms — tokenize + two aggs +
                 # vocab-keyed join + per-doc window at 250k docs
                 "tfidf_top_terms",

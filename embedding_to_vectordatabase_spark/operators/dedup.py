@@ -221,6 +221,51 @@ def shingle_postings(
     )
 
 
+def _hashed_shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """(doc_id, __shs array<long>) — each doc's DISTINCT word-n-gram
+    shingle hash set, built entirely row-locally with the COMPOSED
+    hash: every word is xxhash64ed once, and each shingle hash is one
+    xxhash64 over its n word-hash longs. The r12 replacement for
+    hashing `concat_ws(" ", slice(words, i, n))` per position — the
+    string spelling rebuilds and re-hashes ~n words of text per
+    POSITION, which profiled at 8.3 s of minhash's 13.9 s at 250k
+    docs (composed: 0.56 s, same distinct-set structure; the same
+    fix as dedup_substrings' gram hash). Collision class unchanged
+    (~n²/2⁶⁵ over distinct shingles).
+
+    The word-hash array is STAGED in its own projection: referencing
+    it as an inline expression from the per-position lambda would
+    re-evaluate the whole array per position (HOF lambdas sit outside
+    a projection's common-subexpression elimination).
+
+    Docs shorter than n words yield one composed hash over the
+    available word hashes (xxhash64 skips the NULL tail positions) —
+    the composed analogue of ``word_ngrams``' whole-text shingle.
+    Shared by ``minhash_signatures``, ``minhash_bands_maponly`` and
+    ``hashed_postings`` so the three spellings cannot diverge.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    pre = df.select(F.col(id_col).alias("doc_id"), wh.alias("__wh"))
+    comp = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("__wh")) - (n - 1), F.lit(1)),
+        ),
+        lambda i: F.xxhash64(
+            *[F.try_element_at(F.col("__wh"), i + k) for k in range(n)]
+        ),
+    )
+    return pre.select(
+        "doc_id", F.array_distinct(comp).alias("__shs")
+    )
+
+
 def hashed_postings(
     df: DataFrame,
     text_col: str = "text",
@@ -231,18 +276,18 @@ def hashed_postings(
     pre-hashed to 64 bits BEFORE the distinct — the dedup shuffle then
     moves 8-byte longs instead of ~30-byte strings (~3× less shuffle
     volume at scale). Safe wherever downstream only needs hash
-    identity (minhash, simhash); ``shingle_postings`` keeps the string
-    form for exact-set ops (n-gram Jaccard) and md5-oracle parity."""
+    identity (minhash, simhash, decontamination, hashed jaccard);
+    ``shingle_postings`` keeps the string form for exact-set ops and
+    md5-oracle parity. r12: the hash is the composed word-hash form
+    (see ``_hashed_shingle_sets``) — hash VALUES changed from the
+    string-concat spelling, so any externally persisted xx-hash
+    artifacts from earlier rounds are incompatible; identity
+    semantics (the only contract) are unchanged."""
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("__s"),
-        )
-        .select("doc_id", F.xxhash64("__s").alias("shingle_h"))
-        .distinct()
+    return _hashed_shingle_sets(df, text_col, id_col, n).select(
+        "doc_id", F.explode("__shs").alias("shingle_h")
     )
 
 
@@ -366,27 +411,57 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array[num_perm]) — minhash over word n-gram
     shingles. Permutation h_i(s) = hash(s, seed=i); min per doc.
-    All native exprs (hash + groupBy min) — no Python. With
-    ``hash_fn='md5'`` the signature is engine-portable hex strings
-    (duckdb-oracle checkable); default xxhash64 pre-hashes shingles to
-    longs before the distinct (see ``hashed_postings``) and derives
-    the permutations from the 8-byte hash — the fast path."""
+    All native exprs — no Python. With ``hash_fn='md5'`` the
+    signature is engine-portable hex strings (duckdb-oracle
+    checkable); default xxhash64 pre-hashes shingles to longs and
+    derives the permutations from the 8-byte hash — the fast path.
+
+    Computed ROW-LOCALLY (r12): the doc's distinct shingle (hash) set
+    is an array expression and each permutation is an
+    array_min(transform(...)) over it — value-identical to the old
+    explode → global distinct → 64-min groupBy spelling (per-row
+    array_distinct IS the per-doc distinct; same seeds, same hashes;
+    the equivalence to ``minhash_bands_maponly``'s row-local banding
+    is asserted in tests), but with ZERO exchanges where the posting
+    spelling shuffled the corpus twice (distinct + groupBy doc_id)
+    before any LSH work. At 100 TB the signature stage is now
+    embarrassingly parallel; the first shuffle in the whole
+    minhash-LSH plan is the band-bucket groupBy."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if hash_fn == "xxhash64":
-        postings = hashed_postings(df, text_col, id_col, n)
-        mins = [
-            F.min(F.xxhash64(F.col("shingle_h"), F.lit(i))).alias(f"__h{i}")
-            for i in range(num_perm)
-        ]
+        staged = _hashed_shingle_sets(df, text_col, id_col, n)
+    elif hash_fn == "md5":
+        staged = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_ngrams(F.col(text_col), n)).alias(
+                "__shs"
+            ),
+        )
     else:
-        postings = shingle_postings(df, text_col, id_col, n)
-        mins = [
-            F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"__h{i}")
-            for i in range(num_perm)
-        ]
-    sig = postings.groupBy("doc_id").agg(*mins)
-    return sig.select(
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use xxhash64|md5")
+
+    def _perm_min(i: int):
+        # closure factory, NOT a default-arg lambda: F.transform
+        # dispatches on lambda arity, so a 2-param lambda would be
+        # called as (element, index) and the seed would silently
+        # become the array index
+        if hash_fn == "xxhash64":
+            return F.array_min(
+                F.transform(
+                    F.col("__shs"), lambda s: F.xxhash64(s, F.lit(i))
+                )
+            )
+        return F.array_min(
+            F.transform(
+                F.col("__shs"), lambda s: _hash64(s, i, hash_fn)
+            )
+        )
+
+    return staged.select(
         "doc_id",
-        F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("sig"),
+        F.array(*[_perm_min(i) for i in range(num_perm)]).alias("sig"),
     )
 
 
@@ -414,30 +489,39 @@ def minhash_bands_maponly(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    # mirror each groupBy form exactly: xxhash64 pre-hashes shingles
-    # to longs once (hashed_postings) and derives permutations from
-    # the 8-byte hash; md5 seeds the string directly. Factories, NOT
-    # `lambda s, p=p`: F.transform dispatches on lambda arity, so a
-    # two-parameter lambda would be called as (element, index) and
-    # the seed would silently become the array index.
+    # mirror each batch form exactly: xxhash64 composes per-word
+    # hashes into shingle hashes (_hashed_shingle_sets) and derives
+    # permutations from the 8-byte hash; md5 seeds the string
+    # directly. The shingle set is STAGED in its own projection
+    # (still a stateless map stage, so streaming-legal): as an inline
+    # expression it would be re-evaluated once per permutation.
+    # Factories, NOT `lambda s, p=p`: F.transform dispatches on
+    # lambda arity, so a two-parameter lambda would be called as
+    # (element, index) and the seed would silently become the array
+    # index.
     if hash_fn == "xxhash64":
-        shingles = F.array_distinct(
-            F.transform(
-                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+        staged = _hashed_shingle_sets(df, text_col, id_col, n)
+
+        def _perm_min(p: int) -> Column:
+            return F.array_min(
+                F.transform(
+                    F.col("__shs"), lambda h: F.xxhash64(h, F.lit(p))
+                )
             )
+
+    else:
+        staged = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_ngrams(F.col(text_col), n)).alias(
+                "__shs"
+            ),
         )
 
         def _perm_min(p: int) -> Column:
             return F.array_min(
-                F.transform(shingles, lambda h: F.xxhash64(h, F.lit(p)))
-            )
-
-    else:
-        shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
-
-        def _perm_min(p: int) -> Column:
-            return F.array_min(
-                F.transform(shingles, lambda s: _hash64(s, p, hash_fn))
+                F.transform(
+                    F.col("__shs"), lambda s: _hash64(s, p, hash_fn)
+                )
             )
 
     sig = [_perm_min(p) for p in range(num_perm)]
@@ -448,8 +532,8 @@ def minhash_bands_maponly(
             return F.md5(F.concat_ws(",", *elems))
         return F.xxhash64(*elems)
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         F.explode(
             F.array(
                 *[

@@ -297,7 +297,7 @@ def test_cms_merge_estimate_rollup_total(spark):
     ev = _cms_events(spark)
     sk = cms_sketches(ev, ["event_type"], "user_id", eps=0.01, seed=7)
     ests, n = cms_merge_estimate(sk, [3, 7])
-    assert n == 141
+    assert n == 140
     d = dict(ests)
     assert d["3"] >= 70 and d["7"] >= 30
 
