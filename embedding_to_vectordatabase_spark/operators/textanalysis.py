@@ -847,47 +847,72 @@ def word_entropy(
         H(d) = -sum_w p(w) ln p(w) = ln(n) - (1/n) sum_w c(w) ln c(w)
 
     Determinism across engines: each word's c*ln(c) term is rounded
-    to 6dp and summed as DECIMAL (exact, order-insensitive — the bm25
-    summation technique), and the final H is rounded to 6dp.
+    to 6dp, snapped to a scaled long (exactly the bm25 technique —
+    summing exact integers is the same exact arithmetic as a DECIMAL
+    sum, order-free), and the final H is rounded to 6dp.
 
-    Scale shape: one explode + one map-side-combined shuffle on
-    (doc_id, word), then a per-doc agg that re-uses the same
-    partitioning (doc_id is a prefix of the first shuffle's key, so
-    AQE coalesces rather than re-exchanges); no joins, no Python.
+    Scale shape: MAP-ONLY — per-doc word counts come from run lengths
+    of the doc's SORTED token array (run boundaries via an O(n) break
+    scan: position i starts a run iff i==1 or s[i] != s[i-1] — the
+    dedup_substrings interval technique), so the operator is one scan
+    with zero exchanges, zero joins, zero Python. The first (doc,
+    word)-explode spelling shuffled 5.4M exploded tokens through two
+    aggregations and ran 0.29x DuckDB at 100k docs; this one has no
+    shuffle to pay. The boundary array is STAGED in its own
+    projection (HOF lambdas sit outside projection CSE).
     Docs with no tokens emit no row (entropy undefined).
 
     Output: (doc_id, n_tokens, n_unique_tokens, word_entropy double).
     """
-    wc = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.split(
-                    F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
-                    r"\s+",
-                )
-            ).alias("__w"),
+    ws = F.array_sort(
+        F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(text_col, F.lit("")))),
+                r"\s+",
+            ),
+            lambda s: s != "",
         )
-        .filter(F.col("__w") != "")
-        .groupBy("doc_id", "__w")
-        .agg(F.count("*").alias("c"))
     )
-    term = F.round(
-        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6
-    ).cast("decimal(28,6)")
-    agg = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_unique_tokens"),
-        F.sum(term).alias("__s"),
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), ws.alias("__ws")
+    ).filter(F.size("__ws") > 0)
+    sc = F.col("__ws")
+    brk = F.filter(
+        F.sequence(F.lit(1), F.size(sc)),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(sc, i) != F.element_at(sc, i - 1)),
+    )
+    staged2 = staged.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        brk.alias("__b"),
+    )
+    bb = F.col("__b")
+    run_len = lambda j: (  # noqa: E731
+        F.coalesce(
+            F.try_element_at(bb, j + 1),
+            F.col("n_tokens") + 1,
+        )
+        - F.element_at(bb, j)
+    ).cast("double")
+    # per-run c*ln(c), 6dp-rounded then scaled to an exact long
+    term = lambda j: F.round(  # noqa: E731
+        F.round(run_len(j) * F.log(run_len(j)), 6) * F.lit(1e6), 0
+    ).cast("long")
+    s_scaled = F.aggregate(
+        F.sequence(F.lit(1), F.size(bb)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + term(j),
     )
     h = F.round(
         F.log(F.col("n_tokens").cast("double"))
-        - F.col("__s").cast("double") / F.col("n_tokens").cast("double"),
+        - (s_scaled.cast("double") / F.lit(1e6))
+        / F.col("n_tokens").cast("double"),
         6,
     )
-    return agg.select(
+    return staged2.select(
         "doc_id",
         "n_tokens",
-        "n_unique_tokens",
+        F.size("__b").cast("long").alias("n_unique_tokens"),
         h.alias("word_entropy"),
     )

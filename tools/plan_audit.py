@@ -193,12 +193,13 @@ CHECKS = {
          lambda s: "CartesianProduct" not in s),
     ],
     "word_entropy": [
-        ("single corpus scan, single explode",
+        # r12 rewrite: per-doc counts are run lengths of the sorted
+        # token array — one scan, zero explodes, zero exchanges
+        ("single corpus scan, no explode",
          lambda s: n_scans(s) == 1
-         and len(__import__("re").findall(r"^\(\d+\) Generate", s, 8)) == 1),
+         and len(__import__("re").findall(r"^\(\d+\) Generate", s, 8)) == 0),
         ("join-free", lambda s: "Join" not in s),
-        ("map-side partial combine before the (doc, word) exchange",
-         lambda s: s.count("HashAggregate") >= 2),
+        ("map-only: no exchange at all", lambda s: "Exchange" not in s),
     ],
     "dedup_substrings": [
         # two corpus scans total (occurrence build + token rebuild) —
