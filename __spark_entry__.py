@@ -2651,6 +2651,36 @@ def _q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def _q_pq_topk_refined(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) with the standard
+    two-stage recipe: m-byte ADC codes scan stage 1 (8 bytes/vector
+    vs 256 for the float column at dim 64 — the byte-budget scale
+    path beyond int8's fixed 4x), exact re-rank of the bounded
+    candidate set on the float column stage 2
+    (operators/search.py:pq_train/pq_encode/pq_topk). Rows-only:
+    seeded-kmeans codebooks aren't SQL-reproducible; recall,
+    determinism and the exact-refined-score property are asserted in
+    tests/test_search.py."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(emb, m=8, seed=7)
+    out = pq_topk(
+        pq_encode(emb, books), q, books, k=5, metric="L2",
+        refine=emb, refine_k=20,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_dense_topk_quantized(spark, sf_dir):
     """Moved from rows-only to hash-checked (VERDICT r6 item 9) via
     ``symmetric=True``: quantizing the queries too makes the stage-1
@@ -6496,6 +6526,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("pmi_collocations", _q_pmi_collocations, _SQL_PMI),
     ("word_entropy", _q_word_entropy, _SQL_WORD_ENTROPY),
     ("cms_user_counts", _q_cms_user_counts, None),
+    ("pq_topk_refined", _q_pq_topk_refined, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
@@ -6574,12 +6605,14 @@ _R12_WINDOW: list[str] = [
     "dup_clusters",
     "near_dedup_representatives",
     "st_minhash_dedup",
-    "topn_tokens",
     # (c) rows-only at the window TAIL by policy: the reshaped KLL
     # quantiles query (must re-record after the r11 crash) and the
-    # new CMS query
+    # round's two new rows-only queries (CMS frequency estimates, PQ
+    # two-stage ANN) — topn_tokens (r9-green) is displaced to make
+    # room and stays covered by the out-of-window pytest guard
     "sketch_value_quantiles",
     "cms_user_counts",
+    "pq_topk_refined",
 ]
 
 

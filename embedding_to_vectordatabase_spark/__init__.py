@@ -132,3 +132,8 @@ from .functions.text import (  # noqa: E402,F401
     variant_array_field,
     variant_path,
 )
+from .operators.search import (  # noqa: E402,F401
+    pq_encode,
+    pq_topk,
+    pq_train,
+)

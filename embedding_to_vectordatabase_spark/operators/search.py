@@ -793,31 +793,28 @@ def ann_topk_bucketed(
     )
 
 
-def _train_ivf_centroids(
+def _spread_sample(
     corpus: DataFrame,
     corpus_vec: str,
-    nlist: int,
+    train_cap: int,
     seed: int,
     train_fraction: float | None,
     n_corpus: int | None,
-):
-    """Driver-side numpy k-means on a bounded sample.
+) -> "np.ndarray":
+    """Bounded driver-side training sample as a float64 matrix.
 
     No exact pre-count: the default sample takes a bounded HEAD OF
-    EVERY PARTITION (mapInPandas stops pulling Arrow batches once its
+    EVERY PARTITION (the Arrow kernel stops pulling batches once its
     task's share of the cap is met), so a 100 TB corpus never pays a
     full pass AND a corpus sorted/clustered by content still trains on
     vectors spread across its whole range — a bare LIMIT would train
     the quantizer on the first cluster only. Callers that know the
     corpus size can pass n_corpus or train_fraction for a true
-    Bernoulli sample instead. Returns the (nlist_eff, dim) centroid
-    matrix.
-    """
+    Bernoulli sample instead."""
     import math
 
     import numpy as np
 
-    train_cap = max(nlist * 50, 256)
     if train_fraction is None and n_corpus is not None:
         train_fraction = min(1.0, train_cap / max(n_corpus, 1))
     base = corpus.select(corpus_vec)
@@ -846,9 +843,17 @@ def _train_ivf_centroids(
         raise ValueError(
             "empty training sample — corpus empty or train_fraction too small"
         )
-    nlist = max(1, min(nlist, len(X)))
+    return X
+
+
+def _lloyd(X: "np.ndarray", k: int, seed: int) -> "np.ndarray":
+    """Fixed-iteration numpy k-means on a driver-side sample matrix;
+    returns the (k_eff, dim) centroid matrix."""
+    import numpy as np
+
+    k = max(1, min(k, len(X)))
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=nlist, replace=False)]
+    cent = X[rng.choice(len(X), size=k, replace=False)]
     x2 = (X**2).sum(axis=1, keepdims=True)
     for _ in range(10):  # Lloyd iterations; fixed count keeps it bounded
         # same O(n × k) BLAS identity as _score_block — the
@@ -859,11 +864,29 @@ def _train_ivf_centroids(
             x2 + (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T), 0.0
         )
         assign = d2.argmin(axis=1)
-        for c in range(nlist):
+        for c in range(k):
             m = assign == c
             if m.any():
                 cent[c] = X[m].mean(axis=0)
     return cent
+
+
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    corpus_vec: str,
+    nlist: int,
+    seed: int,
+    train_fraction: float | None,
+    n_corpus: int | None,
+):
+    """Driver-side numpy k-means on a bounded spread sample (see
+    ``_spread_sample``). Returns the (nlist_eff, dim) centroid
+    matrix."""
+    train_cap = max(nlist * 50, 256)
+    X = _spread_sample(
+        corpus, corpus_vec, train_cap, seed, train_fraction, n_corpus
+    )
+    return _lloyd(X, nlist, seed)
 
 
 def _pair_score_udf(metric: str):
@@ -1875,3 +1898,270 @@ def point_query(
     """K6-era point query: Milvus boolean-expr filter → Spark SQL expr
     (a superset). E.g. expr='file_id == 42' (milvus_connector.py:155-165)."""
     return chunks.filter(F.expr(expr)).select(*output_fields)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011: "Product Quantization
+# for Nearest Neighbor Search") — the byte-budget ANN path completing the
+# int8-scalar-quantized scan (4 bytes/dim -> 1) and IVF (pruned lists):
+# PQ stores m BYTES per vector regardless of dim (128x smaller than
+# float32 at the 1024-dim contract width with m=8), and scores queries
+# against codes via an asymmetric-distance lookup table (ADC) — one
+# (m x ksub) LUT per query, score = sum of m byte-indexed lookups.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+) -> "np.ndarray":
+    """Train PQ codebooks: split the vector into ``m`` subspaces and
+    k-means each to ``2**nbits`` centroids. ONE bounded spread sample
+    feeds all m sub-quantizers (the IVF trainer's sampling contract —
+    heads of every partition, never a full pass), each trained with
+    the shared fixed-iteration Lloyd at seed+j so the codebooks are
+    deterministic. Returns an (m, ksub, dsub) float64 array."""
+    import numpy as np
+
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in 1..8 (codes are one byte)")
+    ksub = 1 << nbits
+    X = _spread_sample(
+        corpus,
+        vec_col,
+        max(ksub * 50, 256),
+        seed,
+        train_fraction,
+        n_corpus,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        cb = _lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+        # tiny training sets can yield < ksub centroids; keep the
+        # books rectangular by repeating the last row (harmless:
+        # argmin just never picks duplicates' higher index)
+        if len(cb) < ksub:
+            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - len(cb), 0)])
+        books[j] = cb
+    return books
+
+
+def _pa_codes(arr, m: int) -> "np.ndarray":
+    """(n, m) uint8 code matrix straight off a BinaryArray's buffers —
+    the code twin of _pa_matrix (no per-row Python bytes objects)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("code column contains NULLs")
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    if not (np.diff(offs) == m).all():
+        raise ValueError(f"code column rows are not {m} bytes")
+    vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return vals[offs[0] : offs[0] + len(arr) * m].reshape(len(arr), m)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to m-byte PQ codes — MAP-ONLY Arrow kernel, one
+    (batch x ksub) BLAS matmul per subspace per batch; output is a
+    binary column of exactly m bytes per row (the persistable ANN
+    index payload: 8 bytes replace 4 KB at dim=1024/m=8).
+
+    Output: (<corpus_id>, <code_col> binary)."""
+    import numpy as np
+
+    mm, ksub, dsub = codebooks.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    cid_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(corpus_id, cid_type, False),
+            T.StructField(code_col, T.BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        books = bc.value
+        c2 = [(books[j] ** 2).sum(axis=1) for j in range(mm)]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _pa_matrix(rb.column(rb.schema.get_field_index(vec_col)))
+            n = X.shape[0]
+            codes = np.empty((n, mm), dtype=np.uint8)
+            for j in range(mm):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                # argmin of ||x-c||^2 == argmin of c2 - 2 x.c
+                d = c2[j][None, :] - 2.0 * (Xj @ books[j].T)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            flat = codes.reshape(-1)
+            offsets = np.arange(0, (n + 1) * mm, mm, dtype=np.int32)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(flat)],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(corpus_id)), code_arr],
+                names=[corpus_id, code_col],
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInArrow(
+        encode, out_schema
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    code_col: str = "pq_code",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over PQ codes by asymmetric distance (ADC):
+    per query, ONE (m x ksub) lookup table of subspace distances (L2)
+    or inner products (IP) against the codebooks; each code row scores
+    as m byte-indexed LUT gathers — no float vectors are read at all.
+    The scan shape mirrors ``dense_topk`` (per-batch local top-k, one
+    tiny global window), so shuffle volume is batches x Q x k rows
+    over a corpus whose scanned payload is m BYTES per vector.
+
+    Two-stage exact refinement (the standard PQ recipe): pass
+    ``refine`` = the float-vector DataFrame and ``refine_k`` > k —
+    stage 1 takes refine_k ADC candidates, stage 2 re-scores exactly
+    those rows via an equi-join back to the float column (same
+    candidates-join shape as ``dense_topk_quantized``) and re-ranks.
+
+    Output: (query_id, <corpus_id>, score double, rank int); score is
+    the ADC estimate (unrefined) or the exact metric (refined)."""
+    import numpy as np
+
+    metric = metric.upper()
+    if metric not in ("L2", "IP"):
+        raise ValueError(f"unknown metric {metric!r}; use L2|IP")
+    mm, ksub, dsub = codebooks.shape
+    qids, qmat = _query_matrix(queries, query_id, query_vec)
+    if qmat.shape[1] != mm * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} != codebook dim {mm * dsub}"
+        )
+    # (Q, m, ksub) LUTs: subspace squared distances / inner products
+    luts = np.empty((len(qids), mm, ksub), dtype=np.float64)
+    for j in range(mm):
+        Qj = qmat[:, j * dsub : (j + 1) * dsub]
+        ips = Qj @ codebooks[j].T  # (Q, ksub)
+        if metric == "IP":
+            luts[:, j, :] = ips
+        else:
+            luts[:, j, :] = (
+                (Qj**2).sum(axis=1, keepdims=True)
+                + (codebooks[j] ** 2).sum(axis=1)[None, :]
+                - 2.0 * ips
+            )
+    bc = codes.sparkSession.sparkContext.broadcast((qids, luts))
+    kk1 = max(k, refine_k or 0)
+    descending = metric == "IP"
+
+    qid_field = queries.schema[query_id].dataType
+    cid_field = codes.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field, False),
+            T.StructField(corpus_id, cid_field, False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_field)
+    jidx = np.arange(mm)
+
+    def local_topk(batches):
+        qids_b, luts_b = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            C = _pa_codes(
+                rb.column(rb.schema.get_field_index(code_col)), mm
+            )
+            ids = rb.column(rb.schema.get_field_index(corpus_id))
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            kk = min(kk1, rb.num_rows)
+            qcol, icol, scol = [], [], []
+            for qi in range(len(qids_b)):
+                s = luts_b[qi][jidx[None, :], C].sum(axis=1)
+                if metric == "L2":
+                    s = np.sqrt(np.maximum(s, 0.0))
+                idx = _topk_indices(-s if descending else s, ids_np, kk)
+                qcol.extend([qids_b[qi]] * len(idx))
+                icol.append(ids.take(pa.array(idx)))
+                scol.append(s[idx])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol, type=qid_pa),
+                    pa.concat_arrays(icol),
+                    pa.array(np.concatenate(scol), type=pa.float64()),
+                ],
+                names=["query_id", corpus_id, "score"],
+            )
+
+    local = codes.select(corpus_id, code_col).mapInArrow(
+        local_topk, out_schema
+    )
+    order = F.desc if descending else F.asc
+    w = Window.partitionBy("query_id").orderBy(
+        order("score"), F.asc(corpus_id)
+    )
+    approx = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk1
+    )
+    if refine is None:
+        return approx.filter(F.col("rank") <= k)
+    # exact re-rank of the bounded candidate set: broadcast the
+    # (Q x refine_k)-row candidates into the float corpus, score with
+    # the vectorized pair kernel, re-rank
+    cand = approx.select("query_id", corpus_id)
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+    )
+    scored = (
+        refine.select(corpus_id, vec_col)
+        .join(F.broadcast(cand), corpus_id)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            corpus_id,
+            _pair_score_udf(metric)(F.col(vec_col), F.col("__qv")).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

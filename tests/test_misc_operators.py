@@ -181,6 +181,7 @@ def test_harness_contract():
         "sketch_distinct_users",
         "sketch_value_quantiles",
         "cms_user_counts",
+        "pq_topk_refined",
         "semdedup_survivors",
     }
     # the gate samples the first-50 registry prefix; r12's rotation

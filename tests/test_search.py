@@ -722,3 +722,95 @@ def test_bm25_mid_vocab_relational_path_matches_mapside(spark):
     small = keyed(bm25_topk(docs, qt_small, k=10).collect())   # map-side
     big = keyed(bm25_topk(docs, qt_big, k=10).collect())       # mid path
     assert small == big
+
+
+def test_pq_encode_shapes_and_determinism(emb):
+    """Codes are exactly m bytes per vector (the byte-budget contract:
+    m bytes replace dim*4) and the whole train+encode path is
+    seed-deterministic."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, seed=7)
+    assert books.shape == (8, 256, 8)  # dim 64 -> dsub 8
+    codes = {r["vec_id"]: bytes(r["pq_code"])
+             for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 for c in codes.values())
+    books2 = pq_train(emb, m=8, seed=7)
+    assert (books == books2).all()
+    codes2 = {r["vec_id"]: bytes(r["pq_code"])
+              for r in pq_encode(emb, books2).collect()}
+    assert codes == codes2
+
+
+def test_pq_train_validates_divisibility_and_nbits(emb):
+    import pytest as _pytest
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        pq_train,
+    )
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    with _pytest.raises(ValueError, match="nbits"):
+        pq_train(emb, m=8, nbits=16)
+
+
+def test_pq_topk_adc_recall_and_refined_recall(emb, queries):
+    """ADC-only recall clears a modest bar on the unstructured
+    fixture; the standard refine recipe (ADC candidates -> exact
+    re-rank on the float column) must clear the ANN bar and return
+    EXACT metric scores for the survivors."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    k = 5
+    exact = _key_set(dense_topk(emb, queries, k=k, metric="L2").collect())
+    books = pq_train(emb, m=8, seed=7)
+    codes = pq_encode(emb, books)
+    adc = pq_topk(codes, queries, books, k=k, metric="L2").collect()
+    r_adc = len(exact & _key_set(adc)) / len(exact)
+    assert r_adc >= 0.5, f"ADC recall {r_adc}"
+    refined = pq_topk(
+        codes, queries, books, k=k, metric="L2",
+        refine=emb, refine_k=4 * k,
+    ).collect()
+    r_ref = len(exact & _key_set(refined)) / len(exact)
+    assert r_ref >= 0.9, f"refined recall {r_ref} (ADC was {r_adc})"
+    assert r_ref >= r_adc
+    # refined scores are the exact metric for the surviving pairs
+    ex_scores = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in dense_topk(emb, queries, k=4 * k, metric="L2").collect()
+    }
+    for r in refined:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            # 1e-6: the pair kernel computes norm(x-q) while
+            # dense_topk uses the sqrt(x2+q2-2xq) identity — same
+            # metric, different float cancellation
+            assert abs(r["score"] - ex_scores[key]) < 1e-6
+
+
+def test_pq_topk_ip_metric_self_hit(emb, queries):
+    """IP-metric ADC with exact refine puts each query's own vector in
+    its top-k (self inner product dominates on this fixture)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, seed=7)
+    out = pq_topk(
+        pq_encode(emb, books), queries, books, k=5, metric="IP",
+        refine=emb, refine_k=20,
+    ).collect()
+    hits = {r["query_id"] for r in out if r["query_id"] == r["vec_id"]}
+    assert len(hits) >= 4  # 5 queries; allow one near-tie miss

@@ -209,6 +209,22 @@ CHECKS = {
         ("two corpus scans only", lambda s: n_scans(s) == 2),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "pq_topk_refined": [
+        # stage 1 scans m-BYTE codes through one Arrow kernel (never
+        # the float column); stage 2's bounded candidate set and the
+        # query vectors broadcast back into the float corpus
+        # the registry query encodes inline, so the plan carries TWO
+        # Arrow maps (pq_encode + the ADC local top-k) and one
+        # ArrowEvalPython (the exact pair re-score); a persisted-code
+        # deployment would drop the encode map
+        ("encode + ADC are the only Arrow maps",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 2),
+        ("candidate + query joins broadcast",
+         lambda s: s.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     # round-6 additions (this session)
     "bm25_topk": [
         # r8 map-side path (small vocab): corpus stats are collected
