@@ -248,8 +248,19 @@ def _hashed_shingle_sets(
     the composed analogue of ``word_ngrams``' whole-text shingle.
     Shared by ``minhash_signatures``, ``minhash_bands_maponly`` and
     ``hashed_postings`` so the three spellings cannot diverge.
+
+    NULL text is coalesced to the EMPTY STRING before hashing (r13):
+    NULL-text docs form one duplicate class WITH empty-text docs —
+    exactly the md5 mode's semantics, where ``word_ngrams(NULL)``
+    already yields the [""] whole-text shingle. Without the coalesce,
+    split(NULL) is a NULL word array and the composed xxhash64 over
+    all-NULL positions degenerates to the bare-seed constant, giving
+    NULL docs a duplicate class DISJOINT from empty docs and silently
+    divergent from the md5 spelling.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = F.split(
+        normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+    )
     wh = F.transform(words, lambda w: F.xxhash64(w))
     pre = df.select(F.col(id_col).alias("doc_id"), wh.alias("__wh"))
     comp = F.transform(

@@ -1989,6 +1989,10 @@ def pq_encode(
     import numpy as np
 
     mm, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        # hand-built codebooks bypass pq_train's nbits check; >256
+        # centroids would silently wrap in the uint8 argmin cast
+        raise ValueError(f"codebooks have {ksub} centroids; max 256")
     bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
     cid_type = corpus.schema[corpus_id].dataType
     out_schema = T.StructType(
@@ -2065,6 +2069,10 @@ def pq_topk(
     if metric not in ("L2", "IP"):
         raise ValueError(f"unknown metric {metric!r}; use L2|IP")
     mm, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        # one-byte codes can only index 256 centroids (pq_encode's
+        # guard, repeated here for codebooks built elsewhere)
+        raise ValueError(f"codebooks have {ksub} centroids; max 256")
     qids, qmat = _query_matrix(queries, query_id, query_vec)
     if qmat.shape[1] != mm * dsub:
         raise ValueError(
@@ -2142,9 +2150,28 @@ def pq_topk(
     )
     if refine is None:
         return approx.filter(F.col("rank") <= k)
-    # exact re-rank of the bounded candidate set: broadcast the
-    # (Q x refine_k)-row candidates into the float corpus, score with
-    # the vectorized pair kernel, re-rank
+    return _exact_rerank(
+        approx, refine, queries, metric, k,
+        corpus_id, query_id, query_vec, vec_col, w,
+    )
+
+
+def _exact_rerank(
+    approx: DataFrame,
+    refine: DataFrame,
+    queries: DataFrame,
+    metric: str,
+    k: int,
+    corpus_id: str,
+    query_id: str,
+    query_vec: str,
+    vec_col: str,
+    w,
+) -> DataFrame:
+    """Stage-2 exact re-rank shared by the ADC searches (flat PQ and
+    IVFADC): broadcast the bounded (Q × refine_k)-row candidate set
+    into the float corpus, score with the vectorized pair kernel,
+    re-rank with the same per-query window."""
     cand = approx.select("query_id", corpus_id)
     qvecs = queries.select(
         F.col(query_id).alias("query_id"),
@@ -2164,4 +2191,490 @@ def pq_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index lifecycle (build / load / search / upsert — parity
+# with the IVF lifecycle above) and the IVFADC composition (Jégou et
+# al. 2011 §IV): coarse quantizer routes each vector to one of nlist
+# inverted lists, PQ encodes the RESIDUAL vector - centroid, and
+# queries run ADC only inside their nprobe probed lists — the recipe
+# that turns the flat code scan into an nprobe/nlist-bounded one at
+# billion scale while keeping m bytes/vector.
+# ---------------------------------------------------------------------------
+
+
+def _write_pq_codebooks(
+    spark, index_path: str, codebooks: "np.ndarray"
+) -> None:
+    """Persist (m, ksub, dsub) codebooks as a tiny parquet —
+    (sub, code, centroid) rows, m×ksub of them — the PQ twin of the
+    IVF centroids store."""
+    mm, ksub, dsub = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(mm)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/pq_codebooks.parquet"
+    )
+
+
+def load_pq_codebooks(spark, index_path: str) -> "np.ndarray":
+    """Load persisted PQ codebooks back to the (m, ksub, dsub) float64
+    array (m×ksub rows — driver-side by size, like IVF centroids)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{index_path}/pq_codebooks.parquet")
+        .orderBy("sub", "code")
+        .collect()
+    )
+    mm = 1 + max(r["sub"] for r in rows)
+    ksub = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((mm, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = list(r["centroid"])
+    return books
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+) -> tuple[int, int]:
+    """Persisted flat-PQ index build — the train-once contract the
+    reference's index DDL has (milvus_connector.py:65-69: the index is
+    created once; searches and inserts never retrain):
+
+    - ``<index_path>/pq_codebooks.parquet`` — (sub, code, centroid),
+      m×ksub rows, loaded to the driver at search time;
+    - ``<index_path>/codes.parquet`` — (corpus_id, pq_code binary),
+      m BYTES per vector, ONE map-only Arrow pass at build time so
+      searches scan codes without ever touching the float column.
+
+    Returns (m, ksub)."""
+    books = pq_train(
+        corpus, vec_col, m, nbits, seed, train_fraction, n_corpus
+    )
+    _write_pq_codebooks(corpus.sparkSession, index_path, books)
+    pq_encode(corpus, books, vec_col, corpus_id).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codes.parquet")
+    return books.shape[0], books.shape[1]
+
+
+def upsert_pq_index(
+    index_path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> int:
+    """Incremental PQ maintenance: encode a batch of NEW vectors with
+    the EXISTING codebooks and append their code rows — no retrain,
+    no re-encode of the existing corpus (the IVF upsert contract;
+    quantizer drift on novel clusters is the same documented tradeoff
+    until the next build). Returns the number of rows appended."""
+    spark = new_vectors.sparkSession
+    books = load_pq_codebooks(spark, index_path)
+    n = new_vectors.count()
+    pq_encode(new_vectors, books, vec_col, corpus_id).write.mode(
+        "append"
+    ).parquet(f"{index_path}/codes.parquet")
+    return n
+
+
+def pq_topk_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search against a ``build_pq_index`` store: codebooks load to
+    the driver (m×ksub rows), the code column is scanned with ADC —
+    byte-identical plan shape to inline ``pq_topk`` (the equivalence
+    is asserted in tests), the float corpus only appears if
+    ``refine`` is passed."""
+    books = load_pq_codebooks(spark, index_path)
+    codes = spark.read.parquet(f"{index_path}/codes.parquet")
+    return pq_topk(
+        codes,
+        queries,
+        books,
+        k=k,
+        metric=metric,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        query_vec=query_vec,
+        refine=refine,
+        refine_k=refine_k,
+        vec_col=vec_col,
+    )
+
+
+def _train_ivfadc(
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int,
+    m: int,
+    nbits: int,
+    seed: int,
+    train_fraction: float | None,
+    n_corpus: int | None,
+):
+    """Train the IVFADC pair (coarse centroids, residual PQ codebooks)
+    off ONE bounded spread sample: Lloyd for the coarse quantizer,
+    then per-subspace Lloyd over the sample's RESIDUALS (vector −
+    nearest centroid) — residual energy is what the sub-quantizers
+    must cover (Jégou et al. 2011 §IV.A); PQ trained on raw vectors
+    would waste its 2^nbits cells re-describing the coarse structure.
+    Returns (centroids (nlist_eff, dim), codebooks (m, ksub, dsub))."""
+    import numpy as np
+
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in 1..8 (codes are one byte)")
+    ksub = 1 << nbits
+    X = _spread_sample(
+        corpus,
+        vec_col,
+        max(nlist * 50, ksub * 50, 256),
+        seed,
+        train_fraction,
+        n_corpus,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cent = _lloyd(X, nlist, seed)
+    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
+    R = X - cent[d2.argmin(axis=1)]
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        cb = _lloyd(R[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+        if len(cb) < ksub:
+            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - len(cb), 0)])
+        books[j] = cb
+    return cent, books
+
+
+def _ivfadc_encode(
+    corpus: DataFrame,
+    cent: "np.ndarray",
+    books: "np.ndarray",
+    vec_col: str,
+    corpus_id: str,
+) -> DataFrame:
+    """ONE map-only Arrow pass: nearest-centroid assignment, residual,
+    and m-byte residual-PQ code per vector — the coarse matmul and the
+    m subspace matmuls run per batch, codes built zero-copy off Arrow
+    buffers (the pq_encode kernel plus the routing column).
+
+    Output: (<corpus_id>, list_id int, pq_code binary)."""
+    import numpy as np
+
+    mm, ksub, dsub = books.shape
+    bc = corpus.sparkSession.sparkContext.broadcast((cent, books))
+    cid_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(corpus_id, cid_type, False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("pq_code", T.BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        cent_b, books_b = bc.value
+        cm = cent_b.T
+        c2 = (cent_b**2).sum(axis=1)
+        b2 = [(books_b[j] ** 2).sum(axis=1) for j in range(mm)]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _pa_matrix(rb.column(rb.schema.get_field_index(vec_col)))
+            n = X.shape[0]
+            a = (c2[None, :] - 2.0 * (X @ cm)).argmin(axis=1)
+            R = X - cent_b[a]
+            codes = np.empty((n, mm), dtype=np.uint8)
+            for j in range(mm):
+                Rj = R[:, j * dsub : (j + 1) * dsub]
+                d = b2[j][None, :] - 2.0 * (Rj @ books_b[j].T)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            offsets = np.arange(0, (n + 1) * mm, mm, dtype=np.int32)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(codes.reshape(-1))],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(corpus_id)),
+                    pa.array(a.astype(np.int32), type=pa.int32()),
+                    code_arr,
+                ],
+                names=[corpus_id, "list_id", "pq_code"],
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInArrow(
+        encode, out_schema
+    )
+
+
+def build_ivfadc_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    nlist: int = 64,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+) -> tuple[int, int]:
+    """Persisted IVFADC index build (Jégou et al. 2011 §IV — the
+    billion-scale composition the reference's FLAT Milvus index would
+    graduate to): coarse quantizer routes each vector to one of
+    ``nlist`` inverted lists, PQ encodes the residual in m bytes.
+
+    - ``<index_path>/centroids.parquet``    — (list_id, centroid);
+    - ``<index_path>/pq_codebooks.parquet`` — (sub, code, centroid),
+      trained on residuals;
+    - ``<index_path>/codes.parquet``        — (corpus_id, pq_code),
+      PARTITIONED BY list_id: a search probing nprobe lists prunes to
+      those partitions at the parquet layer — scanned bytes per query
+      ~ nprobe/nlist × m bytes/vector, the two multiplicative
+      reductions composed.
+
+    One bounded sample trains both quantizers; ONE map-only Arrow
+    pass encodes the corpus. Returns (nlist_eff, ksub)."""
+    cent, books = _train_ivfadc(
+        corpus, vec_col, nlist, m, nbits, seed, train_fraction, n_corpus
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids.parquet"
+    )
+    _write_pq_codebooks(spark, index_path, books)
+    _ivfadc_encode(corpus, cent, books, vec_col, corpus_id).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    return len(cent), books.shape[1]
+
+
+def _load_ivf_centroids(spark, index_path: str) -> "np.ndarray":
+    """(nlist, dim) float64 centroid matrix off the tiny store."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{index_path}/centroids.parquet")
+        .orderBy("list_id")
+        .collect()
+    )
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def upsert_ivfadc_index(
+    index_path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> int:
+    """Incremental IVFADC maintenance: route + residual-encode a batch
+    of NEW vectors with the EXISTING quantizers and append into the
+    partitioned code store — no retrain, no re-encode (the IVF/PQ
+    upsert contract; quantizer drift until the next build is the
+    standard tradeoff). Returns the number of rows appended."""
+    spark = new_vectors.sparkSession
+    cent = _load_ivf_centroids(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    n = new_vectors.count()
+    _ivfadc_encode(new_vectors, cent, books, vec_col, corpus_id).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    return n
+
+
+def ann_topk_ivfadc(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    nprobe: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``build_ivfadc_index`` store: nprobe-bounded ADC.
+
+    Driver side (all tiny): centroids + codebooks load, each query
+    picks its ``nprobe`` nearest lists, and one (m × ksub) lookup
+    table per (query, probed list) is built over the SHIFTED query
+    q − c_l — for L2, ‖q − (c_l + r)‖² = ‖(q − c_l) − r‖² decomposes
+    over subspaces exactly like flat ADC; for IP, q·(c_l + r) is a
+    per-list bias q·c_l plus the flat-ADC residual lookup.
+
+    Cluster side: the code scan reads ONLY the probed list partitions
+    (the union of probed lists is a driver-known literal, so the
+    ``isin`` filter prunes the partitioned parquet store at planning
+    time — asserted in tools/plan_audit.py), each code row scores as
+    m byte-indexed gathers against its list's LUT, and each batch
+    emits only its local top-k per query before one tiny global
+    window — the dense_topk/pq_topk scan contract at
+    ~nprobe/nlist × m bytes per corpus vector.
+
+    Two-stage exact refinement: pass ``refine`` (the float corpus)
+    and ``refine_k`` > k for the standard re-rank of the bounded
+    candidate set. Output: (query_id, <corpus_id>, score double,
+    rank int)."""
+    import numpy as np
+
+    metric = metric.upper()
+    if metric not in ("L2", "IP"):
+        raise ValueError(f"unknown metric {metric!r}; use L2|IP")
+    cent = _load_ivf_centroids(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    mm, ksub, dsub = books.shape
+    qids, qmat = _query_matrix(queries, query_id, query_vec)
+    if qmat.shape[1] != mm * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} != codebook dim {mm * dsub}"
+        )
+    npb = min(nprobe, len(cent))
+    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
+    probes = np.argsort(d2, axis=1)[:, :npb].astype(np.int32)
+    probed = sorted({int(x) for x in probes.ravel()})
+
+    nq = len(qids)
+    luts = np.empty((nq, npb, mm, ksub), dtype=np.float64)
+    biases = np.zeros((nq, npb), dtype=np.float64)
+    for qi in range(nq):
+        for pi in range(npb):
+            li = int(probes[qi, pi])
+            shifted = qmat[qi] - cent[li]
+            for j in range(mm):
+                sj = shifted[j * dsub : (j + 1) * dsub]
+                if metric == "L2":
+                    luts[qi, pi, j] = ((sj[None, :] - books[j]) ** 2).sum(
+                        axis=1
+                    )
+                else:
+                    luts[qi, pi, j] = books[j] @ sj
+            if metric == "IP":
+                biases[qi, pi] = float(qmat[qi] @ cent[li])
+
+    bc = spark.sparkContext.broadcast((qids, probes, luts, biases))
+    kk1 = max(k, refine_k or 0)
+    descending = metric == "IP"
+    codes = spark.read.parquet(f"{index_path}/codes.parquet").filter(
+        F.col("list_id").isin(probed)
+    )
+    qid_field = queries.schema[query_id].dataType
+    cid_field = codes.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field, False),
+            T.StructField(corpus_id, cid_field, False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_field)
+    jidx = np.arange(mm)
+
+    def local_topk(batches):
+        qids_b, probes_b, luts_b, biases_b = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            C = _pa_codes(
+                rb.column(rb.schema.get_field_index("pq_code")), mm
+            )
+            L = (
+                rb.column(rb.schema.get_field_index("list_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+            )
+            ids = rb.column(rb.schema.get_field_index(corpus_id))
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            qcol, icol, scol = [], [], []
+            for qi in range(len(qids_b)):
+                parts_s, parts_i = [], []
+                for pi in range(probes_b.shape[1]):
+                    rows = np.flatnonzero(L == probes_b[qi, pi])
+                    if not len(rows):
+                        continue
+                    s = (
+                        luts_b[qi, pi][jidx[None, :], C[rows]].sum(axis=1)
+                        + biases_b[qi, pi]
+                    )
+                    parts_s.append(s)
+                    parts_i.append(rows)
+                if not parts_i:
+                    continue
+                s = np.concatenate(parts_s)
+                rows = np.concatenate(parts_i)
+                if metric == "L2":
+                    s = np.sqrt(np.maximum(s, 0.0))
+                kk = min(kk1, len(s))
+                sel = _topk_indices(
+                    -s if descending else s, ids_np[rows], kk
+                )
+                take = rows[sel]
+                qcol.extend([qids_b[qi]] * len(take))
+                icol.append(ids.take(pa.array(take)))
+                scol.append(s[sel])
+            if not icol:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol, type=qid_pa),
+                    pa.concat_arrays(icol),
+                    pa.array(np.concatenate(scol), type=pa.float64()),
+                ],
+                names=["query_id", corpus_id, "score"],
+            )
+
+    local = codes.select(corpus_id, "list_id", "pq_code").mapInArrow(
+        local_topk, out_schema
+    )
+    order = F.desc if descending else F.asc
+    w = Window.partitionBy("query_id").orderBy(
+        order("score"), F.asc(corpus_id)
+    )
+    approx = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk1
+    )
+    if refine is None:
+        return approx.filter(F.col("rank") <= k)
+    return _exact_rerank(
+        approx, refine, queries, metric, k,
+        corpus_id, query_id, query_vec, vec_col, w,
     )

@@ -726,6 +726,7 @@ def pmi_collocations(
     top_n: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = False,
 ) -> DataFrame:
     """Top collocations (adjacent word pairs) by pointwise mutual
     information (Church & Hanks 1990) — the classic corpus-analysis
@@ -757,8 +758,13 @@ def pmi_collocations(
     self-references get no exchange reuse (the r8 finding — without
     the pin each reference would re-tokenize the corpus). Cache
     lifecycle: vocabulary-pair-scale (bounded by distinct adjacent
-    pairs, far below corpus scale) — the caller owns cleanup after
-    materializing, same contract as dsir_weights' lazy mode.
+    pairs, far below corpus scale) — in the default lazy mode the
+    caller owns cleanup after materializing, same contract as
+    dsir_weights' lazy mode. With ``eager=True`` the whole query runs
+    AT CALL TIME: the result is top_n rows by construction (the
+    bounded-collect pattern), so it is collected, the pair-count
+    cache is unpersisted before returning, and the returned
+    DataFrame holds no cache references.
 
     Output: (w1, w2, n_pair, pmi double), top_n rows by pmi DESC —
     orderBy+limit compiles to TakeOrderedAndProject (per-partition
@@ -803,7 +809,7 @@ def pmi_collocations(
         ),
         6,
     ).cast("decimal(18,6)")
-    return (
+    out = (
         pc.filter(
             F.col("w2").isNotNull() & (F.col("c12") >= min_count)
         )
@@ -832,6 +838,12 @@ def pmi_collocations(
             F.col("__pmi").cast("double").alias("pmi"),
         )
     )
+    if eager:
+        rows = out.collect()  # <= top_n rows by construction
+        schema = out.schema
+        pc.unpersist()
+        return df.sparkSession.createDataFrame(rows, schema)
+    return out
 
 
 def word_entropy(

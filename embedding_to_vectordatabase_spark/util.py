@@ -84,8 +84,16 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     # check is gated on the optimized plan's node types.
     try:
         plan = str(df._jdf.queryExecution().optimizedPlan())
+        # the blacklist must cover EVERY node family that forces an
+        # exchange, not just the common ones: FlatMapGroupsIn*/
+        # CoGroup (applyInPandas), Deduplicate, Expand (rollup/cube),
+        # Intersect/Except, and any Group* variant — df.rdd on a plan
+        # with an exchange executes those stages eagerly under AQE,
+        # the exact hazard this gate exists to avoid (r12 ADVICE)
         if not re.search(
-            r"(?i)join|aggregate|window|repartition|sort|distinct|limit",
+            r"(?i)join|aggregate|window|repartition|sort|distinct"
+            r"|limit|group|cogroup|deduplicate|expand|intersect"
+            r"|except|flatmap",
             plan,
         ):
             if df.rdd.getNumPartitions() >= target:

@@ -708,3 +708,42 @@ def test_semdedup_deterministic(spark):
         for r in semdedup(df, n_clusters=8, eps=0.2, seed=42).collect()
     )
     assert a == b and len(a) >= 1
+
+
+def test_null_text_joins_empty_string_class_both_hash_modes(spark):
+    """NULL-text docs hash like empty-text docs in BOTH hash modes
+    (r12 ADVICE): the md5 spelling always had word_ngrams(NULL) ==
+    [""], so the xxhash64 composed path coalesces NULL to "" too —
+    without it NULL docs formed a bare-seed-constant class disjoint
+    from empty docs and the two spellings silently diverged."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        _hashed_shingle_sets,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    shs = {
+        r["doc_id"]: list(r["__shs"])
+        for r in _hashed_shingle_sets(df, "text", "doc_id", 3).collect()
+    }
+    assert shs[1] == shs[2], "NULL text must hash like empty text"
+    assert shs[1] != shs[3]
+    for fn in ("xxhash64", "md5"):
+        sig = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_signatures(
+                df, num_perm=4, hash_fn=fn
+            ).collect()
+        }
+        assert sig[1] == sig[2], f"minhash {fn}: NULL != empty"
+        sh = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(
+                df, hash_fn=fn, bits=60 if fn == "md5" else 64
+            ).collect()
+        }
+        assert sh[1] == sh[2], f"simhash {fn}: NULL != empty"

@@ -814,3 +814,197 @@ def test_pq_topk_ip_metric_self_hit(emb, queries):
     ).collect()
     hits = {r["query_id"] for r in out if r["query_id"] == r["vec_id"]}
     assert len(hits) >= 4  # 5 queries; allow one near-tie miss
+
+
+def test_pq_rejects_oversized_codebooks(spark):
+    """Hand-built codebooks with >256 centroids would silently wrap in
+    the uint8 argmin cast (r12 ADVICE) — both the encoder and the ADC
+    search must refuse them (pq_train already validates nbits)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        pq_encode,
+        pq_topk,
+    )
+
+    bad = np.zeros((2, 300, 4))
+    corpus = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="256"):
+        pq_encode(corpus, bad)
+    with _pytest.raises(ValueError, match="256"):
+        pq_topk(corpus, corpus, bad, query_id="vec_id")
+
+
+def test_pq_index_lifecycle_matches_inline(emb, queries, tmp_path):
+    """build_pq_index → pq_topk_index must return EXACTLY the inline
+    pq_train+pq_encode+pq_topk results (same seed): the persisted
+    codebooks/codes round-trip through parquet is lossless and the
+    search plan is the same ADC scan (r12 VERDICT item 1a)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_pq_index,
+        load_pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_topk_index,
+        pq_train,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "pqidx")
+    mm, ksub = build_pq_index(emb, path, m=8, seed=7)
+    assert (mm, ksub) == (8, 256)
+    books = pq_train(emb, m=8, seed=7)
+    assert (load_pq_codebooks(spark, path) == books).all()
+    inline = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in pq_topk(
+            pq_encode(emb, books), queries, books, k=5, metric="L2",
+            refine=emb, refine_k=20,
+        ).collect()
+    }
+    via_index = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in pq_topk_index(
+            spark, path, queries, k=5, metric="L2",
+            refine=emb, refine_k=20,
+        ).collect()
+    }
+    assert inline == via_index
+
+
+def test_pq_index_upsert_appends_searchable_codes(emb, queries, tmp_path):
+    """Upsert encodes ONLY the new batch with the existing codebooks
+    and appends; searches see the new ids immediately (the vector-
+    store insert contract — no retrain, no re-encode)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_pq_index,
+        pq_topk_index,
+        upsert_pq_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "pqidx_up")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    build_pq_index(old, path, m=8, seed=7)
+    before = {
+        r["vec_id"]
+        for r in pq_topk_index(spark, path, queries, k=5).collect()
+    }
+    n = upsert_pq_index(path, new)
+    assert n == new.count()
+    total = spark.read.parquet(f"{path}/codes.parquet").count()
+    assert total == emb.count()
+    after = pq_topk_index(
+        spark, path, queries, k=5, metric="L2", refine=emb, refine_k=20
+    ).collect()
+    # odd queries can now find their own (odd) vector
+    odd_self = {
+        r["query_id"]
+        for r in after
+        if r["query_id"] == r["vec_id"] and r["query_id"] % 2 == 1
+    }
+    assert odd_self, f"upserted vectors not searchable (before={before})"
+
+
+def test_ivfadc_recall_vs_flat_adc_and_exactness(emb, queries, tmp_path):
+    """IVFADC (residual PQ inside probed lists) at FULL probe tracks
+    flat ADC at the same m on this UNSTRUCTURED fixture (on random
+    vectors a 16-means coarse quantizer captures little energy, so
+    residual and raw quantization error are comparable — the strict
+    residual>=raw win shows on the CLUSTERED bench fixture, asserted
+    there in bench.py's ann-recall section), and the refined search
+    clears the ANN recall bar with exact survivor scores; a bounded
+    nprobe stays within a small recall concession (r12 VERDICT item
+    1b)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_ivfadc_index,
+        ann_topk_ivfadc,
+        dense_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfadc")
+    k = 5
+    nlist, _ = build_ivfadc_index(emb, path, nlist=16, m=8, seed=7)
+    exact = _key_set(dense_topk(emb, queries, k=k, metric="L2").collect())
+
+    books = pq_train(emb, m=8, seed=7)
+    flat = pq_topk(pq_encode(emb, books), queries, books, k=k, metric="L2")
+    r_flat = len(exact & _key_set(flat.collect())) / len(exact)
+
+    full = ann_topk_ivfadc(
+        spark, path, queries, k=k, metric="L2", nprobe=nlist
+    )
+    r_full = len(exact & _key_set(full.collect())) / len(exact)
+    assert r_full >= r_flat - 0.15, (
+        f"IVFADC full-probe {r_full} collapsed vs flat {r_flat}"
+    )
+
+    refined = ann_topk_ivfadc(
+        spark, path, queries, k=k, metric="L2", nprobe=nlist,
+        refine=emb, refine_k=4 * k,
+    ).collect()
+    r_ref = len(exact & _key_set(refined)) / len(exact)
+    assert r_ref >= 0.9, f"IVFADC refined recall {r_ref}"
+    ex_scores = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in dense_topk(emb, queries, k=4 * k, metric="L2").collect()
+    }
+    for r in refined:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            assert abs(r["score"] - ex_scores[key]) < 1e-6
+    bounded = ann_topk_ivfadc(
+        spark, path, queries, k=k, metric="L2", nprobe=8,
+        refine=emb, refine_k=4 * k,
+    )
+    r_bounded = len(exact & _key_set(bounded.collect())) / len(exact)
+    assert r_bounded >= r_ref - 0.25, (
+        f"nprobe=8 recall {r_bounded} collapsed vs full {r_ref}"
+    )
+
+
+def test_ivfadc_partition_pruning_and_upsert(emb, queries, tmp_path):
+    """The probed-list filter must prune the PARTITIONED code store at
+    the parquet layer (PartitionFilters in the scan — the
+    nprobe/nlist scan-bytes reduction is real, not a post-scan
+    filter); upsert appends into the same partition scheme."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfadc,
+        build_ivfadc_index,
+        upsert_ivfadc_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfadc_pp")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ivfadc_index(old, path, nlist=8, m=8, seed=7)
+    out = ann_topk_ivfadc(spark, path, queries, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    pruned = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ][0]
+    assert "IN (" in pruned or "isnotnull" in pruned, pruned
+    n = upsert_ivfadc_index(path, emb.filter(F.col("vec_id") % 2 == 1))
+    assert n > 0
+    assert (
+        spark.read.parquet(f"{path}/codes.parquet").count() == emb.count()
+    )
+    # ivfadc is deterministic for a fixed seed/index
+    a = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_topk_ivfadc(spark, path, queries, k=3, nprobe=8).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_topk_ivfadc(spark, path, queries, k=3, nprobe=8).collect()
+    )
+    assert a == b

@@ -318,3 +318,69 @@ def test_cms_string_items(spark):
         for r in cms_estimate(sk, ["tok1", "tok2"], ["grp"]).collect()
     }
     assert est["tok1"] >= 5 and est["tok2"] >= 2
+
+
+def test_cms_estimate_struct_group_column(spark):
+    """Group columns with nested types must survive the output-schema
+    construction (r12 ADVICE: the old DDL-string build broke on the
+    internal colons of struct<...>.simpleString())."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [((u"a", 1), 10)] * 4 + [(("b", 2), 20)] * 3,
+        "grp struct<name:string,k:int>, user_id long",
+    )
+    sk = cms_sketches(df, ["grp"], "user_id", eps=0.01, seed=5)
+    out = cms_estimate(sk, [10, 20], ["grp"])
+    rows = {(r["grp"]["name"], r["item"]): r["est_count"] for r in out.collect()}
+    assert rows[("a", "10")] >= 4 and rows[("b", "20")] >= 3
+
+
+def test_cms_distributed_estimates_match_jvm_exactly(spark):
+    """The pure-Python CMS reader (cms_estimate_distributed) must be
+    bit-identical to the JVM's estimateCount on the SAME sketches —
+    both the integral hashA path and the string Murmur3 path,
+    including multi-byte UTF-8 probes (r12 VERDICT item 4b: the
+    distributed path removes the driver-collect cardinality
+    contract)."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_estimate,
+        cms_estimate_distributed,
+        cms_sketches,
+    )
+
+    ev = _cms_events(spark)
+    sk = cms_sketches(ev, ["event_type"], "user_id", eps=0.01, seed=7)
+    items = [3, 7, 999, -1]
+    drv = {
+        (r["event_type"], r["item"]): (r["est_count"], r["n_values"])
+        for r in cms_estimate(sk, items, ["event_type"]).collect()
+    }
+    dist = {
+        (r["event_type"], r["item"]): (r["est_count"], r["n_values"])
+        for r in cms_estimate_distributed(
+            sk, items, ["event_type"]
+        ).collect()
+    }
+    assert drv == dist and len(dist) == 2 * len(items)
+
+    # string-item sketches: Murmur3 path, incl. multi-byte UTF-8
+    sdf = spark.createDataFrame(
+        [("a", "tok1")] * 5 + [("a", "日本語")] * 3 + [("b", "tok1")] * 2,
+        "grp string, tok string",
+    )
+    ssk = cms_sketches(sdf, ["grp"], "tok", eps=0.01, seed=11)
+    sitems = ["tok1", "日本語", "missing"]
+    drv_s = {
+        (r["grp"], r["item"]): r["est_count"]
+        for r in cms_estimate(ssk, sitems, ["grp"]).collect()
+    }
+    dist_s = {
+        (r["grp"], r["item"]): r["est_count"]
+        for r in cms_estimate_distributed(ssk, sitems, ["grp"]).collect()
+    }
+    assert drv_s == dist_s
+    assert dist_s[("a", "tok1")] >= 5 and dist_s[("a", "日本語")] >= 3
