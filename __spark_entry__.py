@@ -2681,6 +2681,38 @@ def _q_pq_topk_refined(spark, sf_dir):
     )
 
 
+def _q_ivfadc_topk_refined(spark, sf_dir):
+    """IVFADC (Jégou et al. 2011 §IV): persisted index — coarse
+    quantizer routes to nlist inverted lists, PQ codes the RESIDUALS,
+    search scans only the nprobe probed list partitions (partition-
+    pruned parquet) then exact-refines the bounded candidate set
+    (operators/search.py:build_ivfadc_index/ann_topk_ivfadc).
+    Rows-only: seeded-kmeans quantizers aren't SQL-reproducible;
+    recall, index==inline parity, partition pruning and upsert are
+    asserted in tests/test_search.py and the hard-fixture comparison
+    in bench.py."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfadc,
+        build_ivfadc_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="sg_ivfadc_")
+    nlist, _ = build_ivfadc_index(emb, path, nlist=16, m=8, seed=7)
+    out = ann_topk_ivfadc(
+        spark, path, q, k=5, metric="L2", nprobe=nlist,
+        refine=emb, refine_k=20,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_dense_topk_quantized(spark, sf_dir):
     """Moved from rows-only to hash-checked (VERDICT r6 item 9) via
     ``symmetric=True``: quantizing the queries too makes the stage-1
@@ -6587,97 +6619,92 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("word_entropy", _q_word_entropy, _SQL_WORD_ENTROPY),
     ("cms_user_counts", _q_cms_user_counts, None),
     ("pq_topk_refined", _q_pq_topk_refined, None),
+    # --- r13 additions ---
+    ("ivfadc_topk_refined", _q_ivfadc_topk_refined, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
 # registry. Rotation policy (unchanged since r10, reapplied each round):
-# (a) queries with NO driver-green record yet lead — this round that is
-# variant_props_stats (r11's only red row: the oracle's uncast SUM came
-# back HUGEINT; fixed by CAST ... AS BIGINT) plus the three new r12
-# oracles (variant_nested_stats, pmi_collocations, word_entropy) —
-# followed by regression sentinels whose PHYSICAL PLANS changed this
-# round (dedup_substrings, bm25_topk: r12 perf work must re-verify under
-# the driver gate, not just pytest); (b) the back-fill takes queries
-# whose LATEST driver-green record is OLDEST, computed from the
-# committed CORRECTNESS_r*.json files (r7 cohort fully, r8 cohort fully,
-# then the r9 cohort in registry order up to the 48-slot oracle budget);
-# (c) rows-only entries sit at the window TAIL per r10 ADVICE (marginal
-# gate-sample growth prefers hash-checkable entries): the reshaped
-# sketch_value_quantiles (r11's crash row — array output posexploded to
-# scalar rows, must re-record) and the new cms_user_counts. Displaced
-# cohorts keep their recorded provenance and remain covered by
-# tools/oracle_check.py and tests/test_oracle_window.py at both gate
-# SFs every round.
-_R12_WINDOW: list[str] = [
-    # (a) fixed-this-round + never driver-checked oracles, then the
-    # two perf-sentinels whose PLANS changed this round (dedup_
-    # substrings: O(k) interval break-scan + word-hash-composed
-    # xxhash64 grams; bm25_topk: conditional respread instead of an
-    # unconditional packed exchange) — plan changes must re-verify
-    # under the driver gate, not just pytest
-    "variant_props_stats",
-    "variant_nested_stats",
-    "pmi_collocations",
-    "word_entropy",
-    "dedup_substrings",
-    "bm25_topk",
-    # (b) oldest latest-driver-record first: the r7 cohort...
-    "auto_join_hot_agg",
-    "j1_registry_matched",
-    "j1_registry_unmatched",
-    "j2_anti_ingested",
-    "s2_row_range",
-    "w1_row_numbers_scalable",
-    # ...the r8 cohort...
-    "containment_pairs",
-    "conversion_time",
-    "corpus_curate_minhash",
-    "dup_source_matrix",
-    "embedding_dispersion",
-    "event_transitions",
-    "peak_concurrency",
-    "rank_normalize_nchars",
-    "rolling_active_users",
-    # ...and the r9 cohort in registry order up to the oracle budget
-    "hybrid_topk_rrf",
-    "bpe_token_count",
-    "redact_pii",
-    "a3_load_metrics",
-    "st_windowed_event_counts",
-    "st_windowed_sliding",
-    "dup_ngram_stats",
-    "c4_quality_signals",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "user_set_ops",
-    "pivot_event_counts",
-    "unpivot_event_counts",
-    "st_running_counts",
-    "dense_topk_quantized",
-    "dedup_spans",
-    "dup_clusters",
-    "near_dedup_representatives",
-    "st_minhash_dedup",
-    # (c) rows-only at the window TAIL by policy: the reshaped KLL
-    # quantiles query (must re-record after the r11 crash) and the
-    # round's two new rows-only queries (CMS frequency estimates, PQ
-    # two-stage ANN) — topn_tokens (r9-green) is displaced to make
-    # room and stays covered by the out-of-window pytest guard
-    "sketch_value_quantiles",
-    "cms_user_counts",
-    "pq_topk_refined",
+# (a) queries with NO driver-green record lead — this round that is
+# image_meta_decode (new r13 oracle: real PNG/GIF header-byte parsing
+# round-tripped against arithmetic) — followed by the cohort VERDICT r12
+# item 7 ordered re-verified: the composed-hash families whose r12 hash
+# change (and this round's NULL-text coalesce in _hashed_shingle_sets)
+# touched their plans but whose latest driver record predates r12
+# (minhash/simhash/jaccard + the exact-dup and embedding near-dup
+# families); (b) the back-fill takes queries whose LATEST driver-green
+# record is OLDEST, computed from the committed CORRECTNESS_r*.json
+# files — the FULL r9 cohort (19 queries, oldest records in the
+# registry), then the r10 cohort in registry order up to the 48-slot
+# oracle budget; (c) rows-only entries sit at the window TAIL per r10
+# ADVICE: the new ivfadc_topk_refined (persisted IVFADC index) and
+# simhash_pairs (rows-only xxhash64 path — the one rows-only query the
+# NULL-coalesce plan change touches). Displaced cohorts keep their
+# recorded provenance and remain covered by tools/oracle_check.py and
+# tests/test_oracle_window.py at both gate SFs every round.
+_R13_WINDOW: list[str] = [
+    # (a) new-this-round oracle first
+    "image_meta_decode",
+    # ...then the composed-hash cohort with pre-r12 driver records
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "simhash_pairs_md5",
+    "decontaminate",
+    "corpus_curate",
+    "dedup_exact",
+    "exact_duplicate_groups",
+    "embedding_near_dup",
+    # (b) oldest latest-driver-record first: the rest of the r9 cohort...
+    "bigram_lm_score",
+    "bloom_anti_join",
+    "centroid_similarity",
+    "corpus_mix",
+    "cube_pricing",
+    "event_value_quantiles",
+    "pack_sequences",
+    "percentile_filter",
+    "repetition_score",
+    "skew_profile",
+    "snapshot_diff",
+    "split_assignment",
+    "stratified_sample",
+    "throttle_events",
+    "topk_per_group",
+    "topn_tokens",
+    "weighted_sample",
+    # ...then the r10 cohort in registry order up to the oracle budget
+    "a1_file_stats",
+    "a2_manager_stats",
+    "a4_breakpoint_stats",
+    "events_type_counts",
+    "j3_kb_scope",
+    "o1_sorted_registry",
+    "o2_point_lookup",
+    "o4_dense_topk",
+    "p2_clean_title",
+    "p3_reformat_doc",
+    "sparse_topk_inverted",
+    "st_session_window",
+    "st_sessionize",
+    "st_stateful_dedup",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    # (c) rows-only at the window TAIL by policy: the new persisted
+    # IVFADC search and the xxhash64 simhash pair path (its shingle
+    # staging plan changed via the r13 NULL-text coalesce)
+    "ivfadc_topk_refined",
+    "simhash_pairs",
 ]
 
 
 def _registry_order() -> list[tuple[str, Callable, str | None]]:
-    rank = {n: i for i, n in enumerate(_R12_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R13_WINDOW)}
     head = sorted(
         (e for e in _REGISTRY_ENTRIES if e[0] in rank),
         key=lambda e: rank[e[0]],

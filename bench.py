@@ -2212,6 +2212,192 @@ def main() -> None:
                     "the scale story"
                 ),
             }
+            # PQ family on the SAME hard fixture (r12 VERDICT item 1b +
+            # stretch item 8): flat ADC vs IVFADC vs OPQ at the SAME byte
+            # budget (m bytes/vector vs 4096 float bytes at dim 1024).
+            # TWO kinds of evidence, deliberately separated:
+            # (a) RECONSTRUCTION ERROR on a fixed eval sample — the
+            #     quantizer objective, deterministic: IVFADC's coarse
+            #     centroid absorbs the +-5-sigma cluster structure so the
+            #     residual codes spend their bits on the noise (Jegou et
+            #     al. 2011 SIV), and OPQ's rotation equalizes subspace
+            #     variance (Ge et al. 2013) — both must come out <= flat
+            #     PQ's error; this is the residual>=raw claim in its
+            #     stable form.
+            # (b) RECALL on this fixture — honest but intrinsically weak
+            #     and high-variance for ANY m-byte code: exact top-5
+            #     inside a 5k-member cluster of near-ties differs by
+            #     noise components a 16-byte code cannot retain (the
+            #     fixture was designed to stress LSH/IVF pruning, whose
+            #     candidate scoring is exact). Reported with candidate
+            #     recall@100 (the two-stage metric that matters) plus
+            #     refined recall@5 at refine_k=100.
+            if time_left() >= 60:
+                from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                    ann_topk_ivfadc,
+                    build_ivfadc_index,
+                    load_pq_codebooks,
+                    opq_encode,
+                    opq_topk,
+                    opq_train,
+                    pq_encode,
+                    pq_topk,
+                    pq_train,
+                )
+
+                M_PQ = 16
+                RK = 100
+                progress(
+                    f"pq family (hard fixture): flat/ivfadc/opq, m={M_PQ}"
+                )
+                t0 = time.time()
+                books = pq_train(cvecs, m=M_PQ, seed=7)
+                flat_codes = pq_encode(cvecs, books)
+                flat_cand = topk_ids(
+                    pq_topk(flat_codes, qdf, books, k=RK, metric="IP")
+                )
+                flat_ref = topk_ids(
+                    pq_topk(
+                        flat_codes, qdf, books, k=5, metric="IP",
+                        refine=cvecs, refine_k=RK,
+                    )
+                )
+                flat_sec = round(time.time() - t0, 3)
+                ann_calib["pq_flat_adc"] = calib_ms()
+                ivfadc_path = os.path.join(SCRATCH, "ivfadc_idx")
+                t0 = time.time()
+                nlist_eff, _ = build_ivfadc_index(
+                    cvecs, ivfadc_path, nlist=64, m=M_PQ, seed=7
+                )
+                build_sec = round(time.time() - t0, 3)
+                t0 = time.time()
+                adc_cand = topk_ids(
+                    ann_topk_ivfadc(
+                        spark, ivfadc_path, qdf, k=RK, metric="IP",
+                        nprobe=8,
+                    )
+                )
+                adc_ref = topk_ids(
+                    ann_topk_ivfadc(
+                        spark, ivfadc_path, qdf, k=5, metric="IP",
+                        nprobe=8, refine=cvecs, refine_k=RK,
+                    )
+                )
+                adc_sec = round(time.time() - t0, 3)
+                ann_calib["ivfadc"] = calib_ms()
+                t0 = time.time()
+                R_opq, opq_books = opq_train(
+                    cvecs, m=M_PQ, seed=7, n_iter=4
+                )
+                opq_codes = opq_encode(cvecs, R_opq, opq_books)
+                opq_cand = topk_ids(
+                    opq_topk(opq_codes, qdf, R_opq, opq_books, k=RK,
+                             metric="IP")
+                )
+                opq_ref = topk_ids(
+                    opq_topk(
+                        opq_codes, qdf, R_opq, opq_books, k=5,
+                        metric="IP", refine=cvecs, refine_k=RK,
+                    )
+                )
+                opq_sec = round(time.time() - t0, 3)
+                ann_calib["opq"] = calib_ms()
+
+                # (a) reconstruction error, driver-side on a fixed
+                # 2000-vector eval sample (deterministic given the
+                # seeded quantizers)
+                eval_rows = (
+                    cvecs.filter(F.col("vec_id") % 50 == 1)
+                    .limit(2000).collect()
+                )
+                Xe = np.array(
+                    [list(r["embedding"]) for r in eval_rows],
+                    dtype=np.float64,
+                )
+                dsub = DIM // M_PQ
+
+                def _pq_recon(Y, bks):
+                    out = np.empty_like(Y)
+                    for j in range(M_PQ):
+                        Yj = Y[:, j * dsub : (j + 1) * dsub]
+                        d = (bks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                            Yj @ bks[j].T
+                        )
+                        out[:, j * dsub : (j + 1) * dsub] = bks[j][
+                            d.argmin(axis=1)
+                        ]
+                    return out
+
+                err_flat = float(
+                    ((Xe - _pq_recon(Xe, books)) ** 2).sum(axis=1).mean()
+                )
+                cent_rows = (
+                    spark.read.parquet(f"{ivfadc_path}/centroids.parquet")
+                    .orderBy("list_id").collect()
+                )
+                Cmat = np.array(
+                    [list(r["centroid"]) for r in cent_rows],
+                    dtype=np.float64,
+                )
+                ivf_books = load_pq_codebooks(spark, ivfadc_path)
+                a = (
+                    (Cmat**2).sum(axis=1)[None, :] - 2.0 * (Xe @ Cmat.T)
+                ).argmin(axis=1)
+                Rres = Xe - Cmat[a]
+                err_ivfadc = float(
+                    ((Rres - _pq_recon(Rres, ivf_books)) ** 2)
+                    .sum(axis=1).mean()
+                )
+                Xr = Xe @ R_opq
+                err_opq = float(
+                    ((Xr - _pq_recon(Xr, opq_books)) ** 2)
+                    .sum(axis=1).mean()
+                )
+
+                ann_recall["pq_family"] = {
+                    "m": M_PQ,
+                    "bytes_per_vec_vs_float": [M_PQ, DIM * 4],
+                    "nlist": nlist_eff,
+                    "nprobe": 8,
+                    "refine_k": RK,
+                    "recon_err_per_vec": {
+                        "flat_pq": round(err_flat, 1),
+                        "ivfadc_residual": round(err_ivfadc, 1),
+                        "opq_rotated": round(err_opq, 1),
+                    },
+                    "ivfadc_err_over_flat": round(err_ivfadc / err_flat, 3),
+                    "opq_err_over_flat": round(err_opq / err_flat, 3),
+                    "ivfadc_le_flat_err": err_ivfadc <= err_flat,
+                    "opq_le_flat_err": err_opq <= err_flat,
+                    "candidate_recall_at_100": {
+                        "flat_adc": recall(flat_cand),
+                        "ivfadc": recall(adc_cand),
+                        "opq": recall(opq_cand),
+                    },
+                    "refined_recall_at_5": {
+                        "flat_adc": recall(flat_ref),
+                        "ivfadc": recall(adc_ref),
+                        "opq": recall(opq_ref),
+                    },
+                    "wall_sec": {
+                        "flat": flat_sec,
+                        "ivfadc_build": build_sec,
+                        "ivfadc_search": adc_sec,
+                        "opq": opq_sec,
+                    },
+                    "note": (
+                        "recon error is the stable evidence (residual "
+                        "and rotated quantizers must beat flat at equal "
+                        "bytes); recall on THIS fixture is intrinsically "
+                        "weak/high-variance for any m-byte code — exact "
+                        "top-5 among 5k near-tie cluster siblings turns "
+                        "on noise components 16 bytes cannot retain, "
+                        "while the LSH/IVF families above score pruned "
+                        "candidates with the exact metric. ivfadc "
+                        "additionally scans only the nprobe/nlist probed "
+                        "partitions of the persisted code store."
+                    ),
+                }
             # SemDeDup over the same hard fixture (r11): the 5k
             # distractors ARE semantic duplicates of their originals
             # (cos ~0.999 vs ~0.96 +/- 0.01 for within-cluster

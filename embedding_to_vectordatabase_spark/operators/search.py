@@ -2678,3 +2678,178 @@ def ann_topk_ivfadc(
         approx, refine, queries, metric, k,
         corpus_id, query_id, query_vec, vec_col, w,
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge, He, Ke, Sun 2013, CVPR:
+# "Optimized Product Quantization for Approximate Nearest Neighbor
+# Search", the non-parametric OPQ-NP variant): one orthogonal rotation
+# R learned so the rotated data's variance spreads evenly across the m
+# subspaces before sub-quantization — same m bytes per vector, lower
+# quantization error on anisotropic/correlated embeddings (real text
+# embeddings are strongly anisotropic), hence better recall at equal
+# byte budget. Rotation is distance-preserving (R orthogonal), so L2
+# and IP semantics are unchanged in the rotated space.
+# ---------------------------------------------------------------------------
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    n_iter: int = 5,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+):
+    """Train (rotation R, PQ codebooks) with OPQ-NP alternation on the
+    same bounded spread sample all quantizer training uses: repeat
+    [train/assign PQ in the rotated space → solve the orthogonal
+    Procrustes problem min_R ‖XR − quantized(XR)‖_F via one SVD of
+    XᵀŶ] for ``n_iter`` rounds (Ge et al. 2013 Alg. 2). Deterministic
+    for a fixed seed. Returns (R (dim, dim) float64, codebooks
+    (m, ksub, dsub) float64)."""
+    import numpy as np
+
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in 1..8 (codes are one byte)")
+    ksub = 1 << nbits
+    X = _spread_sample(
+        corpus, vec_col, max(ksub * 50, 256), seed, train_fraction,
+        n_corpus,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _fit_books(Y):
+        books = np.empty((m, ksub, dsub), dtype=np.float64)
+        for j in range(m):
+            cb = _lloyd(Y[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            if len(cb) < ksub:
+                cb = np.vstack(
+                    [cb, np.repeat(cb[-1:], ksub - len(cb), 0)]
+                )
+            books[j] = cb
+        return books
+
+    def _reconstruct(Y, books):
+        out = np.empty_like(Y)
+        for j in range(m):
+            Yj = Y[:, j * dsub : (j + 1) * dsub]
+            d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                Yj @ books[j].T
+            )
+            out[:, j * dsub : (j + 1) * dsub] = books[j][d.argmin(axis=1)]
+        return out
+
+    R = np.eye(dim)
+    books = _fit_books(X)
+    for _ in range(n_iter):
+        Y = X @ R
+        books = _fit_books(Y)
+        Yq = _reconstruct(Y, books)
+        # orthogonal Procrustes: R = U Vᵀ of the SVD of Xᵀ Ŷ
+        U, _, Vt = np.linalg.svd(X.T @ Yq)
+        R = U @ Vt
+    books = _fit_books(X @ R)
+    return R, books
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: "np.ndarray",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY Arrow kernel: replace ``vec_col`` with vec @ R (one
+    BLAS matmul per batch) — the OPQ pre-rotation stage. All other
+    columns pass through unchanged."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(R, dtype=np.float64)
+    )
+    out_schema = df.schema
+    vec_idx = [f.name for f in df.schema.fields].index(vec_col)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    vec_pa = to_arrow_type(df.schema.fields[vec_idx].dataType)
+
+    def rot(batches):
+        Rb = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _pa_matrix(rb.column(vec_idx)) @ Rb
+            arrs = list(rb.columns)
+            arrs[vec_idx] = pa.array(
+                [row for row in X.astype(np.float32)], type=vec_pa
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInArrow(rot, out_schema)
+
+
+def opq_encode(
+    corpus: DataFrame,
+    R: "np.ndarray",
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode under the OPQ rotation: rotate (map-only) then PQ-encode
+    (map-only) — still one fused scan, codes are m bytes."""
+    return pq_encode(
+        rotate_vectors(corpus, R, vec_col),
+        codebooks,
+        vec_col,
+        corpus_id,
+        code_col,
+    )
+
+
+def opq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    R: "np.ndarray",
+    codebooks: "np.ndarray",
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    code_col: str = "pq_code",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over OPQ codes: queries rotate into the code space
+    for the LUT stage (R is orthogonal, so rotated-space L2/IP equals
+    original-space L2/IP), the exact refine stage — if requested —
+    re-scores the bounded candidates with the ORIGINAL query and
+    float vectors, exactly like ``pq_topk``'s stage 2."""
+    kk1 = max(k, refine_k or 0)
+    rq = rotate_vectors(queries, R, query_vec)
+    approx = pq_topk(
+        codes, rq, codebooks,
+        k=kk1 if refine is not None else k,
+        metric=metric, code_col=code_col, corpus_id=corpus_id,
+        query_id=query_id, query_vec=query_vec,
+    )
+    if refine is None:
+        return approx
+    metric = metric.upper()
+    descending = metric == "IP"
+    order = F.desc if descending else F.asc
+    w = Window.partitionBy("query_id").orderBy(
+        order("score"), F.asc(corpus_id)
+    )
+    return _exact_rerank(
+        approx, refine, queries, metric, k,
+        corpus_id, query_id, query_vec, vec_col, w,
+    )

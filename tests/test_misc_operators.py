@@ -182,18 +182,19 @@ def test_harness_contract():
         "sketch_value_quantiles",
         "cms_user_counts",
         "pq_topk_refined",
+        "ivfadc_topk_refined",
         "semdedup_survivors",
     }
-    # the gate samples the first-50 registry prefix; r12's rotation
-    # (__spark_entry__._R12_WINDOW) declares it explicitly — the
+    # the gate samples the first-50 registry prefix; r13's rotation
+    # (__spark_entry__._R13_WINDOW) declares it explicitly — the
     # window must be exactly the declared names, in order, and the
     # tail past the window keeps oracle-bearing entries before
     # rows-only ones (so any window growth picks up hash-checkable
     # queries first)
     names = list(qs)
-    assert names[: len(e._R12_WINDOW)] == e._R12_WINDOW
-    assert len(e._R12_WINDOW) == 50
-    tail = names[len(e._R12_WINDOW):]
+    assert names[: len(e._R13_WINDOW)] == e._R13_WINDOW
+    assert len(e._R13_WINDOW) == 50
+    tail = names[len(e._R13_WINDOW):]
     tail_rows_only = [n for n in tail if n not in sqls]
     if tail_rows_only:
         assert tail[-len(tail_rows_only):] == tail_rows_only

@@ -1008,3 +1008,93 @@ def test_ivfadc_partition_pruning_and_upsert(emb, queries, tmp_path):
         for r in ann_topk_ivfadc(spark, path, queries, k=3, nprobe=8).collect()
     )
     assert a == b
+
+
+def _aniso_vectors(spark, n=400, dim=16, seed=3):
+    """Strongly ANISOTROPIC + cross-subspace-correlated vectors — the
+    regime OPQ exists for: a random full-dim mixing matrix with a
+    steep spectrum concentrates variance along directions that plain
+    PQ's axis-aligned subspace split cuts across."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    scales = np.logspace(0, -2, dim)
+    mix = rng.standard_normal((dim, dim))
+    X = (rng.standard_normal((n, dim)) * scales) @ mix
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_opq_rotation_lowers_quantization_error_deterministically(spark):
+    """The OPQ-NP objective itself: ‖XR − quantized(XR)‖² on the
+    training sample must come out BELOW plain PQ's ‖X − quantized(X)‖²
+    on correlated anisotropic data (Ge et al. 2013), R must be
+    orthogonal, and the whole train is seed-deterministic."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _spread_sample,
+        opq_train,
+        pq_train,
+    )
+
+    df = _aniso_vectors(spark)
+    m = 4
+    R, books = opq_train(df, m=m, seed=11, n_iter=5)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    R2, books2 = opq_train(df, m=m, seed=11, n_iter=5)
+    assert (R == R2).all() and (books == books2).all()
+
+    pq_books = pq_train(df, m=m, seed=11)
+    X = _spread_sample(df, "embedding", 256 * 50, 11, None, None)
+    dsub = X.shape[1] // m
+
+    def err(Y, bks):
+        e = 0.0
+        for j in range(m):
+            Yj = Y[:, j * dsub : (j + 1) * dsub]
+            d = (bks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (Yj @ bks[j].T)
+            e += ((Yj - bks[j][d.argmin(axis=1)]) ** 2).sum()
+        return e / len(Y)
+
+    e_pq = err(X, pq_books)
+    e_opq = err(X @ R, books)
+    assert e_opq < e_pq, f"OPQ error {e_opq} not below PQ {e_pq}"
+
+
+def test_opq_topk_end_to_end_exact_refine(spark):
+    """opq_encode + opq_topk with exact refine: candidates come from
+    the ROTATED code space, survivor scores are the exact ORIGINAL-
+    space metric, and refined recall clears the bar on the anisotropic
+    fixture at the same byte budget as plain PQ."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        dense_topk,
+        opq_encode,
+        opq_topk,
+        opq_train,
+    )
+
+    emb = _aniso_vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    exact = _key_set(dense_topk(emb, queries, k=k, metric="L2").collect())
+    R, books = opq_train(emb, m=4, seed=11, n_iter=5)
+    codes = opq_encode(emb, R, books)
+    refined = opq_topk(
+        codes, queries, R, books, k=k, metric="L2",
+        refine=emb, refine_k=4 * k,
+    ).collect()
+    r_ref = len(exact & _key_set(refined)) / len(exact)
+    assert r_ref >= 0.9, f"OPQ refined recall {r_ref}"
+    ex_scores = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in dense_topk(emb, queries, k=4 * k, metric="L2").collect()
+    }
+    for r in refined:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            assert abs(r["score"] - ex_scores[key]) < 1e-5

@@ -225,6 +225,25 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "ivfadc_topk_refined": [
+        # the search plan reads the PERSISTED index (the registry
+        # query builds it first): the code scan must prune to the
+        # probed list partitions at the parquet layer — the
+        # nprobe/nlist scan-bytes reduction is a planning-time
+        # PartitionFilters entry, not a post-scan Filter
+        ("probed lists prune code-store partitions",
+         lambda s: "PartitionFilters" in s
+         and "list_id" in s.split("PartitionFilters", 1)[1][:200]),
+        # unlike pq_topk_refined (inline encode), the index search
+        # carries exactly ONE Arrow map: the per-batch ADC top-k
+        ("ADC scan is the only Arrow map",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 1),
+        ("candidate + query refine joins broadcast",
+         lambda s: s.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     # round-6 additions (this session)
     "bm25_topk": [
         # r8 map-side path (small vocab): corpus stats are collected
