@@ -1919,6 +1919,7 @@ def pq_train(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    train_cap: int | None = None,
 ) -> "np.ndarray":
     """Train PQ codebooks: split the vector into ``m`` subspaces and
     k-means each to ``2**nbits`` centroids. ONE bounded spread sample
@@ -1934,7 +1935,7 @@ def pq_train(
     X = _spread_sample(
         corpus,
         vec_col,
-        max(ksub * 50, 256),
+        train_cap if train_cap is not None else max(ksub * 50, 256),
         seed,
         train_fraction,
         n_corpus,
@@ -2003,18 +2004,25 @@ def pq_encode(
     )
 
     def encode(batches):
-        books = bc.value
+        # float32 kernel: the assignment argmin is tie-stable enough
+        # for codes (FAISS encodes in fp32 for the same reason) and
+        # the (batch × ksub) matmuls run ~2× faster than fp64 — the
+        # encode pass is the index build's wall clock at scale
+        books = bc.value.astype(np.float32)
         c2 = [(books[j] ** 2).sum(axis=1) for j in range(mm)]
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            X = _pa_matrix(rb.column(rb.schema.get_field_index(vec_col)))
+            X = _pa_matrix(
+                rb.column(rb.schema.get_field_index(vec_col)),
+                dtype=np.float32,
+            )
             n = X.shape[0]
             codes = np.empty((n, mm), dtype=np.uint8)
             for j in range(mm):
                 Xj = X[:, j * dsub : (j + 1) * dsub]
                 # argmin of ||x-c||^2 == argmin of c2 - 2 x.c
-                d = c2[j][None, :] - 2.0 * (Xj @ books[j].T)
+                d = c2[j][None, :] - np.float32(2.0) * (Xj @ books[j].T)
                 codes[:, j] = d.argmin(axis=1).astype(np.uint8)
             flat = codes.reshape(-1)
             offsets = np.arange(0, (n + 1) * mm, mm, dtype=np.int32)
@@ -2253,6 +2261,7 @@ def build_pq_index(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    train_cap: int | None = None,
 ) -> tuple[int, int]:
     """Persisted flat-PQ index build — the train-once contract the
     reference's index DDL has (milvus_connector.py:65-69: the index is
@@ -2266,7 +2275,8 @@ def build_pq_index(
 
     Returns (m, ksub)."""
     books = pq_train(
-        corpus, vec_col, m, nbits, seed, train_fraction, n_corpus
+        corpus, vec_col, m, nbits, seed, train_fraction, n_corpus,
+        train_cap,
     )
     _write_pq_codebooks(corpus.sparkSession, index_path, books)
     pq_encode(corpus, books, vec_col, corpus_id).write.mode(
@@ -2339,6 +2349,7 @@ def _train_ivfadc(
     seed: int,
     train_fraction: float | None,
     n_corpus: int | None,
+    train_cap: int | None = None,
 ):
     """Train the IVFADC pair (coarse centroids, residual PQ codebooks)
     off ONE bounded spread sample: Lloyd for the coarse quantizer,
@@ -2355,7 +2366,9 @@ def _train_ivfadc(
     X = _spread_sample(
         corpus,
         vec_col,
-        max(nlist * 50, ksub * 50, 256),
+        train_cap
+        if train_cap is not None
+        else max(nlist * 50, ksub * 50, 256),
         seed,
         train_fraction,
         n_corpus,
@@ -2403,21 +2416,27 @@ def _ivfadc_encode(
     )
 
     def encode(batches):
-        cent_b, books_b = bc.value
+        # fp32 for the same reason as pq_encode: the route + residual
+        # + m assignment matmuls are the build pass's wall clock
+        cent_b = bc.value[0].astype(np.float32)
+        books_b = bc.value[1].astype(np.float32)
         cm = cent_b.T
         c2 = (cent_b**2).sum(axis=1)
         b2 = [(books_b[j] ** 2).sum(axis=1) for j in range(mm)]
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            X = _pa_matrix(rb.column(rb.schema.get_field_index(vec_col)))
+            X = _pa_matrix(
+                rb.column(rb.schema.get_field_index(vec_col)),
+                dtype=np.float32,
+            )
             n = X.shape[0]
-            a = (c2[None, :] - 2.0 * (X @ cm)).argmin(axis=1)
+            a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(axis=1)
             R = X - cent_b[a]
             codes = np.empty((n, mm), dtype=np.uint8)
             for j in range(mm):
                 Rj = R[:, j * dsub : (j + 1) * dsub]
-                d = b2[j][None, :] - 2.0 * (Rj @ books_b[j].T)
+                d = b2[j][None, :] - np.float32(2.0) * (Rj @ books_b[j].T)
                 codes[:, j] = d.argmin(axis=1).astype(np.uint8)
             offsets = np.arange(0, (n + 1) * mm, mm, dtype=np.int32)
             code_arr = pa.BinaryArray.from_buffers(
@@ -2450,6 +2469,7 @@ def build_ivfadc_index(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    train_cap: int | None = None,
 ) -> tuple[int, int]:
     """Persisted IVFADC index build (Jégou et al. 2011 §IV — the
     billion-scale composition the reference's FLAT Milvus index would
@@ -2465,10 +2485,14 @@ def build_ivfadc_index(
       ~ nprobe/nlist × m bytes/vector, the two multiplicative
       reductions composed.
 
-    One bounded sample trains both quantizers; ONE map-only Arrow
-    pass encodes the corpus. Returns (nlist_eff, ksub)."""
+    One bounded sample trains both quantizers (``train_cap``
+    overrides the default bound — each Lloyd fit is driver-side, so
+    deadline-bounded callers trade sample size for wall); ONE
+    map-only Arrow pass encodes the corpus. Returns
+    (nlist_eff, ksub)."""
     cent, books = _train_ivfadc(
-        corpus, vec_col, nlist, m, nbits, seed, train_fraction, n_corpus
+        corpus, vec_col, nlist, m, nbits, seed, train_fraction,
+        n_corpus, train_cap,
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -2702,22 +2726,28 @@ def opq_train(
     n_iter: int = 5,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    train_cap: int | None = None,
 ):
     """Train (rotation R, PQ codebooks) with OPQ-NP alternation on the
     same bounded spread sample all quantizer training uses: repeat
     [train/assign PQ in the rotated space → solve the orthogonal
     Procrustes problem min_R ‖XR − quantized(XR)‖_F via one SVD of
     XᵀŶ] for ``n_iter`` rounds (Ge et al. 2013 Alg. 2). Deterministic
-    for a fixed seed. Returns (R (dim, dim) float64, codebooks
-    (m, ksub, dsub) float64)."""
+    for a fixed seed. ``train_cap`` overrides the default sample
+    bound (each OPQ round refits all m sub-quantizers on the sample,
+    so a deadline-bounded caller can trade sample size for wall —
+    the rotation needs far fewer samples than the final codebooks).
+    Returns (R (dim, dim) float64, codebooks (m, ksub, dsub)
+    float64)."""
     import numpy as np
 
     if nbits < 1 or nbits > 8:
         raise ValueError("nbits must be in 1..8 (codes are one byte)")
     ksub = 1 << nbits
     X = _spread_sample(
-        corpus, vec_col, max(ksub * 50, 256), seed, train_fraction,
-        n_corpus,
+        corpus, vec_col,
+        train_cap if train_cap is not None else max(ksub * 50, 256),
+        seed, train_fraction, n_corpus,
     )
     dim = X.shape[1]
     if dim % m:
@@ -2778,15 +2808,22 @@ def rotate_vectors(
     vec_pa = to_arrow_type(df.schema.fields[vec_idx].dataType)
 
     def rot(batches):
-        Rb = bc.value
+        Rb = bc.value.astype(np.float32)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            X = _pa_matrix(rb.column(vec_idx)) @ Rb
-            arrs = list(rb.columns)
-            arrs[vec_idx] = pa.array(
-                [row for row in X.astype(np.float32)], type=vec_pa
+            X = _pa_matrix(rb.column(vec_idx), dtype=np.float32) @ Rb
+            n, dim = X.shape
+            # zero-copy list column off the matmul output — a
+            # per-row pa.array build measured ~40 s at 55k × 1024
+            flat = pa.array(np.ascontiguousarray(X).reshape(-1))
+            offsets = pa.array(
+                np.arange(0, (n + 1) * dim, dim, dtype=np.int32),
+                type=pa.int32(),
             )
+            rotated = pa.ListArray.from_arrays(offsets, flat).cast(vec_pa)
+            arrs = list(rb.columns)
+            arrs[vec_idx] = rotated
             yield pa.RecordBatch.from_arrays(
                 arrs, names=[f.name for f in out_schema.fields]
             )

@@ -492,6 +492,79 @@ def cms_estimate_distributed(
     return src.mapInPandas(run, schema)
 
 
+def _cms_write(total: int, depth: int, width: int, hash_a, table) -> bytes:
+    """Re-serialize a parsed CMS to Spark's V1 byte stream (the exact
+    inverse of ``_cms_parse``): the merged sketch stays readable by
+    the JVM ``readFrom`` and by ``_cms_parse`` itself — asserted
+    round-trip-identical in tests."""
+    import struct as _struct
+
+    import numpy as np
+
+    return (
+        _struct.pack(">iqii", 1, total, depth, width)
+        + np.asarray(hash_a, dtype=">i8").tobytes()
+        + np.asarray(table, dtype=">i8").tobytes()
+    )
+
+
+def cms_merge_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """Re-aggregate CMS sketch rows to a coarser grouping —
+    DISTRIBUTED: Count-Min merge is elementwise addition of the count
+    tables of same-shaped sketches (Cormode & Muthukrishnan 2005; the
+    same operation ``mergeInPlace`` performs), so each coarse group's
+    fine sketches are summed inside ``applyInPandas`` via the
+    pure-Python parse/serialize pair — the merge scales to any number
+    of coarse groups with zero driver collects, completing the
+    distributed CMS lifecycle next to ``cms_estimate_distributed``.
+
+    Same-parameter discipline as the JVM merge: sketches whose
+    depth/width/seed (hashA) differ raise ValueError (the
+    IncompatibleMergeException analogue). Output: group_cols +
+    (sketch_col binary, n_values long) — feed it straight back into
+    ``cms_estimate_distributed``.
+
+    Plan shape: ONE shuffle on the coarse keys; per-group work is
+    linear in fine-group count × the (depth × width) table size."""
+    import pandas as pd
+
+    src = df.select(*group_cols, sketch_col, "n_values")
+    schema = T.StructType(
+        list(df.select(*group_cols).schema.fields)
+        + [
+            T.StructField(sketch_col, T.BinaryType(), False),
+            T.StructField("n_values", T.LongType(), True),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        total, depth, width, hash_a, table = _cms_parse(
+            bytes(pdf[sketch_col].iloc[0])
+        )
+        table = table.astype("int64").copy()
+        for raw in pdf[sketch_col].iloc[1:]:
+            t2, d2, w2, h2, tb2 = _cms_parse(bytes(raw))
+            if d2 != depth or w2 != width or (h2 != hash_a).any():
+                raise ValueError(
+                    "incompatible CMS sketches: depth/width/seed differ"
+                )
+            total += t2
+            table += tb2
+        nv = pdf["n_values"].sum()
+        out = pdf.iloc[[0]][list(group_cols)].copy()
+        out[sketch_col] = [
+            _cms_write(total, depth, width, hash_a, table)
+        ]
+        out["n_values"] = [None if pd.isna(nv) else int(nv)]
+        return out
+
+    return src.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
 def cms_merge_estimate(
     df: DataFrame,
     items: list,

@@ -384,3 +384,50 @@ def test_cms_distributed_estimates_match_jvm_exactly(spark):
     }
     assert drv_s == dist_s
     assert dist_s[("a", "tok1")] >= 5 and dist_s[("a", "日本語")] >= 3
+
+
+def test_cms_merge_distributed_matches_jvm_merge(spark):
+    """Distributed CMS merge (elementwise table add inside
+    applyInPandas) must produce sketches the JVM itself can read, with
+    estimates IDENTICAL to the driver-side mergeInPlace rollup, and
+    must refuse incompatible-parameter sketches."""
+    import pytest as _pytest
+
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        _cms_read,
+        cms_estimate_distributed,
+        cms_merge_distributed,
+        cms_merge_estimate,
+        cms_sketches,
+    )
+
+    ev = _cms_events(spark).withColumn(
+        "day", (F.col("user_id") % 2).cast("string")
+    )
+    fine = cms_sketches(ev, ["event_type", "day"], "user_id", eps=0.01, seed=7)
+    coarse = cms_merge_distributed(fine, ["event_type"])
+    assert coarse.count() == 2
+    items = [3, 7, 999]
+    dist = {
+        (r["event_type"], r["item"]): (r["est_count"], r["n_values"])
+        for r in cms_estimate_distributed(
+            coarse, items, ["event_type"]
+        ).collect()
+    }
+    # oracle: the JVM's own mergeInPlace per event_type
+    for et in ("view", "click"):
+        sub = fine.filter(F.col("event_type") == et)
+        ests, n = cms_merge_estimate(sub, items)
+        for it, est in ests:
+            assert dist[(et, it)] == (est, n), (et, it)
+    # the merged binary itself must be JVM-readable
+    row = coarse.filter(F.col("event_type") == "view").collect()[0]
+    jvm = _cms_read(spark, row["cms"])
+    assert jvm.estimateCount(3) == dist[("view", "3")][0]
+    # incompatible seeds refuse to merge
+    bad = cms_sketches(ev, ["event_type", "day"], "user_id", eps=0.01, seed=8)
+    with _pytest.raises(Exception, match="incompatible|PYTHON"):
+        cms_merge_distributed(
+            fine.limit(1).unionByName(bad.limit(1)),
+            ["event_type"],
+        ).collect()
