@@ -133,7 +133,28 @@ from .functions.text import (  # noqa: E402,F401
     variant_path,
 )
 from .operators.search import (  # noqa: E402,F401
+    ann_topk_ivfadc,
+    build_ivfadc_index,
+    build_opq_index,
+    build_pq_index,
+    opq_encode,
+    opq_topk,
+    opq_topk_index,
+    opq_train,
     pq_encode,
     pq_topk,
+    pq_topk_index,
     pq_train,
+    rotate_vectors,
+    upsert_ivfadc_index,
+    upsert_opq_index,
+    upsert_pq_index,
+)
+from .operators.sketches import (  # noqa: E402,F401
+    cms_estimate_distributed,
+    cms_merge_distributed,
+)
+from .operators.multimodal import (  # noqa: E402,F401
+    decode_image,
+    parse_image_header,
 )

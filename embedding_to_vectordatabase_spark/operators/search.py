@@ -2890,3 +2890,109 @@ def opq_topk(
         approx, refine, queries, metric, k,
         corpus_id, query_id, query_vec, vec_col, w,
     )
+
+
+def build_opq_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    n_iter: int = 5,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+    train_cap: int | None = None,
+) -> tuple[int, int]:
+    """Persisted OPQ index build — the rotation is PART of the index
+    (Ge et al. 2013: codes are meaningless without the R that
+    produced them), so it persists beside the codebooks:
+
+    - ``<index_path>/opq_rotation.parquet`` — (row_idx, row), the
+      (dim × dim) orthogonal R, tiny;
+    - ``<index_path>/pq_codebooks.parquet`` — trained in the rotated
+      space (the flat-PQ store layout, reused);
+    - ``<index_path>/codes.parquet`` — m-byte codes of the ROTATED
+      vectors, one fused rotate+encode map-only pass.
+
+    Returns (m, ksub)."""
+    R, books = opq_train(
+        corpus, vec_col, m, nbits, seed, n_iter, train_fraction,
+        n_corpus, train_cap,
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in range(len(R))],
+        "row_idx int, row array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/opq_rotation.parquet"
+    )
+    _write_pq_codebooks(spark, index_path, books)
+    opq_encode(corpus, R, books, vec_col, corpus_id).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codes.parquet")
+    return books.shape[0], books.shape[1]
+
+
+def load_opq_rotation(spark, index_path: str) -> "np.ndarray":
+    """(dim, dim) float64 rotation off the tiny store."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{index_path}/opq_rotation.parquet")
+        .orderBy("row_idx")
+        .collect()
+    )
+    return np.array([list(r["row"]) for r in rows], dtype=np.float64)
+
+
+def upsert_opq_index(
+    index_path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> int:
+    """Incremental OPQ maintenance: rotate + encode a NEW batch with
+    the EXISTING rotation/codebooks and append — the PQ/IVF upsert
+    contract (no retrain; drift until the next build is the standard
+    tradeoff). Returns rows appended."""
+    spark = new_vectors.sparkSession
+    R = load_opq_rotation(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    n = new_vectors.count()
+    opq_encode(new_vectors, R, books, vec_col, corpus_id).write.mode(
+        "append"
+    ).parquet(f"{index_path}/codes.parquet")
+    return n
+
+
+def opq_topk_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``build_opq_index`` store: rotation + codebooks load
+    to the driver (both tiny), queries rotate into the code space for
+    the ADC stage, exact refine — if requested — re-scores with the
+    ORIGINAL query and float vectors (R is orthogonal, so the two
+    spaces agree on L2/IP). Byte-identical results to inline
+    ``opq_train``+``opq_encode``+``opq_topk`` at the same seed —
+    asserted in tests."""
+    R = load_opq_rotation(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    codes = spark.read.parquet(f"{index_path}/codes.parquet")
+    return opq_topk(
+        codes, queries, R, books,
+        k=k, metric=metric, corpus_id=corpus_id, query_id=query_id,
+        query_vec=query_vec, refine=refine, refine_k=refine_k,
+        vec_col=vec_col,
+    )

@@ -1098,3 +1098,71 @@ def test_opq_topk_end_to_end_exact_refine(spark):
         key = (r["query_id"], r["vec_id"])
         if key in ex_scores:
             assert abs(r["score"] - ex_scores[key]) < 1e-5
+
+
+def test_opq_index_lifecycle_matches_inline(spark, tmp_path):
+    """build_opq_index persists rotation + codebooks + codes;
+    opq_topk_index must reproduce the inline opq_train/encode/topk
+    results EXACTLY (same seed — the rotation round-trips through
+    parquet losslessly enough for identical codes), and upsert makes
+    new vectors searchable without retraining."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_opq_index,
+        load_opq_rotation,
+        load_pq_codebooks,
+        opq_encode,
+        opq_topk,
+        opq_topk_index,
+        opq_train,
+        upsert_opq_index,
+    )
+
+    emb = _aniso_vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "opqidx")
+    mm, ksub = build_opq_index(emb, path, m=4, seed=11, n_iter=3)
+    assert (mm, ksub) == (4, 256)
+    R, books = opq_train(emb, m=4, seed=11, n_iter=3)
+    assert np.allclose(load_opq_rotation(spark, path), R)
+    assert (load_pq_codebooks(spark, path) == books).all()
+    inline = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in opq_topk(
+            opq_encode(emb, R, books), queries, R, books,
+            k=5, metric="L2", refine=emb, refine_k=20,
+        ).collect()
+    }
+    via_index = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in opq_topk_index(
+            spark, path, queries, k=5, metric="L2",
+            refine=emb, refine_k=20,
+        ).collect()
+    }
+    assert inline == via_index
+
+    # upsert: build on evens, append odds, odd queries find themselves
+    path2 = str(tmp_path / "opqidx_up")
+    build_opq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path2, m=4, seed=11,
+        n_iter=3,
+    )
+    n = upsert_opq_index(path2, emb.filter(F.col("vec_id") % 2 == 1))
+    assert n == emb.filter(F.col("vec_id") % 2 == 1).count()
+    assert (
+        spark.read.parquet(f"{path2}/codes.parquet").count()
+        == emb.count()
+    )
+    after = opq_topk_index(
+        spark, path2, queries, k=5, metric="L2", refine=emb, refine_k=20
+    ).collect()
+    odd_self = {
+        r["query_id"]
+        for r in after
+        if r["query_id"] == r["vec_id"] and r["query_id"] % 2 == 1
+    }
+    assert odd_self, "upserted vectors not searchable through OPQ index"
