@@ -2558,11 +2558,14 @@ def ann_topk_ivfadc(
     """Search a ``build_ivfadc_index`` store: nprobe-bounded ADC.
 
     Driver side (all tiny): centroids + codebooks load, each query
-    picks its ``nprobe`` nearest lists, and one (m × ksub) lookup
-    table per (query, probed list) is built over the SHIFTED query
-    q − c_l — for L2, ‖q − (c_l + r)‖² = ‖(q − c_l) − r‖² decomposes
-    over subspaces exactly like flat ADC; for IP, q·(c_l + r) is a
-    per-list bias q·c_l plus the flat-ADC residual lookup.
+    picks its ``nprobe`` nearest lists, and the (m × ksub) lookup
+    tables are built per metric's exact decomposition — for L2 one
+    table per (query, probed list) over the SHIFTED query q − c_l
+    (‖q − (c_l + r)‖² = ‖(q − c_l) − r‖² decomposes over subspaces
+    exactly like flat ADC); for IP ONE list-independent table per
+    query over the UNSHIFTED query (q·(c_l + r) = q·c_l + q·r — the
+    per-list part is entirely in the bias q·c_l, never in the
+    residual lookup).
 
     Cluster side: the code scan reads ONLY the probed list partitions
     (the union of probed lists is a driver-known literal, so the
@@ -2596,22 +2599,31 @@ def ann_topk_ivfadc(
     probed = sorted({int(x) for x in probes.ravel()})
 
     nq = len(qids)
-    luts = np.empty((nq, npb, mm, ksub), dtype=np.float64)
     biases = np.zeros((nq, npb), dtype=np.float64)
-    for qi in range(nq):
-        for pi in range(npb):
-            li = int(probes[qi, pi])
-            shifted = qmat[qi] - cent[li]
+    if metric == "IP":
+        # q·(c_l + r̂) = q·c_l + q·r̂: the residual lookup uses the
+        # UNSHIFTED query (list-independent — one (m, ksub) table per
+        # query, hoisted out of the probe loop), and the per-list term
+        # is exactly the bias q·c_l. Building the lookup from q − c_l
+        # would smuggle a code-dependent −c_l·r̂ into every score.
+        luts = np.empty((nq, mm, ksub), dtype=np.float64)
+        for qi in range(nq):
             for j in range(mm):
-                sj = shifted[j * dsub : (j + 1) * dsub]
-                if metric == "L2":
+                luts[qi, j] = books[j] @ qmat[qi][j * dsub : (j + 1) * dsub]
+            for pi in range(npb):
+                biases[qi, pi] = float(qmat[qi] @ cent[int(probes[qi, pi])])
+    else:
+        # L2 decomposes over the SHIFTED query: ‖q − (c_l + r̂)‖² =
+        # ‖(q − c_l) − r̂‖², so the table is per (query, probed list).
+        luts = np.empty((nq, npb, mm, ksub), dtype=np.float64)
+        for qi in range(nq):
+            for pi in range(npb):
+                shifted = qmat[qi] - cent[int(probes[qi, pi])]
+                for j in range(mm):
+                    sj = shifted[j * dsub : (j + 1) * dsub]
                     luts[qi, pi, j] = ((sj[None, :] - books[j]) ** 2).sum(
                         axis=1
                     )
-                else:
-                    luts[qi, pi, j] = books[j] @ sj
-            if metric == "IP":
-                biases[qi, pi] = float(qmat[qi] @ cent[li])
 
     bc = spark.sparkContext.broadcast((qids, probes, luts, biases))
     kk1 = max(k, refine_k or 0)
@@ -2635,6 +2647,16 @@ def ann_topk_ivfadc(
 
     def local_topk(batches):
         qids_b, probes_b, luts_b, biases_b = bc.value
+        # list_id -> [(qi, pi)] probing it, built ONCE per task: the
+        # batch is grouped by list with one argsort instead of the
+        # former nq × nprobe boolean scans over every Arrow batch
+        # (O(rows log rows) once vs O(nq·nprobe·rows) per batch).
+        probe_map: dict[int, list[tuple[int, int]]] = {}
+        for qi in range(len(qids_b)):
+            for pi in range(probes_b.shape[1]):
+                probe_map.setdefault(int(probes_b[qi, pi]), []).append(
+                    (qi, pi)
+                )
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -2648,22 +2670,28 @@ def ann_topk_ivfadc(
             )
             ids = rb.column(rb.schema.get_field_index(corpus_id))
             ids_np = ids.to_numpy(zero_copy_only=False)
-            qcol, icol, scol = [], [], []
-            for qi in range(len(qids_b)):
-                parts_s, parts_i = [], []
-                for pi in range(probes_b.shape[1]):
-                    rows = np.flatnonzero(L == probes_b[qi, pi])
-                    if not len(rows):
-                        continue
+            order = np.argsort(L, kind="stable")
+            uniq, starts = np.unique(L[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            per_q_s: dict[int, list] = {}
+            per_q_rows: dict[int, list] = {}
+            for ui in range(len(uniq)):
+                pairs = probe_map.get(int(uniq[ui]))
+                if not pairs:
+                    continue
+                rows_l = order[bounds[ui] : bounds[ui + 1]]
+                Csub = C[rows_l]
+                for qi, pi in pairs:
+                    lut = luts_b[qi] if metric == "IP" else luts_b[qi, pi]
                     s = (
-                        luts_b[qi, pi][jidx[None, :], C[rows]].sum(axis=1)
+                        lut[jidx[None, :], Csub].sum(axis=1)
                         + biases_b[qi, pi]
                     )
-                    parts_s.append(s)
-                    parts_i.append(rows)
-                if not parts_i:
-                    continue
-                s = np.concatenate(parts_s)
+                    per_q_s.setdefault(qi, []).append(s)
+                    per_q_rows.setdefault(qi, []).append(rows_l)
+            qcol, icol, scol = [], [], []
+            for qi, parts_i in per_q_rows.items():
+                s = np.concatenate(per_q_s[qi])
                 rows = np.concatenate(parts_i)
                 if metric == "L2":
                     s = np.sqrt(np.maximum(s, 0.0))

@@ -532,7 +532,13 @@ def cms_merge_distributed(
     linear in fine-group count × the (depth × width) table size."""
     import pandas as pd
 
-    src = df.select(*group_cols, sketch_col, "n_values")
+    # n_values optional, mirroring cms_estimate_distributed: absent ->
+    # NULL in the output (the estimate side falls back to the sketch's
+    # own total), never a fabricated 0.
+    has_n = "n_values" in df.columns
+    src = df.select(
+        *group_cols, sketch_col, *(["n_values"] if has_n else [])
+    )
     schema = T.StructType(
         list(df.select(*group_cols).schema.fields)
         + [
@@ -554,7 +560,12 @@ def cms_merge_distributed(
                 )
             total += t2
             table += tb2
-        nv = pdf["n_values"].sum()
+        # min_count=1: a coarse group whose fine rows are ALL NULL
+        # stays NULL (pandas' default sum() skips NaN and would
+        # fabricate 0); any non-NULL row sums normally.
+        nv = (
+            pdf["n_values"].sum(min_count=1) if has_n else float("nan")
+        )
         out = pdf.iloc[[0]][list(group_cols)].copy()
         out[sketch_col] = [
             _cms_write(total, depth, width, hash_a, table)

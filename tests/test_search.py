@@ -1010,6 +1010,75 @@ def test_ivfadc_partition_pruning_and_upsert(emb, queries, tmp_path):
     assert a == b
 
 
+def test_ivfadc_scores_equal_reconstruction_both_metrics(
+    emb, queries, tmp_path
+):
+    """ADC scores must equal the exact score against the RECONSTRUCTED
+    vector c_l + r̂ for BOTH metrics at full probe. This is the test
+    that catches the shifted-query IP LUT bug (r13 ADVICE high: a LUT
+    built from q − c_l adds a code-dependent −c_l·r̂ to every IP
+    score; IP must decompose as q·c_l + q·r̂ with the residual lookup
+    over the UNSHIFTED query), and it value-pins the grouped-by-list
+    batch kernel against an independent numpy reconstruction."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfadc,
+        build_ivfadc_index,
+        load_pq_codebooks,
+        _load_ivf_centroids,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfadc_recon")
+    nlist, _ = build_ivfadc_index(emb, path, nlist=16, m=8, seed=7)
+    cent = _load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    mm, _, dsub = books.shape
+    code_rows = spark.read.parquet(f"{path}/codes.parquet").collect()
+    recon = {}
+    for r in code_rows:
+        code = np.frombuffer(bytes(r["pq_code"]), dtype=np.uint8)
+        rhat = np.concatenate([books[j][code[j]] for j in range(mm)])
+        recon[r["vec_id"]] = cent[int(r["list_id"])] + rhat
+    qvecs = {
+        r["query_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+        for r in queries.select("query_id", "embedding").collect()
+    }
+    for metric in ("IP", "L2"):
+        out = ann_topk_ivfadc(
+            spark, path, queries, k=5, metric=metric, nprobe=nlist
+        ).collect()
+        assert len(out) > 0
+        for r in out:
+            q = qvecs[r["query_id"]]
+            v = recon[r["vec_id"]]
+            want = (
+                float(q @ v)
+                if metric == "IP"
+                else float(np.sqrt(((q - v) ** 2).sum()))
+            )
+            assert abs(r["score"] - want) < 1e-8, (
+                f"{metric} ADC score {r['score']} != reconstruction "
+                f"{want} for {(r['query_id'], r['vec_id'])}"
+            )
+        # top-k per query matches the brute-force reconstruction
+        # ranking (the corrupted-LUT bug reorders, not just rescales)
+        ids = sorted(recon)
+        V = np.array([recon[i] for i in ids])
+        for qid, q in qvecs.items():
+            s = V @ q if metric == "IP" else ((V - q) ** 2).sum(axis=1)
+            order = np.argsort(-s if metric == "IP" else s, kind="stable")
+            want_top = {ids[i] for i in order[:5]}
+            got_top = {
+                r["vec_id"] for r in out if r["query_id"] == qid
+            }
+            # ties on score may swap membership; require ≥4/5 overlap
+            assert len(want_top & got_top) >= 4, (
+                f"{metric} top-5 {got_top} vs reconstruction {want_top}"
+            )
+
+
 def _aniso_vectors(spark, n=400, dim=16, seed=3):
     """Strongly ANISOTROPIC + cross-subspace-correlated vectors — the
     regime OPQ exists for: a random full-dim mixing matrix with a

@@ -431,3 +431,45 @@ def test_cms_merge_distributed_matches_jvm_merge(spark):
             fine.limit(1).unionByName(bad.limit(1)),
             ["event_type"],
         ).collect()
+
+
+def test_cms_merge_distributed_null_and_absent_n_values(spark):
+    """r13 ADVICE low: a coarse group whose fine rows ALL carry NULL
+    n_values must merge to NULL (not a fabricated 0 from NaN-skipping
+    sum), a mixed group sums only the non-NULLs, and an input WITHOUT
+    the n_values column merges fine with NULL output — mirroring
+    cms_estimate_distributed's optional-column contract."""
+    from embedding_to_vectordatabase_spark.operators.sketches import (
+        cms_merge_distributed,
+        cms_sketches,
+    )
+
+    ev = _cms_events(spark).withColumn(
+        "day", (F.col("user_id") % 2).cast("string")
+    )
+    fine = cms_sketches(ev, ["event_type", "day"], "user_id", eps=0.01, seed=7)
+    # all-NULL group -> NULL; mixed group -> sum of non-NULLs
+    nulled = fine.withColumn(
+        "n_values",
+        F.when(
+            (F.col("event_type") == "view")
+            | ((F.col("event_type") == "click") & (F.col("day") == "0")),
+            F.lit(None).cast("long"),
+        ).otherwise(F.col("n_values")),
+    )
+    kept = {
+        r["day"]: r["n_values"]
+        for r in fine.filter(
+            (F.col("event_type") == "click") & (F.col("day") == "1")
+        ).collect()
+    }
+    out = {
+        r["event_type"]: r["n_values"]
+        for r in cms_merge_distributed(nulled, ["event_type"]).collect()
+    }
+    assert out["view"] is None, f"all-NULL group fabricated {out['view']}"
+    assert out["click"] == sum(kept.values())
+    # column absent entirely -> still merges, n_values NULL
+    no_col = fine.drop("n_values")
+    out2 = cms_merge_distributed(no_col, ["event_type"]).collect()
+    assert len(out2) == 2 and all(r["n_values"] is None for r in out2)
