@@ -2803,8 +2803,11 @@ def opq_train(
             out[:, j * dsub : (j + 1) * dsub] = books[j][d.argmin(axis=1)]
         return out
 
+    # no pre-loop _fit_books(X): iteration 1 computes Y = X @ eye — an
+    # exact identity (products by 1.0/0.0 are exact) — and refits the
+    # identical books, so the old init fit was a bit-for-bit redundant
+    # fourth full m×Lloyd pass (~25% of the train wall at n_iter=2)
     R = np.eye(dim)
-    books = _fit_books(X)
     for _ in range(n_iter):
         Y = X @ R
         books = _fit_books(Y)
