@@ -2571,6 +2571,45 @@ FROM (
 """
 
 
+def _q_sparse_topk_index(spark, sf_dir):
+    """Persisted sparse inverted index lifecycle — the reference's
+    SPARSE_INVERTED_INDEX as a build-once store
+    (vector_database/milvus_connector.py:71-74;
+    operators/search.py:build_sparse_index/sparse_topk_index):
+    postings land bucket-PARTITIONED by token hash with append-only
+    per-segment df stats, and the search prunes to the query tokens'
+    buckets at the parquet layer. Scoring (and the df cap) is exact,
+    so this carries the SAME full value-hash oracle as the inline
+    ``sparse_topk_inverted`` — index==inline equivalence is also
+    asserted in tests/test_search.py."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        sparse_topk_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.col("embedding")).alias("token", "weight"),
+    ).filter(F.col("weight") > 0.1)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.col("embedding")).alias("token", "weight"),
+        )
+        .filter(F.col("weight") > 0.1)
+    )
+    path = tempfile.mkdtemp(prefix="sg_sparse_idx_")
+    build_sparse_index(corpus, path, num_buckets=16)
+    out = sparse_topk_index(spark, path, queries, k=5, max_doc_freq=100)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_hybrid_topk_rrf(spark, sf_dir):
     """Retrieval-level hybrid: dense exact top-k and sparse inverted
     top-k fused by reciprocal-rank fusion (operators/search.py:
@@ -6621,6 +6660,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("pq_topk_refined", _q_pq_topk_refined, None),
     # --- r13 additions ---
     ("ivfadc_topk_refined", _q_ivfadc_topk_refined, None),
+    # --- r14 additions ---
+    ("sparse_topk_index", _q_sparse_topk_index, _SQL_SPARSE_TOPK),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

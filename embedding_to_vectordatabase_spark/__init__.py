@@ -158,3 +158,8 @@ from .operators.multimodal import (  # noqa: E402,F401
     decode_image,
     parse_image_header,
 )
+from .operators.search import (  # noqa: E402,F401
+    build_sparse_index,
+    sparse_topk_index,
+    upsert_sparse_index,
+)

@@ -305,6 +305,129 @@ def test_sparse_topk_df_pruning_caps_hot_token(spark):
     assert all(r["score"] >= 10.0 for r in full)
 
 
+def _sparse_fixture(spark):
+    """200 docs: token 7 in every even doc (df=100, the stop-token);
+    token 1000+d in doc d only (df=1). Query hits both spaces."""
+    rows = []
+    for d in range(200):
+        if d % 2 == 0:
+            rows.append((d, 7, 1.0))
+        rows.append((d, 1000 + d, float(d + 1)))
+    cp = spark.createDataFrame(rows, "doc_id long, token int, weight double")
+    qp = spark.createDataFrame(
+        [(0, 7, 10.0), (0, 1003, 1.0), (1, 1108, 2.0)],
+        "query_id long, token int, weight double",
+    )
+    return cp, qp
+
+
+def _rows_key(rows):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+
+
+def test_sparse_index_matches_inline(spark, tmp_path):
+    """build_sparse_index + sparse_topk_index must return EXACTLY what
+    sparse_topk_inverted returns on the same postings — with the df
+    cap on, off, and at a boundary value (the scoring is exact, so
+    index==inline is value equality, not recall)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        sparse_topk_index,
+    )
+
+    cp, qp = _sparse_fixture(spark)
+    path = str(tmp_path / "sparse_idx")
+    nb, n = build_sparse_index(cp, path, num_buckets=16)
+    assert (nb, n) == (16, cp.count())
+    for cap in (50, 100, None):
+        got = _rows_key(
+            sparse_topk_index(
+                spark, path, qp, k=5, max_doc_freq=cap
+            ).collect()
+        )
+        want = _rows_key(
+            sparse_topk_inverted(cp, qp, k=5, max_doc_freq=cap).collect()
+        )
+        assert got == want, f"cap={cap}"
+        assert got  # non-vacuous
+
+
+def test_sparse_index_upsert_equals_full_build(spark, tmp_path):
+    """Appending a batch must be EXACTLY equivalent to rebuilding over
+    the union — including the df cap decision: token 7's df is 50
+    (<= cap) in the first half alone but 100 (> cap) after the
+    upsert, so the search must sum the per-segment df stats, not
+    trust any single segment."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        sparse_topk_index,
+        upsert_sparse_index,
+    )
+
+    cp, qp = _sparse_fixture(spark)
+    half_a = cp.filter(F.col("doc_id") < 100)
+    half_b = cp.filter(F.col("doc_id") >= 100)
+    inc = str(tmp_path / "sparse_inc")
+    build_sparse_index(half_a, inc, num_buckets=16)
+    # pre-upsert: token 7 has df=50 <= 50 in this store, so it scores
+    pre = sparse_topk_index(
+        spark, inc, qp, k=5, max_doc_freq=50
+    ).collect()
+    assert any(r["score"] >= 10.0 for r in pre)
+    n = upsert_sparse_index(inc, half_b)
+    assert n == half_b.count()
+    full = str(tmp_path / "sparse_full")
+    build_sparse_index(cp, full, num_buckets=16)
+    for cap in (50, None):
+        got = _rows_key(
+            sparse_topk_index(
+                spark, inc, qp, k=5, max_doc_freq=cap
+            ).collect()
+        )
+        want = _rows_key(
+            sparse_topk_index(
+                spark, full, qp, k=5, max_doc_freq=cap
+            ).collect()
+        )
+        assert got == want, f"cap={cap}"
+    # post-upsert with the cap: token 7 (df now 100 > 50) is pruned,
+    # so query 0 (whose big weight rode the stop-token) only scores
+    # via its private token (query 1's private token legitimately
+    # scores high either way)
+    capped = sparse_topk_index(
+        spark, inc, qp, k=5, max_doc_freq=50
+    ).collect()
+    assert all(
+        r["score"] < 10.0 for r in capped if r["query_id"] == 0
+    )
+
+
+def test_sparse_index_partition_pruning(spark, tmp_path):
+    """The query-token bucket list must prune the bucket-PARTITIONED
+    postings store at the parquet layer (PartitionFilters in the
+    scan), exactly like IVFADC's probed-list pruning."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        sparse_topk_index,
+    )
+
+    cp, qp = _sparse_fixture(spark)
+    path = str(tmp_path / "sparse_pp")
+    build_sparse_index(cp, path, num_buckets=16)
+    out = sparse_topk_index(spark, path, qp, k=5, max_doc_freq=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "token_bucket" in plan
+    pruned = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ][0]
+    assert "IN (" in pruned or "in(token_bucket" in pruned.lower(), pruned
+    # and the in-bucket token IN-list reaches the data scan
+    assert "PushedFilters" in plan
+
+
 def test_hybrid_topk_rrf_fusion(spark):
     from embedding_to_vectordatabase_spark.operators.search import (
         hybrid_topk_rrf,

@@ -244,6 +244,22 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "sparse_topk_index": [
+        # the search plan reads the PERSISTED postings store (the
+        # registry query builds it first): the scan must prune to the
+        # query tokens' hash buckets at the parquet layer, with the
+        # in-bucket token IN-list pushed to the data scan
+        ("query-token buckets prune postings partitions",
+         lambda s: "PartitionFilters" in s
+         and "token_bucket" in s.split("PartitionFilters", 1)[1][:200]),
+        ("token IN-list pushed to the postings scan",
+         lambda s: "PushedFilters" in s
+         and "token" in s.split("PushedFilters", 1)[1][:300]),
+        ("query weights broadcast, never shuffled",
+         lambda s: "BroadcastHashJoin" in s
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     # round-6 additions (this session)
     "bm25_topk": [
         # r8 map-side path (small vocab): corpus stats are collected
