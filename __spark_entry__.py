@@ -4134,6 +4134,109 @@ FROM documents
 """
 
 
+def _q_av_meta_decode(spark, sf_dir):
+    """Header-level audio/video decode over REAL bytes (r13 VERDICT
+    item 5, the image_meta_decode recipe on the AV leg): the query
+    synthesizes valid WAV RIFF/fmt/data headers (even doc_ids) and
+    MP4 ftyp/moov/mvhd boxes (odd) from document attributes with
+    NATIVE hex→unhex exprs, then ``decode_av``
+    (operators/multimodal.py) parses format/duration/rate/channels
+    back OUT of the binary column inside mapInPandas. The oracle
+    computes the same arithmetic directly — a hash match proves the
+    byte round-trip through the chunk/box walkers, including the
+    duration divisions (data_bytes×1000//byte_rate and
+    duration×1000//timescale). WAV fields are little-endian, MP4
+    big-endian, so both byte orders are exercised."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_av,
+    )
+
+    def _le(c, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(
+                        F.shiftright(c.cast("long"), 8 * k).bitwiseAND(
+                            F.lit(255)
+                        )
+                    ),
+                    2,
+                    "0",
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    def _be32(c):
+        return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.floor(F.col("doc_id") / 2), 2) + 1).alias("__ch"),
+        (F.pmod(F.col("n_chars"), F.lit(40000)) + 8000).alias("__sr"),
+        F.pmod(F.col("doc_id") * 7, F.lit(999983)).alias("__dsz0"),
+        (F.pmod(F.col("n_chars"), F.lit(9000)) + 1000).alias("__ts"),
+        F.pmod(F.col("doc_id") * 13, F.lit(10_000_000)).alias("__dur"),
+    )
+    block = F.col("__ch") * 2  # 16-bit PCM
+    byte_rate = F.col("__sr") * block
+    data_size = F.col("__dsz0") + block
+    wav_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le(data_size + 36, 4),            # riff size
+        F.lit("57415645"),                 # 'WAVE'
+        F.lit("666D742010000000"),         # 'fmt ' + size 16
+        F.lit("0100"),                     # PCM
+        _le(F.col("__ch"), 2),
+        _le(F.col("__sr"), 4),
+        _le(byte_rate, 4),
+        _le(block, 2),
+        F.lit("1000"),                     # 16 bits/sample
+        F.lit("64617461"),                 # 'data'
+        _le(data_size, 4),                 # size only — the walk stops
+    )
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),  # ftyp isom
+        F.lit("000000246D6F6F76"),                  # moov size 36
+        F.lit("0000001C6D766864"),                  # mvhd size 28, v0
+        F.lit("00000000" * 3),                      # flags/ctime/mtime
+        _be32(F.col("__ts")),
+        _be32(F.col("__dur")),
+    )
+    payload = F.unhex(
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, wav_hex).otherwise(
+            mp4_hex
+        )
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+    return decode_av(media).select(
+        "doc_id", "av_format", "duration_ms", "sample_rate", "n_channels"
+    )
+
+
+_SQL_AV_META_DECODE = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id // 2) % 2 + 1 AS ch,
+         n_chars % 40000 + 8000 AS sr,
+         doc_id * 7 % 999983 AS dsz0,
+         n_chars % 9000 + 1000 AS ts,
+         doc_id * 13 % 10000000 AS dur
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS av_format,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN ((dsz0 + ch * 2) * 1000) // (sr * ch * 2)
+                 ELSE (dur * 1000) // ts
+            END AS BIGINT) AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(sr AS INTEGER) END
+           AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(ch AS INTEGER) END
+           AS n_channels
+FROM p
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Rows-only: the fake featurizer is a numpy kernel (deterministic,
     golden-tested in tests/test_multimodal.py)."""
@@ -6662,6 +6765,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ivfadc_topk_refined", _q_ivfadc_topk_refined, None),
     # --- r14 additions ---
     ("sparse_topk_index", _q_sparse_topk_index, _SQL_SPARSE_TOPK),
+    ("av_meta_decode", _q_av_meta_decode, _SQL_AV_META_DECODE),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

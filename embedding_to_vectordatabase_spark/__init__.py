@@ -155,8 +155,11 @@ from .operators.sketches import (  # noqa: E402,F401
     cms_merge_distributed,
 )
 from .operators.multimodal import (  # noqa: E402,F401
+    decode_av,
     decode_image,
+    parse_av_header,
     parse_image_header,
+    sample_video_frames,
 )
 from .operators.search import (  # noqa: E402,F401
     build_sparse_index,

@@ -220,10 +220,185 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
 
 
+_MP4_TOP_BOXES = (b"ftyp", b"styp", b"moov", b"mdat", b"free", b"wide", b"skip")
+
+
+def parse_av_header(payload: bytes):
+    """(format, duration_ms, sample_rate, n_channels) parsed from the
+    leading bytes of an audio/video payload — pure header arithmetic
+    on the public container formats, no codec library (the r13
+    ``parse_image_header`` recipe applied to the AV leg; fills the
+    formerly always-NULL ``duration_ms`` in MEDIA_META_SCHEMA):
+
+    - WAV:  RIFF....WAVE, then a word-aligned chunk walk; the 'fmt '
+      chunk carries channels (LE u16 @ +2), sample_rate (LE u32 @ +4)
+      and byte_rate (LE u32 @ +8) of its payload; the 'data' chunk's
+      size + byte_rate give duration_ms = data_bytes × 1000 //
+      byte_rate (RIFF spec / WAVE PCM format, public);
+    - MP4:  ISO-BMFF box walk (size BE u32 + fourcc, with the size==1
+      64-bit and size==0 to-end escapes) to 'moov', then its children
+      to 'mvhd': version 0 keeps timescale/duration as BE u32 at
+      payload offsets 12/16, version 1 at 20/24 with a u64 duration;
+      duration_ms = duration × 1000 // timescale (ISO 14496-12 §8.2.2).
+
+    sample_rate/channels are NULL for MP4 (they live per-track in
+    stsd, below header granularity); returns (None,)*4 for
+    unrecognized or truncated bytes.
+    """
+    b = bytes(payload)
+    n = len(b)
+    if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sr = ch = byte_rate = data_size = None
+        i = 12
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            sz = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= n:
+                ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                sr = int.from_bytes(b[i + 12 : i + 16], "little")
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+        dur = (
+            data_size * 1000 // byte_rate
+            if data_size is not None and byte_rate
+            else None
+        )
+        return "wav", dur, sr, ch
+    if n >= 12 and b[4:8] in _MP4_TOP_BOXES:
+
+        def boxes(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                sz = int.from_bytes(b[i : i + 4], "big")
+                typ = b[i + 4 : i + 8]
+                hdr = 8
+                if sz == 1:
+                    if i + 16 > hi:
+                        return
+                    sz = int.from_bytes(b[i + 8 : i + 16], "big")
+                    hdr = 16
+                elif sz == 0:
+                    sz = hi - i  # box extends to end of enclosure
+                if sz < hdr:
+                    return  # corrupt size — stop the walk
+                yield typ, i + hdr, min(i + sz, hi)
+                i += sz
+
+        dur_ms = None
+        for typ, lo, hi in boxes(0, n):
+            if typ != b"moov":
+                continue
+            for t2, l2, h2 in boxes(lo, hi):
+                if t2 != b"mvhd":
+                    continue
+                ver = b[l2] if h2 > l2 else 0
+                if ver == 1 and h2 - l2 >= 32:
+                    ts = int.from_bytes(b[l2 + 20 : l2 + 24], "big")
+                    dur = int.from_bytes(b[l2 + 24 : l2 + 32], "big")
+                elif h2 - l2 >= 20:
+                    ts = int.from_bytes(b[l2 + 12 : l2 + 16], "big")
+                    dur = int.from_bytes(b[l2 + 16 : l2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur_ms = dur * 1000 // ts
+        return "mp4", dur_ms, None, None
+    return None, None, None, None
+
+
+def decode_av(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header-level audio/video decode — REAL byte parsing,
+    in-container: appends (av_format string, duration_ms long,
+    sample_rate int, n_channels int) parsed from the payload's
+    leading bytes via ``parse_av_header`` (WAV RIFF chunk walk / MP4
+    mvhd box walk). Unrecognized payloads get NULLs, the rows
+    survive.
+
+    Plan shape: MAP-ONLY mapInPandas, exactly like ``decode_image``;
+    only header bytes are touched per row, payload columns never
+    shuffle. Pixel/sample-plane decode still needs ffmpeg — see
+    ``extract_video_frame_pixels``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("av_format", T.StringType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_av_header(b) if b is not None else (None,) * 4
+                for b in pdf[payload_col]
+            ]
+            yield pdf.assign(
+                av_format=pd.Series(
+                    [p[0] for p in parsed], index=pdf.index, dtype=object
+                ),
+                duration_ms=pd.array(
+                    [p[1] for p in parsed], dtype=pd.Int64Dtype()
+                ),
+                sample_rate=pd.array(
+                    [p[2] for p in parsed], dtype=pd.Int32Dtype()
+                ),
+                n_channels=pd.array(
+                    [p[3] for p in parsed], dtype=pd.Int32Dtype()
+                ),
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame-sampling TIMESTAMPS over the REAL container duration:
+    one (row × frame_ts_ms) output row per ``every_ms`` interval of
+    the duration parsed from the MP4/WAV header (``decode_av``) —
+    the scheduling half of frame extraction, real in-container. The
+    pixel half (seek + decode at each timestamp) needs ffmpeg and
+    stays honestly stubbed in ``extract_video_frame_pixels``.
+
+    Plan shape: the header parse is map-only; the fan-out is a native
+    ``explode(sequence(...))`` — no shuffle, and the payload column
+    is DROPPED before the explode so the bytes are never replicated
+    per frame. Rows whose duration can't be parsed produce no frames.
+    """
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+    dec = decode_av(df, payload_col).filter(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    )
+    keep = [
+        c for c in df.columns if c != payload_col
+    ] + ["av_format", "duration_ms"]
+    return dec.select(
+        *keep,
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms") - 1,
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def extract_video_frame_pixels(
     df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
 ) -> DataFrame:
-    """Real frame sampling requires ffmpeg — not in this container."""
+    """Pixel-plane frame extraction requires ffmpeg — not in this
+    container (the timestamp schedule has a real in-container path:
+    see ``sample_video_frames``)."""
     raise NotImplementedError(
-        "video frame sampling needs ffmpeg on the cluster"
+        "video frame extraction needs ffmpeg on the cluster; "
+        "use sample_video_frames (real header-derived timestamps) "
+        "for plumbing tests"
     )
