@@ -2752,6 +2752,40 @@ def _q_ivfadc_topk_refined(spark, sf_dir):
     )
 
 
+def _q_sq8_topk_refined(spark, sf_dir):
+    """SQ8 scalar quantization (public FAISS QT_8bit / Milvus IVF_SQ8
+    recipe): per-dimension trained [vmin, vmax] ranges, one byte per
+    dimension (4x under float32), ADC scoring via the affine decode
+    identity as two BLAS matmuls per batch, exact re-rank of the
+    bounded candidates (operators/search.py:build_sq8_index/
+    sq8_topk_index) — completes the quantization menu (int8
+    symmetric / PQ / OPQ / IVFADC / SQ8) with the same persisted
+    train-once lifecycle. Rows-only: the trained ranges come off the
+    partition-head spread sample, which SQL can't reproduce; refined
+    ==dense_topk equality, index==inline parity, the affine-
+    reconstruction score identity and the upsert contract are
+    asserted in tests/test_search.py."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sq8_index,
+        sq8_topk_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="sg_sq8_")
+    build_sq8_index(emb, path, seed=7, train_cap=512)
+    out = sq8_topk_index(
+        spark, path, q, k=5, metric="L2", refine=emb, refine_k=20
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_dense_topk_quantized(spark, sf_dir):
     """Moved from rows-only to hash-checked (VERDICT r6 item 9) via
     ``symmetric=True``: quantizing the queries too makes the stage-1
@@ -6766,6 +6800,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # --- r14 additions ---
     ("sparse_topk_index", _q_sparse_topk_index, _SQL_SPARSE_TOPK),
     ("av_meta_decode", _q_av_meta_decode, _SQL_AV_META_DECODE),
+    ("sq8_topk_refined", _q_sq8_topk_refined, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the

@@ -2562,6 +2562,35 @@ def main() -> None:
                 R_opq = load_opq_rotation(spark, opq_path)
                 opq_books = load_pq_codebooks(spark, opq_path)
 
+                # SQ8 (r13 VERDICT stretch item 8): the byte-budget
+                # menu's cheap sibling — dim bytes/vector (4x under
+                # float32, 64x MORE than m=16 PQ) buying near-exact
+                # candidate recall with a trivial train (per-dim
+                # min/max off the spread sample, no Lloyd at all)
+                from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                    build_sq8_index,
+                    load_sq8_params,
+                    sq8_topk_index,
+                )
+
+                sq8_path = os.path.join(SCRATCH, "sq8_idx")
+                sq8_meta = ensure_index(
+                    sq8_path,
+                    {"kind": "sq8", "seed": 7, "train_cap": 6400,
+                     "fixture": "hard_half"},
+                    lambda: build_sq8_index(
+                        pq_corpus, sq8_path, seed=7, train_cap=6400
+                    ),
+                )
+                t0 = time.time()
+                sq8_cand = topk_ids(
+                    sq8_topk_index(
+                        spark, sq8_path, qdf, k=RK, metric="IP"
+                    )
+                )
+                sq8_sec = round(time.time() - t0, 3)
+                ann_calib["sq8"] = calib_ms()
+
                 # (a) reconstruction error, driver-side on a fixed
                 # 2000-vector eval sample (deterministic given the
                 # seeded quantizers)
@@ -2612,9 +2641,25 @@ def main() -> None:
                     ((Xr - _pq_recon(Xr, opq_books)) ** 2)
                     .sum(axis=1).mean()
                 )
+                sq8_vmin, sq8_vdiff = load_sq8_params(spark, sq8_path)
+                sq8_s = sq8_vdiff / 255.0
+                sq8_codes_e = np.clip(
+                    np.rint((Xe - sq8_vmin[None, :]) / sq8_s[None, :]),
+                    0,
+                    255,
+                )
+                err_sq8 = float(
+                    (
+                        (Xe - (sq8_vmin[None, :] + sq8_codes_e * sq8_s[None, :]))
+                        ** 2
+                    )
+                    .sum(axis=1).mean()
+                )
 
                 ann_recall["pq_family"] = {
                     "m": M_PQ,
+                    # [PQ bytes, SQ8 bytes, float32 bytes] per vector
+                    "bytes_per_vec_pq_sq8_float": [M_PQ, DIM, DIM * 4],
                     "bytes_per_vec_vs_float": [M_PQ, DIM * 4],
                     "n_vecs": "52500 (hard fixture, vec_id%2==0)",
                     "nlist": nlist_eff,
@@ -2623,6 +2668,7 @@ def main() -> None:
                         "flat_pq": round(err_flat, 1),
                         "ivfadc_residual": round(err_ivfadc, 1),
                         "opq_rotated": round(err_opq, 1),
+                        "sq8": round(err_sq8, 3),
                     },
                     "ivfadc_err_over_flat": round(err_ivfadc / err_flat, 3),
                     "opq_err_over_flat": round(err_opq / err_flat, 3),
@@ -2643,11 +2689,13 @@ def main() -> None:
                         "flat_adc": pq_recall(flat_cand),
                         "ivfadc": pq_recall(adc_cand),
                         "opq": pq_recall(opq_cand),
+                        "sq8": pq_recall(sq8_cand),
                     },
                     "candidate_recall_at_100_boundary": {
                         "flat_adc": pq_recall(flat_cand, boundary_qids),
                         "ivfadc": pq_recall(adc_cand, boundary_qids),
                         "opq": pq_recall(opq_cand, boundary_qids),
+                        "sq8": pq_recall(sq8_cand, boundary_qids),
                     },
                     "wall_sec": {
                         "exact_groundtruth": pq_exact_sec,
@@ -2662,6 +2710,8 @@ def main() -> None:
                         # persisted-store ADC search
                         "opq_build": opq_build_sec,
                         "opq_scan": opq_sec,
+                        "sq8_build": sq8_meta["build_sec"],
+                        "sq8_scan": sq8_sec,
                     },
                     # True per index when this run reused the scratch
                     # cache: build walls above are then the preserved
@@ -2670,6 +2720,7 @@ def main() -> None:
                         "flat_pq": flat_meta["cached"],
                         "ivfadc": ivf_meta["cached"],
                         "opq": opq_meta["cached"],
+                        "sq8": sq8_meta["cached"],
                     },
                     "note": (
                         "recon error is the stable evidence (residual "

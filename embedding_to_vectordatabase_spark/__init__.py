@@ -166,3 +166,12 @@ from .operators.search import (  # noqa: E402,F401
     sparse_topk_index,
     upsert_sparse_index,
 )
+from .operators.search import (  # noqa: E402,F401
+    build_sq8_index,
+    load_sq8_params,
+    sq8_encode,
+    sq8_topk,
+    sq8_topk_index,
+    sq8_train,
+    upsert_sq8_index,
+)

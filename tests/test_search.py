@@ -1358,3 +1358,138 @@ def test_opq_index_lifecycle_matches_inline(spark, tmp_path):
         if r["query_id"] == r["vec_id"] and r["query_id"] % 2 == 1
     }
     assert odd_self, "upserted vectors not searchable through OPQ index"
+
+
+def test_sq8_refined_matches_exact_and_recall(emb, queries, tmp_path):
+    """SQ8 (per-dim 8-bit scalar quantization, FAISS QT_8bit recipe):
+    with exact refine the results must EQUAL dense_topk's (ids and
+    float scores); the unrefined code-only scan must still be
+    near-exact (8 bits/dim resolves this fixture's score gaps)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sq8_index,
+        sq8_topk_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "sq8_idx")
+    dim = build_sq8_index(emb, path, seed=7, train_cap=512)
+    assert dim == len(emb.first()["embedding"])
+    for metric in ("IP", "L2"):
+        exact = dense_topk(emb, queries, k=5, metric=metric).collect()
+        refined = sq8_topk_index(
+            spark, path, queries, k=5, metric=metric,
+            refine=emb, refine_k=20,
+        ).collect()
+        # 6dp: dense_topk's matmul-identity L2 and the pair kernel's
+        # elementwise L2 differ by ~1e-8 at self-distance
+        got = {
+            (r["query_id"], r["vec_id"]): round(r["score"], 6)
+            for r in refined
+        }
+        want = {
+            (r["query_id"], r["vec_id"]): round(r["score"], 6)
+            for r in exact
+        }
+        assert got == want, metric
+        raw = sq8_topk_index(
+            spark, path, queries, k=5, metric=metric
+        ).collect()
+        recall = len(_key_set(raw) & _key_set(exact)) / len(
+            _key_set(exact)
+        )
+        assert recall >= 0.9, f"{metric} unrefined recall {recall}"
+
+
+def test_sq8_index_matches_inline_and_upsert(emb, queries, tmp_path):
+    """Persisted-store search == inline train/encode/search at the
+    same seed (byte contract: codes are exactly dim bytes); upsert
+    encodes with the EXISTING ranges so index-after-upsert equals a
+    single encode pass over the union with those ranges."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sq8_index,
+        load_sq8_params,
+        sq8_encode,
+        sq8_topk,
+        sq8_topk_index,
+        sq8_train,
+        upsert_sq8_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "sq8_inline")
+    build_sq8_index(emb, path, seed=7, train_cap=512)
+    vmin, vdiff = sq8_train(emb, seed=7, train_cap=512)
+    inline = sq8_topk(
+        sq8_encode(emb, vmin, vdiff), queries, vmin, vdiff,
+        k=5, metric="IP",
+    ).collect()
+    stored = sq8_topk_index(spark, path, queries, k=5, metric="IP").collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+    assert key(inline) == key(stored)
+    # byte contract
+    dim = len(emb.first()["embedding"])
+    row = spark.read.parquet(f"{path}/codes.parquet").first()
+    assert len(bytes(row["sq8_code"])) == dim
+    # upsert: encode-with-existing-params equivalence
+    half = str(tmp_path / "sq8_half")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    build_sq8_index(old, half, seed=7, train_cap=512)
+    n = upsert_sq8_index(half, new)
+    assert n == new.count()
+    vmin_h, vdiff_h = load_sq8_params(spark, half)
+    want_codes = {
+        r["vec_id"]: bytes(r["sq8_code"])
+        for r in sq8_encode(emb, vmin_h, vdiff_h).collect()
+    }
+    got_codes = {
+        r["vec_id"]: bytes(r["sq8_code"])
+        for r in spark.read.parquet(f"{half}/codes.parquet").collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_sq8_scores_match_affine_reconstruction(emb, queries, tmp_path):
+    """The two-matmul ADC identities must equal the exact metric
+    against the affine reconstruction x̂ = vmin + c·(vdiff/255) for
+    BOTH metrics — an independent numpy check that pins the kernel
+    (the SQ8 analogue of the IVFADC reconstruction test that caught
+    the r13 shifted-query LUT bug)."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    vmin, vdiff = sq8_train(emb, seed=7, train_cap=512)
+    codes = sq8_encode(emb, vmin, vdiff)
+    code_map = {
+        r["vec_id"]: np.frombuffer(bytes(r["sq8_code"]), dtype=np.uint8)
+        for r in codes.collect()
+    }
+    qmat = {
+        r["query_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+        for r in queries.collect()
+    }
+    s = vdiff / 255.0
+    for metric in ("IP", "L2"):
+        out = sq8_topk(
+            codes, emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            vmin, vdiff, k=5, metric=metric,
+        ).collect()
+        for r in out:
+            xhat = vmin + code_map[r["vec_id"]].astype(np.float64) * s
+            q = qmat[r["query_id"]]
+            want = (
+                float(q @ xhat)
+                if metric == "IP"
+                else float(np.sqrt(((q - xhat) ** 2).sum()))
+            )
+            assert abs(r["score"] - want) < 1e-6, (metric, r)
