@@ -6805,23 +6805,81 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
 # registry. Rotation policy (unchanged since r10, reapplied each round):
-# (a) queries with NO driver-green record lead — this round that is
-# image_meta_decode (new r13 oracle: real PNG/GIF header-byte parsing
-# round-tripped against arithmetic) — followed by the cohort VERDICT r12
-# item 7 ordered re-verified: the composed-hash families whose r12 hash
-# change (and this round's NULL-text coalesce in _hashed_shingle_sets)
-# touched their plans but whose latest driver record predates r12
-# (minhash/simhash/jaccard + the exact-dup and embedding near-dup
-# families); (b) the back-fill takes queries whose LATEST driver-green
+# (a) queries with NO driver-green record lead — this round the two new
+# full oracles (sparse_topk_index: the persisted sparse inverted index;
+# av_meta_decode: real WAV/MP4 header-byte parsing round-tripped against
+# arithmetic); (b) the back-fill takes queries whose LATEST driver-green
 # record is OLDEST, computed from the committed CORRECTNESS_r*.json
-# files — the FULL r9 cohort (19 queries, oldest records in the
-# registry), then the r10 cohort in registry order up to the 48-slot
-# oracle budget; (c) rows-only entries sit at the window TAIL per r10
-# ADVICE: the new ivfadc_topk_refined (persisted IVFADC index) and
-# simhash_pairs (rows-only xxhash64 path — the one rows-only query the
-# NULL-coalesce plan change touches). Displaced cohorts keep their
-# recorded provenance and remain covered by tools/oracle_check.py and
-# tests/test_oracle_window.py at both gate SFs every round.
+# files — after r13's rotation that is the r10-record cohort (the TPC-H
+# variants + the V-family vector functions, 12 oracle-bearing), then the
+# r11-record cohort in registry order up to the 47-slot oracle budget;
+# (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
+# round: the new sq8_topk_refined, ivfadc_topk_refined RE-SEATED because
+# its implementation changed AFTER its r13 record (commit ba34d7e: the
+# IP LUT fix + the grouped batch kernel postdate the r13 driver run —
+# the one deliberate r13-window overlap), and ann_topk_bucketed (the
+# oldest rows-only record in the registry, r10). Displaced cohorts keep
+# their recorded provenance and remain covered by tools/oracle_check.py
+# and tests/test_oracle_window.py at both gate SFs every round.
+_R14_WINDOW: list[str] = [
+    # (a) new-this-round oracles first
+    "sparse_topk_index",
+    "av_meta_decode",
+    # (b) oldest latest-driver-record first: the r10-record cohort...
+    "v_normalize",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "v4_dense_ip",
+    "v5_sparse_ip",
+    "v6_rerank",
+    "v6_rerank_texts",
+    "v7_dense_l2",
+    # ...then the r11-record cohort in registry order up to the budget
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "profile_documents",
+    "corpus_clean",
+    "table_stats",
+    "funnel_view_click_purchase",
+    "asof_attribution",
+    "range_join_error_context",
+    "rollup_hierarchy",
+    "retention_cohorts",
+    "rolling_daily_value",
+    "scd2_registry",
+    "validate_documents",
+    "daily_event_anomalies",
+    "props_k_counts",
+    "edit_distance_pairs",
+    "token_budget_sample",
+    "day2_incremental_pipeline",
+    "temperature_mix_sqrt",
+    "grouped_split_counts",
+    "pretraining_mix",
+    "dup_line_stats",
+    "item_cooccurrence",
+    "winsorize_nchars",
+    "lang_drift_psi",
+    "nchars_histogram",
+    "w2_chunk_fixed",
+    "split_sentences",
+    "multimodal_meta",
+    "v8_labeling",
+    "k7_delete_where",
+    "p4_sparse_cast",
+    # (c) rows-only at the window TAIL by policy (see above)
+    "sq8_topk_refined",
+    "ivfadc_topk_refined",
+    "ann_topk_bucketed",
+]
+
+# r13 window kept for provenance documentation (rotation diffs read as
+# one list per round); no longer feeds _registry_order().
 _R13_WINDOW: list[str] = [
     # (a) new-this-round oracle first
     "image_meta_decode",
@@ -6884,7 +6942,7 @@ _R13_WINDOW: list[str] = [
 
 
 def _registry_order() -> list[tuple[str, Callable, str | None]]:
-    rank = {n: i for i, n in enumerate(_R13_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R14_WINDOW)}
     head = sorted(
         (e for e in _REGISTRY_ENTRIES if e[0] in rank),
         key=lambda e: rank[e[0]],

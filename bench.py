@@ -588,6 +588,10 @@ def main() -> None:
             "metric": "total_sec",
             "value": round(total, 3),
             "unit": "sec",
+            # the run's own wall clock at emission (t_start -> emit):
+            # the budget-guard test projects graded-run fit from this
+            "bench_wall_sec": round(time.time() - t_start, 1),
+            "watchdog_emission": watchdog,
             "queries": timings,
             "sf": sf,
             "ingest_chunks": n_chunks,
