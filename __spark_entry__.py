@@ -2786,6 +2786,39 @@ def _q_sq8_topk_refined(spark, sf_dir):
     )
 
 
+def _q_ivfsq8_topk_refined(spark, sf_dir):
+    """IVF_SQ8 (public Milvus IVF_SQ8 / FAISS IVF+ScalarQuantizer
+    composition): coarse quantizer routes to nlist inverted lists,
+    SQ8 codes the raw vectors at one byte/dim, search scans only the
+    nprobe probed list PARTITIONS (parquet partition pruning, the
+    IVFADC mechanism) with the list-independent affine scoring
+    kernel, then exact-refines the bounded candidates
+    (operators/search.py:build_ivfsq8_index/ann_topk_ivfsq8).
+    Rows-only: seeded-kmeans routing isn't SQL-reproducible;
+    full-probe==flat-SQ8 equality, partition pruning, recall and
+    upsert are asserted in tests/test_search.py."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfsq8,
+        build_ivfsq8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="sg_ivfsq8_")
+    nlist, _ = build_ivfsq8_index(emb, path, nlist=16, seed=7)
+    out = ann_topk_ivfsq8(
+        spark, path, q, k=5, metric="L2", nprobe=nlist,
+        refine=emb, refine_k=20,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_dense_topk_quantized(spark, sf_dir):
     """Moved from rows-only to hash-checked (VERDICT r6 item 9) via
     ``symmetric=True``: quantizing the queries too makes the stage-1
@@ -6801,6 +6834,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("sparse_topk_index", _q_sparse_topk_index, _SQL_SPARSE_TOPK),
     ("av_meta_decode", _q_av_meta_decode, _SQL_AV_META_DECODE),
     ("sq8_topk_refined", _q_sq8_topk_refined, None),
+    ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
@@ -6814,11 +6848,11 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # variants + the V-family vector functions, 12 oracle-bearing), then the
 # r11-record cohort in registry order up to the 47-slot oracle budget;
 # (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
-# round: the new sq8_topk_refined, ivfadc_topk_refined RE-SEATED because
-# its implementation changed AFTER its r13 record (commit ba34d7e: the
-# IP LUT fix + the grouped batch kernel postdate the r13 driver run —
-# the one deliberate r13-window overlap), and ann_topk_bucketed (the
-# oldest rows-only record in the registry, r10). Displaced cohorts keep
+# round: the new sq8_topk_refined and ivfsq8_topk_refined (no record at
+# all — policy (a) outranks seniority), and ivfadc_topk_refined
+# RE-SEATED because its implementation changed AFTER its r13 record
+# (commit ba34d7e: the IP LUT fix + the grouped batch kernel postdate
+# the r13 driver run — the one deliberate r13-window overlap). Displaced cohorts keep
 # their recorded provenance and remain covered by tools/oracle_check.py
 # and tests/test_oracle_window.py at both gate SFs every round.
 _R14_WINDOW: list[str] = [
@@ -6874,8 +6908,8 @@ _R14_WINDOW: list[str] = [
     "p4_sparse_cast",
     # (c) rows-only at the window TAIL by policy (see above)
     "sq8_topk_refined",
+    "ivfsq8_topk_refined",
     "ivfadc_topk_refined",
-    "ann_topk_bucketed",
 ]
 
 # r13 window kept for provenance documentation (rotation diffs read as

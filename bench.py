@@ -2760,27 +2760,49 @@ def main() -> None:
                     )
                 if aniso_ok:
                     progress("pq family anisotropic fixture (opq uplift)")
+                    from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                        rotate_vectors,
+                    )
+
                     A_N, A_DIM = 20_000, 256
-                    aniso_path = os.path.join(SCRATCH, "aniso20k.parquet")
+                    # independent eigen-decay dims MIXED through a
+                    # seeded orthogonal rotation: covariance becomes
+                    # Qᵀ diag(0.97^2i) Q — anisotropic AND correlated
+                    # ACROSS the axis-aligned subspace cuts, the
+                    # regime OPQ exists for (Ge et al. 2013 §1; decay
+                    # alone left independent dims where axis-aligned
+                    # PQ is already near-product-optimal and the
+                    # uplift measured a vacuous 0.998)
+                    aniso_path = os.path.join(
+                        SCRATCH, "aniso20k_mixed.parquet"
+                    )
                     decay = [0.97**i for i in range(A_DIM)]
+                    Q_mix, _ = np.linalg.qr(
+                        np.random.default_rng(11).standard_normal(
+                            (A_DIM, A_DIM)
+                        )
+                    )
                     ensure_fixture(
                         aniso_path,
                         lambda: (
-                            spark.range(A_N)
-                            .repartition(
-                                spark.sparkContext.defaultParallelism
-                            )
-                            .select(
-                                F.col("id").alias("vec_id"),
-                                F.array(
-                                    *[
-                                        (
-                                            F.randn(9100 + i)
-                                            * F.lit(decay[i])
-                                        ).cast("float")
-                                        for i in range(A_DIM)
-                                    ]
-                                ).alias("embedding"),
+                            rotate_vectors(
+                                spark.range(A_N)
+                                .repartition(
+                                    spark.sparkContext.defaultParallelism
+                                )
+                                .select(
+                                    F.col("id").alias("vec_id"),
+                                    F.array(
+                                        *[
+                                            (
+                                                F.randn(9100 + i)
+                                                * F.lit(decay[i])
+                                            ).cast("float")
+                                            for i in range(A_DIM)
+                                        ]
+                                    ).alias("embedding"),
+                                ),
+                                Q_mix,
                             )
                             .write.mode("overwrite")
                             .parquet(aniso_path)
@@ -2792,7 +2814,8 @@ def main() -> None:
                     apq_meta = ensure_index(
                         apq_path,
                         {"kind": "pq_flat", "m": M_PQ, "seed": 7,
-                         "train_cap": 4000, "fixture": "aniso20k"},
+                         "train_cap": 4000,
+                         "fixture": "aniso20k_mixed"},
                         lambda: build_pq_index(
                             aniso, apq_path, m=M_PQ, seed=7,
                             train_cap=4000,
@@ -2803,7 +2826,7 @@ def main() -> None:
                         aopq_path,
                         {"kind": "opq", "m": M_PQ, "seed": 7,
                          "n_iter": 2, "train_cap": 4000,
-                         "fixture": "aniso20k"},
+                         "fixture": "aniso20k_mixed"},
                         lambda: build_opq_index(
                             aniso, aopq_path, m=M_PQ, seed=7,
                             n_iter=2, train_cap=4000,
@@ -2846,7 +2869,10 @@ def main() -> None:
                     ann_recall["pq_family"]["anisotropic"] = {
                         "n_vecs": A_N,
                         "dim": A_DIM,
-                        "variance_profile": "var ~ 0.97^(2i) decay",
+                        "variance_profile": (
+                            "Q' diag(0.97^2i) Q - eigen-decay mixed "
+                            "through a seeded orthogonal rotation"
+                        ),
                         "m": M_PQ,
                         "recon_err_per_vec": {
                             "flat_pq": round(a_err_pq, 6),

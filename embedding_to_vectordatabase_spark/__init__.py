@@ -175,3 +175,8 @@ from .operators.search import (  # noqa: E402,F401
     sq8_train,
     upsert_sq8_index,
 )
+from .operators.search import (  # noqa: E402,F401
+    ann_topk_ivfsq8,
+    build_ivfsq8_index,
+    upsert_ivfsq8_index,
+)

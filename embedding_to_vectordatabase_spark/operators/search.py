@@ -3557,3 +3557,320 @@ def sq8_topk_index(
         query_vec=query_vec, refine=refine, refine_k=refine_k,
         vec_col=vec_col,
     )
+
+
+def build_ivfsq8_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    nlist: int = 64,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    n_corpus: int | None = None,
+    train_cap: int | None = None,
+) -> tuple[int, int]:
+    """Persisted IVF_SQ8 index build — the public Milvus IVF_SQ8 /
+    FAISS IndexIVFScalarQuantizer composition: coarse quantizer routes
+    each vector to one of ``nlist`` inverted lists, SQ8 codes the RAW
+    vector at one byte per dimension (by_residual=False: the per-dim
+    range already covers the whole corpus, so list-local residual
+    coding buys little at 8 bits/dim and raw codes keep the scoring
+    kernel list-independent — one broadcast (W, bias) per query, no
+    per-list LUT rebuild):
+
+    - ``<index_path>/centroids.parquet``  — (list_id, centroid);
+    - ``<index_path>/sq8_params.parquet`` — (dim_idx, vmin, vdiff);
+    - ``<index_path>/codes.parquet``      — (<corpus_id>, sq8_code),
+      PARTITIONED BY list_id: a search probing nprobe lists prunes to
+      those partitions at the parquet layer, scanning
+      ~ nprobe/nlist × dim bytes/vector.
+
+    ONE bounded spread sample trains both (coarse Lloyd + per-dim
+    min/max); ONE map-only Arrow pass routes + encodes. Returns
+    (nlist_eff, dim)."""
+    import numpy as np
+
+    X = _spread_sample(
+        corpus,
+        vec_col,
+        train_cap if train_cap is not None else max(nlist * 50, 4096),
+        seed,
+        train_fraction,
+        n_corpus,
+    )
+    cent = _lloyd(X, nlist, seed)
+    vmin = X.min(axis=0).astype(np.float64)
+    vdiff = X.max(axis=0).astype(np.float64) - vmin
+    vdiff[vdiff <= 0] = 1.0
+    dim = X.shape[1]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids.parquet"
+    )
+    spark.createDataFrame(
+        [(i, float(vmin[i]), float(vdiff[i])) for i in range(dim)],
+        "dim_idx int, vmin double, vdiff double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/sq8_params.parquet"
+    )
+    _ivfsq8_encode(corpus, cent, vmin, vdiff, vec_col, corpus_id).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    return len(cent), dim
+
+
+def _ivfsq8_encode(
+    corpus: DataFrame,
+    cent: "np.ndarray",
+    vmin: "np.ndarray",
+    vdiff: "np.ndarray",
+    vec_col: str,
+    corpus_id: str,
+) -> DataFrame:
+    """ONE map-only Arrow pass: nearest-centroid routing + dim-byte
+    SQ8 code per vector (the coarse matmul plus one vectorized
+    clip/rint), codes built zero-copy off Arrow buffers.
+
+    Output: (<corpus_id>, list_id int, sq8_code binary)."""
+    import numpy as np
+
+    dim = int(len(vmin))
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (
+            np.asarray(cent, dtype=np.float64),
+            np.asarray(vmin, dtype=np.float64),
+            np.asarray(vdiff, dtype=np.float64),
+        )
+    )
+    cid_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(corpus_id, cid_type, False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("sq8_code", T.BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        cent_b = bc.value[0].astype(np.float32)
+        vmin_b = bc.value[1].astype(np.float32)
+        scale_b = (np.float32(255.0) / bc.value[2]).astype(np.float32)
+        cm = cent_b.T
+        c2 = (cent_b**2).sum(axis=1)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _pa_matrix(
+                rb.column(rb.schema.get_field_index(vec_col)),
+                dtype=np.float32,
+            )
+            n = X.shape[0]
+            a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(axis=1)
+            codes = np.clip(
+                np.rint((X - vmin_b[None, :]) * scale_b[None, :]),
+                0,
+                255,
+            ).astype(np.uint8)
+            flat = np.ascontiguousarray(codes).reshape(-1)
+            offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(flat)],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(corpus_id)),
+                    pa.array(a.astype(np.int32), type=pa.int32()),
+                    code_arr,
+                ],
+                names=[corpus_id, "list_id", "sq8_code"],
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInArrow(
+        encode, out_schema
+    )
+
+
+def upsert_ivfsq8_index(
+    index_path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> int:
+    """Incremental IVF_SQ8 maintenance: route + encode a NEW batch
+    with the EXISTING quantizers and append into the partitioned code
+    store — no retrain (the shared upsert contract). Returns rows
+    appended."""
+    spark = new_vectors.sparkSession
+    cent = _load_ivf_centroids(spark, index_path)
+    vmin, vdiff = load_sq8_params(spark, index_path)
+    n = new_vectors.count()
+    _ivfsq8_encode(
+        new_vectors, cent, vmin, vdiff, vec_col, corpus_id
+    ).write.mode("append").partitionBy("list_id").parquet(
+        f"{index_path}/codes.parquet"
+    )
+    return n
+
+
+def ann_topk_ivfsq8(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    metric: str = "L2",
+    nprobe: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_k: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``build_ivfsq8_index`` store: nprobe-bounded SQ8 ADC.
+
+    Driver side (all tiny): centroids + per-dim params load, each
+    query picks its ``nprobe`` nearest lists, and the scoring weights
+    are ONE list-independent (dim, Q) matrix + per-query bias (raw
+    SQ8 codes — see ``build_ivfsq8_index`` — so nothing per-list to
+    rebuild). Cluster side: the code scan reads ONLY the probed list
+    partitions (driver-known literal → parquet partition pruning,
+    exactly like IVFADC), rows group by list once per batch, and each
+    list's rows score only for the queries that probe it — full-probe
+    results equal flat ``sq8_topk``'s exactly (asserted in tests).
+    Optional exact refine re-ranks the bounded candidates on the
+    float corpus."""
+    import numpy as np
+
+    metric = metric.upper()
+    if metric not in ("L2", "IP"):
+        raise ValueError(f"unknown metric {metric!r}; use L2|IP")
+    cent = _load_ivf_centroids(spark, index_path)
+    vmin, vdiff = load_sq8_params(spark, index_path)
+    dim = len(vmin)
+    qids, qmat = _query_matrix(queries, query_id, query_vec)
+    if qmat.shape[1] != dim:
+        raise ValueError(f"query dim {qmat.shape[1]} != trained dim {dim}")
+    npb = min(nprobe, len(cent))
+    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+    probed = sorted({int(x) for x in probes.ravel()})
+    s = vdiff / 255.0
+    if metric == "IP":
+        W = (qmat * s[None, :]).T
+        bias = qmat @ vmin
+        extra = None
+    else:
+        Y = qmat - vmin[None, :]
+        W = (Y * s[None, :]).T
+        bias = (Y**2).sum(axis=1)
+        extra = s**2
+
+    probe_sets = [set(int(x) for x in probes[qi]) for qi in range(len(qids))]
+    bc = spark.sparkContext.broadcast((qids, probe_sets, W, bias, extra))
+    kk1 = max(k, refine_k or 0)
+    descending = metric == "IP"
+
+    qid_field = queries.schema[query_id].dataType
+    codes = spark.read.parquet(f"{index_path}/codes.parquet").filter(
+        F.col("list_id").isin(probed)
+    )
+    cid_field = codes.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field, False),
+            T.StructField(corpus_id, cid_field, False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_field)
+
+    def local_topk(batches):
+        qids_b, probe_sets_b, W_b, bias_b, extra_b = bc.value
+        Wf = W_b.astype(np.float64)
+        # list_id -> probing query indices, built ONCE per task
+        probe_map: dict[int, list[int]] = {}
+        for qi, ps in enumerate(probe_sets_b):
+            for li in ps:
+                probe_map.setdefault(li, []).append(qi)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            C = _pa_codes(
+                rb.column(rb.schema.get_field_index("sq8_code")), dim
+            ).astype(np.float64)
+            L = (
+                rb.column(rb.schema.get_field_index("list_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ids = rb.column(rb.schema.get_field_index(corpus_id))
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            order = np.argsort(L, kind="stable")
+            uniq, starts = np.unique(L[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            per_q_s: dict[int, list] = {}
+            per_q_rows: dict[int, list] = {}
+            for ui in range(len(uniq)):
+                qis = probe_map.get(int(uniq[ui]))
+                if not qis:
+                    continue
+                rows_l = order[bounds[ui] : bounds[ui + 1]]
+                Csub = C[rows_l]
+                M = Csub @ Wf[:, qis]  # (rows, |qis|)
+                if extra_b is not None:
+                    sq = (Csub**2) @ extra_b
+                for col, qi in enumerate(qis):
+                    if extra_b is None:
+                        sc = M[:, col] + bias_b[qi]
+                    else:
+                        sc = bias_b[qi] - 2.0 * M[:, col] + sq
+                    per_q_s.setdefault(qi, []).append(sc)
+                    per_q_rows.setdefault(qi, []).append(rows_l)
+            qcol, icol, scol = [], [], []
+            for qi, parts_i in per_q_rows.items():
+                sc = np.concatenate(per_q_s[qi])
+                rows = np.concatenate(parts_i)
+                if metric == "L2":
+                    sc = np.sqrt(np.maximum(sc, 0.0))
+                kk = min(kk1, len(rows))
+                idx = _topk_indices(
+                    -sc if descending else sc, ids_np[rows], kk
+                )
+                qcol.extend([qids_b[qi]] * len(idx))
+                icol.append(ids.take(pa.array(rows[idx])))
+                scol.append(sc[idx])
+            if not qcol:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol, type=qid_pa),
+                    pa.concat_arrays(icol),
+                    pa.array(np.concatenate(scol), type=pa.float64()),
+                ],
+                names=["query_id", corpus_id, "score"],
+            )
+
+    local = codes.select(corpus_id, "list_id", "sq8_code").mapInArrow(
+        local_topk, out_schema
+    )
+    order_f = F.desc if descending else F.asc
+    w = Window.partitionBy("query_id").orderBy(
+        order_f("score"), F.asc(corpus_id)
+    )
+    approx = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk1
+    )
+    if refine is None:
+        return approx.filter(F.col("rank") <= k)
+    return _exact_rerank(
+        approx, refine, queries, metric, k,
+        corpus_id, query_id, query_vec, vec_col, w,
+    )

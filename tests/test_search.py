@@ -1493,3 +1493,87 @@ def test_sq8_scores_match_affine_reconstruction(emb, queries, tmp_path):
                 else float(np.sqrt(((q - xhat) ** 2).sum()))
             )
             assert abs(r["score"] - want) < 1e-6, (metric, r)
+
+
+def test_ivfsq8_full_probe_equals_flat_sq8(emb, queries, tmp_path):
+    """At nprobe == nlist every list is probed by every query, so the
+    IVF_SQ8 search must return EXACTLY flat sq8_topk's results when
+    both use the same trained ranges (raw — not residual — codes make
+    the scoring kernel list-independent, so routing can only change
+    WHICH rows score, and at full probe that's all of them)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfsq8,
+        build_ivfsq8_index,
+        load_sq8_params,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfsq8_full")
+    nlist, dim = build_ivfsq8_index(emb, path, nlist=8, seed=7)
+    assert dim == len(emb.first()["embedding"])
+    vmin, vdiff = load_sq8_params(spark, path)
+    for metric in ("IP", "L2"):
+        got = sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in ann_topk_ivfsq8(
+                spark, path, queries, k=5, metric=metric, nprobe=nlist
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in sq8_topk(
+                sq8_encode(emb, vmin, vdiff), queries, vmin, vdiff,
+                k=5, metric=metric,
+            ).collect()
+        )
+        assert got == want, metric
+
+
+def test_ivfsq8_partition_pruning_recall_and_upsert(emb, queries, tmp_path):
+    """The probed-list filter must prune the PARTITIONED code store at
+    the parquet layer; pruned-probe recall clears the IVF bar; upsert
+    appends into the same partition scheme and new vectors become
+    retrievable."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfsq8,
+        build_ivfsq8_index,
+        upsert_ivfsq8_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfsq8_pp")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ivfsq8_index(old, path, nlist=8, seed=7)
+    out = ann_topk_ivfsq8(spark, path, queries, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    n = upsert_ivfsq8_index(path, emb.filter(F.col("vec_id") % 2 == 1))
+    assert n > 0
+    assert (
+        spark.read.parquet(f"{path}/codes.parquet").count() == emb.count()
+    )
+    # post-upsert: refined search over the full corpus recalls the
+    # exact top-k at generous probes
+    exact = _key_set(dense_topk(emb, queries, k=5, metric="L2").collect())
+    got = _key_set(
+        ann_topk_ivfsq8(
+            spark, path, queries, k=5, metric="L2", nprobe=8,
+            refine=emb, refine_k=20,
+        ).collect()
+    )
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+    # determinism
+    a = sorted(
+        map(tuple, ann_topk_ivfsq8(
+            spark, path, queries, k=3, nprobe=4
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, ann_topk_ivfsq8(
+            spark, path, queries, k=3, nprobe=4
+        ).collect())
+    )
+    assert a == b
