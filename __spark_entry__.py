@@ -4486,6 +4486,45 @@ WHERE rank <= 10
 """
 
 
+def _q_bm25_topk_index(spark, sf_dir):
+    """BM25 over the PERSISTED sparse inverted store
+    (operators/search.py:build_sparse_index(store_doc_stats=True)/
+    bm25_topk_index): the reference's SPARSE_INVERTED_INDEX DDL with
+    corpus statistics — postings carry tf AND the denormalized doc
+    length, df/N/avgdl sum off append-only segments, and the scan
+    prunes to the query tokens' hash buckets. Scoring is the same
+    decimal-exact BM25 as ``bm25_topk``, so this carries the SAME
+    full value-hash oracle; index==inline equality and the upsert
+    contract are asserted in tests/test_search.py."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    qt = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, token string"
+    )
+    path = tempfile.mkdtemp(prefix="sg_bm25_idx_")
+    build_sparse_index(
+        postings, path, num_buckets=16, store_doc_stats=True
+    )
+    return bm25_topk_index(spark, path, qt, k=10)
+
+
 def _q_dedup_spans(spark, sf_dir):
     """Within-corpus exact span dedup (paragraph-dedup under
     deterministic 10-word segmentation): first occurrence of each
@@ -6835,14 +6874,16 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("av_meta_decode", _q_av_meta_decode, _SQL_AV_META_DECODE),
     ("sq8_topk_refined", _q_sq8_topk_refined, None),
     ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, None),
+    ("bm25_topk_index", _q_bm25_topk_index, _SQL_BM25_TOPK),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
 # registry. Rotation policy (unchanged since r10, reapplied each round):
-# (a) queries with NO driver-green record lead — this round the two new
-# full oracles (sparse_topk_index: the persisted sparse inverted index;
-# av_meta_decode: real WAV/MP4 header-byte parsing round-tripped against
-# arithmetic); (b) the back-fill takes queries whose LATEST driver-green
+# (a) queries with NO driver-green record lead — this round the three
+# new full oracles (sparse_topk_index: the persisted sparse inverted
+# index; av_meta_decode: real WAV/MP4 header-byte parsing round-tripped
+# against arithmetic; bm25_topk_index: BM25 over the persisted store,
+# decimal-exact against the inline oracle); (b) the back-fill takes queries whose LATEST driver-green
 # record is OLDEST, computed from the committed CORRECTNESS_r*.json
 # files — after r13's rotation that is the r10-record cohort (the TPC-H
 # variants + the V-family vector functions, 12 oracle-bearing), then the
@@ -6859,6 +6900,7 @@ _R14_WINDOW: list[str] = [
     # (a) new-this-round oracles first
     "sparse_topk_index",
     "av_meta_decode",
+    "bm25_topk_index",
     # (b) oldest latest-driver-record first: the r10-record cohort...
     "v_normalize",
     "tpch_q14_promo_revenue",
@@ -6905,7 +6947,6 @@ _R14_WINDOW: list[str] = [
     "multimodal_meta",
     "v8_labeling",
     "k7_delete_where",
-    "p4_sparse_cast",
     # (c) rows-only at the window TAIL by policy (see above)
     "sq8_topk_refined",
     "ivfsq8_topk_refined",

@@ -2897,6 +2897,90 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — advisory, never lose the JSON line
             skip("ann_recall", repr(e))
 
+        # persisted sparse inverted index at scale (r13 VERDICT item
+        # 2): sparse_topk_inverted re-executes the postings + df
+        # derivation lineage (explode + two shuffles over the corpus)
+        # on EVERY query — the dominant cost at 100 TB; the persisted
+        # store pays it once at build and each search reads only the
+        # query tokens' bucket partitions. Both paths produce the
+        # same rows (equality asserted in tests; row counts compared
+        # here) over the same 250k-doc word postings.
+        try:
+            sparse_ok = time_left() > 90
+            if not sparse_ok:
+                raise TimeoutError("bench deadline (needs 90 s)")
+            progress("sparse index 250k docs: build-once vs inline postings")
+            from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                build_sparse_index,
+                sparse_topk_index,
+                sparse_topk_inverted,
+            )
+
+            words = F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+            postings = (
+                scratch_docs.select(
+                    "doc_id", F.explode(words).alias("__w")
+                )
+                .groupBy(
+                    "doc_id",
+                    F.pmod(F.xxhash64("__w"), F.lit(1 << 20))
+                    .cast("long")
+                    .alias("token"),
+                )
+                .agg(F.count("*").cast("double").alias("weight"))
+            )
+            qp = (
+                postings.filter(F.col("doc_id") <= 3)
+                .select(
+                    F.col("doc_id").alias("query_id"), "token", "weight"
+                )
+            )
+            sparse_idx_path = os.path.join(SCRATCH, "sparse250k_idx")
+            sp_meta = ensure_index(
+                sparse_idx_path,
+                {"kind": "sparse", "num_buckets": 64, "hash": "str",
+                 "fixture": "docs250k_words"},
+                lambda: build_sparse_index(
+                    postings, sparse_idx_path, num_buckets=64
+                ),
+            )
+            mk_idx = lambda: sparse_topk_index(  # noqa: E731
+                spark, sparse_idx_path, qp, k=10, max_doc_freq=10_000
+            )
+            mk_inline = lambda: sparse_topk_inverted(  # noqa: E731
+                postings, qp, k=10, max_doc_freq=10_000
+            )
+            n_idx = mk_idx().count()      # warmup + row count
+            n_inl = mk_inline().count()
+            t0 = time.time()
+            materialize(mk_idx())
+            idx_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            materialize(mk_inline())
+            inl_sec = round(time.time() - t0, 3)
+            throughput["sparse_index_250k"] = {
+                "build_sec": sp_meta["build_sec"],
+                "build_cached": sp_meta["cached"],
+                "indexed_search_sec": idx_sec,
+                "inline_search_sec": inl_sec,
+                "indexed_speedup_over_inline": round(
+                    inl_sec / max(idx_sec, 1e-9), 2
+                ),
+                "rows_match": n_idx == n_inl,
+                "calib_ms": calib_ms(),
+                "note": (
+                    "inline re-derives postings+df from the corpus "
+                    "per query (the 100 TB dominant cost); the store "
+                    "amortizes it across searches and prunes to the "
+                    "query tokens' hash-bucket partitions"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — advisory
+            skip("sparse_index_250k", repr(e))
+
         # floor-amortization curve runs BEFORE round6 ops in r10: the
         # r9 artifact shipped with this section EMPTY (the round's #1
         # verdict item), while round6 ops had fresh numbers — on a

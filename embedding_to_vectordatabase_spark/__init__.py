@@ -162,6 +162,7 @@ from .operators.multimodal import (  # noqa: E402,F401
     sample_video_frames,
 )
 from .operators.search import (  # noqa: E402,F401
+    bm25_topk_index,
     build_sparse_index,
     sparse_topk_index,
     upsert_sparse_index,

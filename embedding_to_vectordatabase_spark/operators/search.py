@@ -1326,6 +1326,7 @@ def build_sparse_index(
     index_path: str,
     num_buckets: int = 64,
     doc_id: str = "doc_id",
+    store_doc_stats: bool = False,
 ) -> tuple[int, int]:
     """Persisted sparse inverted index — the build-once store behind
     the reference's SPARSE_INVERTED_INDEX DDL
@@ -1348,38 +1349,83 @@ def build_sparse_index(
       segments for its (query-vocab-bounded) tokens — no
       read-modify-write cycle on a vocabulary-sized table, so upsert
       stays an append like the dense code stores;
-    - ``<index_path>/meta.parquet`` — (num_buckets), one row.
+    - ``<index_path>/meta.parquet`` — (num_buckets, doc_stats), one
+      row.
+
+    ``store_doc_stats=True`` additionally denormalizes the document
+    length onto every posting row (``dl`` = sum of the doc's weights,
+    one window over the build input — BM25's per-doc norm then rides
+    the pruned scan with NO corpus-sized join at query time) and
+    appends a (n_docs, total_dl) segment to
+    ``<index_path>/corpus_stats.parquet`` — the N/avgdl scalars as
+    mergeable per-batch partials, same append-only discipline as the
+    df segments. This is what ``bm25_topk_index`` searches.
 
     Returns (num_buckets, n_postings)."""
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
     spark = corpus_postings.sparkSession
-    # the hash input is ALWAYS cast to long: Spark's xxhash64 hashes
-    # int and bigint differently, and the bucket derivation must be
-    # stable across build/upsert/search regardless of the caller's
-    # token column width
+    # the hash input is ALWAYS cast to string: Spark's xxhash64
+    # hashes int/bigint/string differently, and the bucket derivation
+    # must be stable across build/upsert/search regardless of the
+    # caller's token column type — hashed tokens (ints) and raw terms
+    # (strings, the BM25 leg) both normalize to their string form
     bucket = F.pmod(
-        F.xxhash64(F.col("token").cast("long")), F.lit(num_buckets)
+        F.xxhash64(F.col("token").cast("string")), F.lit(num_buckets)
     ).cast("int")
     n = corpus_postings.count()
-    corpus_postings.select(
-        doc_id, "token", "weight", bucket.alias("token_bucket")
-    ).write.mode("overwrite").partitionBy("token_bucket").parquet(
-        f"{index_path}/postings.parquet"
-    )
-    corpus_postings.groupBy("token").agg(
-        F.count("*").alias("df")
-    ).select(
-        "token", "df", bucket.alias("token_bucket")
-    ).write.mode("overwrite").partitionBy("token_bucket").parquet(
-        f"{index_path}/df_stats.parquet"
+    _write_sparse_segment(
+        corpus_postings, index_path, bucket, doc_id, store_doc_stats,
+        mode="overwrite",
     )
     spark.createDataFrame(
-        [(int(num_buckets),)], "num_buckets int"
+        [(int(num_buckets), bool(store_doc_stats))],
+        "num_buckets int, doc_stats boolean",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_path}/meta.parquet"
     )
     return num_buckets, n
+
+
+def _write_sparse_segment(
+    postings: DataFrame,
+    index_path: str,
+    bucket,
+    doc_id: str,
+    store_doc_stats: bool,
+    mode: str,
+) -> None:
+    """One build/upsert segment: bucket-partitioned postings (with the
+    per-doc length denormalized on when doc stats are kept), a df
+    partial-count segment, and — when doc stats are kept — a one-row
+    (n_docs, total_dl) corpus_stats partial. All three are plain
+    appends on upsert."""
+    cols = [doc_id, "token", "weight", bucket.alias("token_bucket")]
+    out = postings
+    if store_doc_stats:
+        dl_w = Window.partitionBy(doc_id)
+        out = postings.withColumn(
+            "dl", F.sum(F.col("weight").cast("double")).over(dl_w)
+        )
+        cols = [
+            doc_id, "token", "weight", "dl",
+            bucket.alias("token_bucket"),
+        ]
+    out.select(*cols).write.mode(mode).partitionBy(
+        "token_bucket"
+    ).parquet(f"{index_path}/postings.parquet")
+    postings.groupBy("token").agg(F.count("*").alias("df")).select(
+        "token", "df", bucket.alias("token_bucket")
+    ).write.mode(mode).partitionBy("token_bucket").parquet(
+        f"{index_path}/df_stats.parquet"
+    )
+    if store_doc_stats:
+        postings.agg(
+            F.countDistinct(doc_id).alias("n_docs"),
+            F.sum(F.col("weight").cast("double")).alias("total_dl"),
+        ).coalesce(1).write.mode(mode).parquet(
+            f"{index_path}/corpus_stats.parquet"
+        )
 
 
 def upsert_sparse_index(
@@ -1394,26 +1440,18 @@ def upsert_sparse_index(
     rebuild equivalence is EXACT and asserted in tests). Returns the
     number of postings appended."""
     spark = new_postings.sparkSession
-    nb = int(
-        spark.read.parquet(f"{index_path}/meta.parquet").first()[
-            "num_buckets"
-        ]
+    meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    nb = int(meta["num_buckets"])
+    store_doc_stats = bool(
+        meta["doc_stats"] if "doc_stats" in meta.asDict() else False
     )
     bucket = F.pmod(
-        F.xxhash64(F.col("token").cast("long")), F.lit(nb)
+        F.xxhash64(F.col("token").cast("string")), F.lit(nb)
     ).cast("int")
     n = new_postings.count()
-    new_postings.select(
-        doc_id, "token", "weight", bucket.alias("token_bucket")
-    ).write.mode("append").partitionBy("token_bucket").parquet(
-        f"{index_path}/postings.parquet"
-    )
-    new_postings.groupBy("token").agg(
-        F.count("*").alias("df")
-    ).select(
-        "token", "df", bucket.alias("token_bucket")
-    ).write.mode("append").partitionBy("token_bucket").parquet(
-        f"{index_path}/df_stats.parquet"
+    _write_sparse_segment(
+        new_postings, index_path, bucket, doc_id, store_doc_stats,
+        mode="append",
     )
     return n
 
@@ -1461,12 +1499,19 @@ def sparse_topk_index(
     )
     # bucket ids computed by the SAME engine expression the build
     # used (no Python xxhash64 reimplementation to drift): one
-    # driver-side job over the tiny token list
+    # driver-side job over the tiny token list. The string cast makes
+    # int and string token columns hash identically to their build-
+    # time form (int 5 casts to "5" both here and at build).
+    tok_schema = (
+        "token string" if isinstance(toks[0], str) else "token bigint"
+    )
     bucket_rows = (
-        spark.createDataFrame([(int(t),) for t in toks], "token bigint")
+        spark.createDataFrame([(t,) for t in toks], tok_schema)
         .select(
             "token",
-            F.pmod(F.xxhash64(F.col("token").cast("long")), F.lit(nb))
+            F.pmod(
+                F.xxhash64(F.col("token").cast("string")), F.lit(nb)
+            )
             .cast("int")
             .alias("token_bucket"),
         )
@@ -1513,6 +1558,143 @@ def sparse_topk_index(
                 * F.col("__qw").cast("double")
             ).alias("score")
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(doc_id)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def bm25_topk_index(
+    spark,
+    index_path: str,
+    query_terms: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_doc_freq: int | None = None,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a ``build_sparse_index(store_doc_stats=True)`` store —
+    the persisted lexical leg (the reference's SPARSE_INVERTED_INDEX
+    with corpus statistics instead of learned weights): identical
+    scoring to ``bm25_topk`` (Lucene idf, per-term 6dp round +
+    DECIMAL(18,6) sum for engine-exact determinism) but every corpus
+    statistic comes off the store, not a per-query corpus pass.
+
+    Driver side (query-vocab-bounded): token buckets, df segment sums,
+    the (N, avgdl) scalars off the corpus_stats partials, and the
+    per-token idf — all tiny, idf lands as a column of the broadcast
+    query table. Cluster side: ONE bucket-pruned postings scan (tf
+    AND the denormalized dl ride each row, so there is NO corpus-
+    sized doclen join — the same property the inline ``bm25_topk``
+    engineers with a window), broadcast query join, map-side term
+    scores, one (query, doc) aggregation, per-query top-k.
+
+    ``max_doc_freq`` optionally df-prunes stop terms (same policy as
+    ``sparse_topk_index``). Output: (query_id, <doc_id>, score
+    double, rank int)."""
+    import math
+
+    meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    if not bool(
+        meta["doc_stats"] if "doc_stats" in meta.asDict() else False
+    ):
+        raise ValueError(
+            "bm25_topk_index needs a store built with "
+            "store_doc_stats=True (doc lengths + corpus stats)"
+        )
+    nb = int(meta["num_buckets"])
+    tok_rows = query_terms.select("token").distinct().collect()
+    toks = sorted({r["token"] for r in tok_rows})
+    empty = (
+        query_terms.select("query_id")
+        .limit(0)
+        .withColumn(doc_id, F.lit(None).cast("long"))
+        .withColumn("score", F.lit(None).cast("double"))
+        .withColumn("rank", F.lit(None).cast("int"))
+    )
+    if not toks:
+        return empty
+    tok_schema = (
+        "token string" if isinstance(toks[0], str) else "token bigint"
+    )
+    bucket_rows = (
+        spark.createDataFrame([(t,) for t in toks], tok_schema)
+        .select(
+            "token",
+            F.pmod(
+                F.xxhash64(F.col("token").cast("string")), F.lit(nb)
+            )
+            .cast("int")
+            .alias("token_bucket"),
+        )
+        .collect()
+    )
+    tok_bucket = {r["token"]: r["token_bucket"] for r in bucket_rows}
+    buckets = sorted({tok_bucket[t] for t in toks})
+    seg = (
+        spark.read.parquet(f"{index_path}/df_stats.parquet")
+        .filter(
+            F.col("token_bucket").isin(buckets)
+            & F.col("token").isin(toks)
+        )
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    df_tot = {r["token"]: int(r["df"]) for r in seg}
+    if max_doc_freq is not None:
+        toks = [t for t in toks if df_tot.get(t, 0) <= max_doc_freq]
+    toks = [t for t in toks if df_tot.get(t, 0) > 0]
+    if not toks:
+        return empty
+    buckets = sorted({tok_bucket[t] for t in toks})
+    stats = (
+        spark.read.parquet(f"{index_path}/corpus_stats.parquet")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tdl"))
+        .first()
+    )
+    n_docs = int(stats["n"])
+    avgdl = float(stats["tdl"]) / max(n_docs, 1)
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - df_tot[t] + 0.5) / (df_tot[t] + 0.5)
+        )
+        for t in toks
+    }
+    qt = F.broadcast(
+        query_terms.filter(F.col("token").isin(toks))
+        .select("query_id", "token")
+        .distinct()
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t, float(idf[t])) for t in toks],
+                    f"{tok_schema}, __idf double",
+                )
+            ),
+            "token",
+        )
+    )
+    cp = spark.read.parquet(f"{index_path}/postings.parquet").filter(
+        F.col("token_bucket").isin(buckets) & F.col("token").isin(toks)
+    )
+    tf = F.col("weight").cast("double")
+    norm = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    term_score = F.round(
+        F.col("__idf") * tf * F.lit(float(k1) + 1.0) / norm, 6
+    ).cast("decimal(18,6)")
+    scored = (
+        cp.join(qt, "token")
+        .select("query_id", doc_id, term_score.alias("__ts"))
+        .groupBy("query_id", doc_id)
+        .agg(F.sum("__ts").cast("double").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(doc_id)

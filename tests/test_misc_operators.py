@@ -183,21 +183,30 @@ def test_harness_contract():
         "cms_user_counts",
         "pq_topk_refined",
         "ivfadc_topk_refined",
+        "sq8_topk_refined",
+        "ivfsq8_topk_refined",
         "semdedup_survivors",
     }
-    # the gate samples the first-50 registry prefix; r13's rotation
-    # (__spark_entry__._R13_WINDOW) declares it explicitly — the
+    # the gate samples the first-50 registry prefix; r14's rotation
+    # (__spark_entry__._R14_WINDOW) declares it explicitly — the
     # window must be exactly the declared names, in order, and the
     # tail past the window keeps oracle-bearing entries before
     # rows-only ones (so any window growth picks up hash-checkable
     # queries first)
     names = list(qs)
-    assert names[: len(e._R13_WINDOW)] == e._R13_WINDOW
-    assert len(e._R13_WINDOW) == 50
-    tail = names[len(e._R13_WINDOW):]
+    assert names[: len(e._R14_WINDOW)] == e._R14_WINDOW
+    assert len(e._R14_WINDOW) == 50
+    tail = names[len(e._R14_WINDOW):]
     tail_rows_only = [n for n in tail if n not in sqls]
     if tail_rows_only:
         assert tail[-len(tail_rows_only):] == tail_rows_only
+    # exactly three rows-only seats in the r14 window tail (the two
+    # brand-new quantizer searches + the ivfadc re-seat)
+    win_rows_only = [n for n in e._R14_WINDOW if n not in sqls]
+    assert win_rows_only == [
+        "sq8_topk_refined", "ivfsq8_topk_refined", "ivfadc_topk_refined"
+    ]
+    assert e._R14_WINDOW[-3:] == win_rows_only
 
 
 def test_clean_corpus_filters_and_dedups(spark):

@@ -1577,3 +1577,94 @@ def test_ivfsq8_partition_pruning_recall_and_upsert(emb, queries, tmp_path):
         ).collect())
     )
     assert a == b
+
+
+def _word_postings(docs, doc_id="doc_id"):
+    """Lowercase-whitespace (doc, token, tf) postings — the exact
+    tokenization bm25_topk/its oracle use."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    return (
+        docs.select(doc_id, F.explode(words).alias("token"))
+        .groupBy(doc_id, "token")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def test_bm25_index_matches_inline(spark, sf_dir, tmp_path):
+    """bm25_topk_index over a store_doc_stats=True store must return
+    EXACTLY bm25_topk's rows on the same corpus (scoring is decimal-
+    exact, so this is value equality); a store without doc stats
+    raises."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_index,
+        build_sparse_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "stream"), ("q1", "batch"),
+         ("q2", "join"), ("q2", "hash"), ("q2", "sort")],
+        "query_id string, token string",
+    )
+    path = str(tmp_path / "bm25_idx")
+    build_sparse_index(
+        _word_postings(docs), path, num_buckets=16, store_doc_stats=True
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in bm25_topk_index(spark, path, qt, k=10).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in bm25_topk(docs, qt, k=10).collect()
+    )
+    assert got == want and got
+    # a plain store (no doc stats) must refuse, not mis-score
+    plain = str(tmp_path / "bm25_plain")
+    build_sparse_index(_word_postings(docs), plain, num_buckets=16)
+    with pytest.raises(ValueError, match="store_doc_stats"):
+        bm25_topk_index(spark, plain, qt, k=10)
+
+
+def test_bm25_index_upsert_equals_full_build(spark, sf_dir, tmp_path):
+    """Document-granularity upsert: appending half the corpus must
+    equal a full rebuild — dl rides each batch's own window, df and
+    (N, total_dl) sum across segments."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+        upsert_sparse_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "stream"), ("q2", "join")],
+        "query_id string, token string",
+    )
+    inc = str(tmp_path / "bm25_inc")
+    build_sparse_index(
+        _word_postings(docs.filter(F.col("doc_id") % 2 == 0)),
+        inc, num_buckets=16, store_doc_stats=True,
+    )
+    upsert_sparse_index(
+        inc, _word_postings(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    full = str(tmp_path / "bm25_full")
+    build_sparse_index(
+        _word_postings(docs), full, num_buckets=16, store_doc_stats=True
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+    got = key(bm25_topk_index(spark, inc, qt, k=10).collect())
+    want = key(bm25_topk_index(spark, full, qt, k=10).collect())
+    assert got == want and got

@@ -244,6 +244,20 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "ivfsq8_topk_refined": [
+        # same pruning contract as IVFADC: probed lists must reach
+        # the partitioned code store as planning-time PartitionFilters
+        ("probed lists prune code-store partitions",
+         lambda s: "PartitionFilters" in s
+         and "list_id" in s.split("PartitionFilters", 1)[1][:200]),
+        ("SQ8 scan is the only Arrow map",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 1),
+        ("candidate + query refine joins broadcast",
+         lambda s: s.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     "sparse_topk_index": [
         # the search plan reads the PERSISTED postings store (the
         # registry query builds it first): the scan must prune to the
