@@ -258,6 +258,22 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "bm25_topk_index": [
+        # the persisted-BM25 search: bucket-pruned postings scan with
+        # tf AND the denormalized dl riding each row — so the scoring
+        # job is ONE parquet scan with NO corpus-sized doclen join
+        # (the inline bm25_topk engineers the same property with a
+        # window; the store bakes it into the layout)
+        ("query-token buckets prune postings partitions",
+         lambda s: "PartitionFilters" in s
+         and "token_bucket" in s.split("PartitionFilters", 1)[1][:200]),
+        ("single postings scan, no doclen join",
+         lambda s: n_scans(s) == 1),
+        ("query terms broadcast, never shuffled",
+         lambda s: "BroadcastHashJoin" in s
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     "sparse_topk_index": [
         # the search plan reads the PERSISTED postings store (the
         # registry query builds it first): the scan must prune to the
