@@ -1437,8 +1437,12 @@ def upsert_sparse_index(
     postings into their bucket partitions and its per-token document
     counts as a new df segment — both pure appends (the dense-index
     upsert contract; no retrain analog exists here, so index-vs-
-    rebuild equivalence is EXACT and asserted in tests). Returns the
-    number of postings appended."""
+    rebuild equivalence is EXACT and asserted in tests). Batches are
+    DOCUMENT-granularity: on a doc-stats store the per-doc length and
+    the (n_docs, total_dl) partial are computed within the batch, so
+    a document split across two upserts would double-count — ship
+    each document's postings in one batch (the natural ingest shape).
+    Returns the number of postings appended."""
     spark = new_postings.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
     nb = int(meta["num_buckets"])
