@@ -2550,6 +2550,31 @@ def main() -> None:
                 adc_sec = round(time.time() - t0, 3)
                 ann_calib["ivfadc"] = calib_ms()
 
+                # Q=32 batch point (r13 VERDICT item 6 done-line): the
+                # grouped batch kernel (ba34d7e) replaced nq × nprobe
+                # boolean scans per Arrow batch with one argsort-group
+                # per batch — this wall is the measured evidence at a
+                # batch size where the old kernel's 256 scans/batch
+                # would dominate. Deterministic 32-query set drawn
+                # from the corpus by id stride.
+                q32 = (
+                    pq_corpus.filter(F.col("vec_id") % 3280 == 0)
+                    .orderBy("vec_id")
+                    .limit(32)
+                    .select(
+                        F.col("vec_id").alias("query_id"), "embedding"
+                    )
+                )
+                n_q32 = q32.count()
+                t0 = time.time()
+                materialize(
+                    ann_topk_ivfadc(
+                        spark, ivfadc_path, q32, k=RK, metric="IP",
+                        nprobe=8,
+                    )
+                )
+                adc_q32_sec = round(time.time() - t0, 3)
+
                 # OPQ through the PERSISTED lifecycle (build_opq_index
                 # stores rotation + codebooks + codes; byte-identical
                 # search results to the inline train/encode path —
@@ -2679,6 +2704,15 @@ def main() -> None:
                     "n_vecs": "52500 (hard fixture, vec_id%2==0)",
                     "nlist": nlist_eff,
                     "nprobe": 8,
+                    "q32_batch": {
+                        "n_queries": n_q32,
+                        "wall_sec": adc_q32_sec,
+                        "per_query_vs_q6": round(
+                            (adc_q32_sec / max(n_q32, 1))
+                            / max(adc_sec / 6.0, 1e-9),
+                            3,
+                        ),
+                    },
                     "recon_err_per_vec": {
                         "flat_pq": round(err_flat, 1),
                         "ivfadc_residual": round(err_ivfadc, 1),
@@ -2718,6 +2752,10 @@ def main() -> None:
                         "flat_scan": flat_sec,
                         "ivfadc_build": build_sec,
                         "ivfadc_search": adc_sec,
+                        # grouped-kernel batch point (32 queries, one
+                        # scan): per-query cost must amortize well
+                        # below 32x the 6-query wall
+                        "ivfadc_search_q32": adc_q32_sec,
                         # r14: OPQ moved to the persisted lifecycle —
                         # opq_build = train + rotate + encode + write
                         # (the old opq_train/opq_encode_scan keys

@@ -1373,11 +1373,14 @@ def build_sparse_index(
     bucket = F.pmod(
         F.xxhash64(F.col("token").cast("string")), F.lit(num_buckets)
     ).cast("int")
-    n = corpus_postings.count()
     _write_sparse_segment(
         corpus_postings, index_path, bucket, doc_id, store_doc_stats,
         mode="overwrite",
     )
+    # row count off the just-written parquet FOOTERS — a .count() on
+    # the input would re-execute the whole postings lineage (often a
+    # corpus-wide explode) purely for this return value
+    n = spark.read.parquet(f"{index_path}/postings.parquet").count()
     spark.createDataFrame(
         [(int(num_buckets), bool(store_doc_stats))],
         "num_buckets int, doc_stats boolean",
@@ -1452,12 +1455,19 @@ def upsert_sparse_index(
     bucket = F.pmod(
         F.xxhash64(F.col("token").cast("string")), F.lit(nb)
     ).cast("int")
-    n = new_postings.count()
+    # appended-row count from parquet FOOTERS (metadata-only reads)
+    # rather than a .count() that re-executes the batch lineage
+    n_before = spark.read.parquet(
+        f"{index_path}/postings.parquet"
+    ).count()
     _write_sparse_segment(
         new_postings, index_path, bucket, doc_id, store_doc_stats,
         mode="append",
     )
-    return n
+    n_after = spark.read.parquet(
+        f"{index_path}/postings.parquet"
+    ).count()
+    return n_after - n_before
 
 
 def sparse_topk_index(
@@ -1488,14 +1498,22 @@ def sparse_topk_index(
         query_postings.select("token").distinct().collect()
     )
     toks = sorted({r["token"] for r in tok_rows})
-    if not toks:
+    store = spark.read.parquet(f"{index_path}/postings.parquet")
+
+    def _empty():
+        # schema-faithful empty result (doc_id keeps the STORE's type)
         return (
             query_postings.select("query_id")
             .limit(0)
-            .withColumn(doc_id, F.lit(None).cast("long"))
+            .withColumn(
+                doc_id, F.lit(None).cast(store.schema[doc_id].dataType)
+            )
             .withColumn("score", F.lit(None).cast("double"))
             .withColumn("rank", F.lit(None).cast("int"))
         )
+
+    if not toks:
+        return _empty()
     nb = int(
         spark.read.parquet(f"{index_path}/meta.parquet").first()[
             "num_buckets"
@@ -1537,15 +1555,9 @@ def sparse_topk_index(
         df_tot = {r["token"]: r["df"] for r in seg}
         toks = [t for t in toks if df_tot.get(t, 0) <= max_doc_freq]
         if not toks:
-            return (
-                query_postings.select("query_id")
-                .limit(0)
-                .withColumn(doc_id, F.lit(None).cast("long"))
-                .withColumn("score", F.lit(None).cast("double"))
-                .withColumn("rank", F.lit(None).cast("int"))
-            )
+            return _empty()
     buckets = sorted({tok_bucket[t] for t in toks})
-    cp = spark.read.parquet(f"{index_path}/postings.parquet").filter(
+    cp = store.filter(
         F.col("token_bucket").isin(buckets) & F.col("token").isin(toks)
     )
     q = F.broadcast(
@@ -1613,10 +1625,13 @@ def bm25_topk_index(
     nb = int(meta["num_buckets"])
     tok_rows = query_terms.select("token").distinct().collect()
     toks = sorted({r["token"] for r in tok_rows})
+    store = spark.read.parquet(f"{index_path}/postings.parquet")
     empty = (
         query_terms.select("query_id")
         .limit(0)
-        .withColumn(doc_id, F.lit(None).cast("long"))
+        .withColumn(
+            doc_id, F.lit(None).cast(store.schema[doc_id].dataType)
+        )
         .withColumn("score", F.lit(None).cast("double"))
         .withColumn("rank", F.lit(None).cast("int"))
     )
@@ -1683,7 +1698,7 @@ def bm25_topk_index(
             "token",
         )
     )
-    cp = spark.read.parquet(f"{index_path}/postings.parquet").filter(
+    cp = store.filter(
         F.col("token_bucket").isin(buckets) & F.col("token").isin(toks)
     )
     tf = F.col("weight").cast("double")

@@ -1257,3 +1257,44 @@ def test_sample_video_frames_real_timestamps(spark):
         1: [0, 1000, 2000, 3000],
         2: [0, 1000, 2000],
     }
+
+
+def test_parse_av_header_property_roundtrip():
+    """Property: for ANY (sample_rate, channels, n_samples) WAV and
+    ANY (timescale, duration, version) MP4, synthesis -> parse
+    round-trips to the spec arithmetic — the byte-walkers contain no
+    magic constants tuned to the golden cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_av_header,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        sr=st.integers(min_value=1, max_value=384_000),
+        ch=st.integers(min_value=1, max_value=8),
+        n=st.integers(min_value=0, max_value=50_000),
+        junk=st.booleans(),
+    )
+    def wav_case(sr, ch, n, junk):
+        got = parse_av_header(_golden_wav(sr, ch, n, pad_junk_chunk=junk))
+        block = ch * 2
+        assert got == ("wav", n * block * 1000 // (sr * block), sr, ch)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        ts=st.integers(min_value=1, max_value=2**32 - 1),
+        dur=st.integers(min_value=0, max_value=2**32 - 1),
+        ver=st.sampled_from([0, 1]),
+        mdat=st.booleans(),
+    )
+    def mp4_case(ts, dur, ver, mdat):
+        got = parse_av_header(
+            _golden_mp4(ts, dur, version=ver, trailing_mdat=mdat)
+        )
+        assert got == ("mp4", dur * 1000 // ts, None, None)
+
+    wav_case()
+    mp4_case()
