@@ -4525,6 +4525,40 @@ def _q_bm25_topk_index(spark, sf_dir):
     return bm25_topk_index(spark, path, qt, k=10)
 
 
+def _q_minhash_probe_index(spark, sf_dir):
+    """Incremental near-dup detection against a PERSISTED MinHash LSH
+    store (operators/dedup.py:build_minhash_index/minhash_probe_index
+    — the batch twin of st_minhash_dedup's state store): the even-id
+    half of the dup corpus is indexed once, the odd half probes it,
+    and the matches must be EXACTLY the cross-parity subset of
+    minhash_lsh_pairs over the union at the same knobs — which is
+    precisely what the oracle computes (the minhash_lsh_pairs SQL
+    with an (doc_a + doc_b) parity restriction), so this carries a
+    FULL value-hash oracle."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+    import tempfile
+
+    dup = _dup_union(spark, sf_dir)
+    old = dup.filter(F.col("doc_id") % 2 == 0)
+    new = dup.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="sg_mh_idx_")
+    build_minhash_index(
+        old, path, n=3, num_perm=16, bands=4, hash_fn="md5"
+    )
+    return minhash_probe_index(spark, path, new, threshold=0.5)
+
+
+# the minhash_lsh_pairs oracle restricted to cross-parity pairs: one
+# endpoint from the indexed (even) half, one from the probe (odd) half
+_SQL_MINHASH_PROBE = f"""
+SELECT doc_a, doc_b, est_jaccard FROM ({_SQL_MINHASH})
+WHERE (doc_a + doc_b) % 2 = 1
+"""
+
+
 def _q_dedup_spans(spark, sf_dir):
     """Within-corpus exact span dedup (paragraph-dedup under
     deterministic 10-word segmentation): first occurrence of each
@@ -6875,6 +6909,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("sq8_topk_refined", _q_sq8_topk_refined, None),
     ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, None),
     ("bm25_topk_index", _q_bm25_topk_index, _SQL_BM25_TOPK),
+    ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
@@ -6883,7 +6918,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # new full oracles (sparse_topk_index: the persisted sparse inverted
 # index; av_meta_decode: real WAV/MP4 header-byte parsing round-tripped
 # against arithmetic; bm25_topk_index: BM25 over the persisted store,
-# decimal-exact against the inline oracle); (b) the back-fill takes queries whose LATEST driver-green
+# decimal-exact against the inline oracle; minhash_probe_index:
+# incremental near-dup probe of a persisted LSH store, oracled as the
+# cross-parity restriction of the minhash_lsh_pairs SQL); (b) the back-fill takes queries whose LATEST driver-green
 # record is OLDEST, computed from the committed CORRECTNESS_r*.json
 # files — after r13's rotation that is the r10-record cohort (the TPC-H
 # variants + the V-family vector functions, 12 oracle-bearing), then the
@@ -6901,6 +6938,7 @@ _R14_WINDOW: list[str] = [
     "sparse_topk_index",
     "av_meta_decode",
     "bm25_topk_index",
+    "minhash_probe_index",
     # (b) oldest latest-driver-record first: the r10-record cohort...
     "v_normalize",
     "tpch_q14_promo_revenue",
@@ -6946,7 +6984,6 @@ _R14_WINDOW: list[str] = [
     "split_sentences",
     "multimodal_meta",
     "v8_labeling",
-    "k7_delete_where",
     # (c) rows-only at the window TAIL by policy (see above)
     "sq8_topk_refined",
     "ivfsq8_topk_refined",

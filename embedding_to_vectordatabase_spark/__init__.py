@@ -110,6 +110,12 @@ from .operators.embedding import (  # noqa: E402,F401
     group_centroids,
 )
 from .operators.dedup import dup_source_matrix  # noqa: E402,F401
+from .operators.dedup import (  # noqa: E402,F401
+    build_minhash_index,
+    dedup_against_index,
+    minhash_probe_index,
+    upsert_minhash_index,
+)
 from .operators.dedup import containment_pairs  # noqa: E402,F401
 from .streaming.ingest_stream import (  # noqa: E402,F401
     conversion_time_stats,

@@ -1662,3 +1662,200 @@ def semdedup(
     return staged.repartition(n_parts, F.col("cluster")).mapInArrow(
         _per_partition, staged.schema
     )
+
+
+def _minhash_est_expr(a_sig, b_sig, num_perm: int):
+    """Estimated Jaccard = fraction of matching signature positions —
+    the same expression ``minhash_lsh_pairs`` scores pairs with."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                a_sig, b_sig, lambda u, v: F.when(u == v, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm)
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> int:
+    """Persisted MinHash LSH index — the batch-incremental twin of the
+    streaming ``st_minhash_dedup`` state store, and what a corpus
+    refresh actually runs at 100 TB: signatures + band buckets are
+    computed ONCE over the standing corpus and new batches probe the
+    store instead of re-signing the whole union
+    (``minhash_lsh_pairs(old ∪ new)`` re-pays the full signature
+    pipeline — the dominant cost — on every refresh):
+
+    - ``<index_path>/signatures.parquet`` — (doc_id, sig), the
+      num_perm-wide minhash signature (verification payload);
+    - ``<index_path>/bands.parquet``      — (band, bucket, doc_id),
+      the LSH candidate-lookup relation;
+    - ``<index_path>/meta.parquet``       — the shingle/permutation
+      knobs, pinned so probe-time recompute is signature-identical.
+
+    Both relations are map-only derivations of the corpus (row-local
+    signatures, zero shuffles) and both upsert as pure appends.
+    Returns the number of documents indexed."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    spark = docs.sparkSession
+    minhash_signatures(
+        docs, text_col, id_col, n, num_perm, hash_fn
+    ).write.mode("overwrite").parquet(f"{index_path}/signatures.parquet")
+    minhash_bands_maponly(
+        docs, text_col, id_col, n, num_perm, bands, hash_fn
+    ).select("band", "bucket", "doc_id").write.mode("overwrite").parquet(
+        f"{index_path}/bands.parquet"
+    )
+    spark.createDataFrame(
+        [(int(n), int(num_perm), int(bands), hash_fn)],
+        "n int, num_perm int, bands int, hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/meta.parquet"
+    )
+    return spark.read.parquet(f"{index_path}/signatures.parquet").count()
+
+
+def upsert_minhash_index(
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Append a new batch's signatures and band rows under the
+    STORED knobs — no recompute of the standing corpus (the shared
+    upsert contract; typically called after ``dedup_against_index``
+    filtered the batch to survivors). Returns documents appended."""
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    n_before = spark.read.parquet(
+        f"{index_path}/signatures.parquet"
+    ).count()
+    minhash_signatures(
+        new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
+    ).write.mode("append").parquet(f"{index_path}/signatures.parquet")
+    minhash_bands_maponly(
+        new_docs, text_col, id_col, m["n"], m["num_perm"], m["bands"],
+        m["hash_fn"],
+    ).select("band", "bucket", "doc_id").write.mode("append").parquet(
+        f"{index_path}/bands.parquet"
+    )
+    n_after = spark.read.parquet(
+        f"{index_path}/signatures.parquet"
+    ).count()
+    return n_after - n_before
+
+
+def _probe_minhash_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(old_id, new_id, est) matches of a probe batch against the
+    store. Scale shape: the batch's band rows and signatures are both
+    row-local computes over the (contract-bounded) batch and BROADCAST
+    — the bands store scans ONCE map-side with no shuffle of the
+    store, candidate (old, new) ids dedup on three narrow columns
+    BEFORE any signature is touched, and the signatures store scans
+    once semi-joined by the broadcast candidates. Nothing corpus-sized
+    ever shuffles."""
+    m = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    pb = minhash_bands_maponly(
+        new_docs, text_col, id_col, m["n"], m["num_perm"], m["bands"],
+        m["hash_fn"],
+    ).select("band", "bucket", F.col("doc_id").alias("__new_id"))
+    cand = (
+        spark.read.parquet(f"{index_path}/bands.parquet")
+        .join(F.broadcast(pb), ["band", "bucket"])
+        .select(F.col("doc_id").alias("__old_id"), "__new_id")
+        .dropDuplicates()
+    )
+    old_sigs = (
+        spark.read.parquet(f"{index_path}/signatures.parquet")
+        .join(
+            F.broadcast(cand),
+            F.col("doc_id") == F.col("__old_id"),
+        )
+        .select("__old_id", "__new_id", F.col("sig").alias("__old_sig"))
+    )
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
+    ).select(F.col("doc_id").alias("__new_id"), F.col("sig").alias("__new_sig"))
+    return (
+        old_sigs.join(F.broadcast(new_sigs), "__new_id")
+        .select(
+            "__old_id",
+            "__new_id",
+            F.round(
+                _minhash_est_expr(
+                    F.col("__old_sig"), F.col("__new_sig"),
+                    int(m["num_perm"]),
+                ),
+                6,
+            ).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+    )
+
+
+def minhash_probe_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup matches of a new batch against a
+    ``build_minhash_index`` store, in ``minhash_lsh_pairs`` output
+    shape: (doc_a, doc_b, est_jaccard) with doc_a < doc_b — EXACTLY
+    the cross-(store, batch) subset of
+    ``minhash_lsh_pairs(old ∪ new)`` at the stored knobs (same
+    shingles, same permutation seeds, same band buckets, same
+    estimate; asserted in tests), without re-signing the standing
+    corpus."""
+    out = _probe_minhash_index(
+        spark, index_path, new_docs, threshold, text_col, id_col
+    )
+    return (
+        out.select(
+            F.least("__old_id", "__new_id").alias("doc_a"),
+            F.greatest("__old_id", "__new_id").alias("doc_b"),
+            F.col("est").alias("est_jaccard"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def dedup_against_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The incremental ingest-dedup operator: new documents with NO
+    near-duplicate in the standing corpus (one probe + an anti-join).
+    Follow with ``upsert_minhash_index`` on the survivors to keep the
+    store current — the P6/J2 ingest anti-join generalized from exact
+    ids to MinHash near-duplication."""
+    matches = _probe_minhash_index(
+        spark, index_path, new_docs, threshold, text_col, id_col
+    ).select(F.col("__new_id").alias(id_col)).dropDuplicates()
+    return new_docs.join(matches, id_col, "left_anti")

@@ -747,3 +747,106 @@ def test_null_text_joins_empty_string_class_both_hash_modes(spark):
             ).collect()
         }
         assert sh[1] == sh[2], f"simhash {fn}: NULL != empty"
+
+
+def test_minhash_index_probe_equals_union_cross_pairs(spark, tmp_path):
+    """minhash_probe_index over a store built on the OLD half must
+    equal exactly the cross-(old, new) subset of
+    minhash_lsh_pairs(old ∪ new) at the same knobs (uncapped) — same
+    shingles, same permutation seeds, same band buckets, same
+    estimate values. Both hash families."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "dreams of fish and chips in the warm afternoon sun near the "
+        "river bank"
+    )
+    rows = [(i, base) for i in (2, 4, 6)] + [
+        (3, base.replace("dreams", "thinks")),
+        (5, base.replace("fox", "wolf").replace("dog", "bird")),
+        (7, "utterly unrelated text about shuffle partitions and "
+            "catalyst optimizer rules in a distributed sql engine"),
+        (9, base + " and extra trailing words appended here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    for hash_fn in ("xxhash64", "md5"):
+        path = str(tmp_path / f"mh_{hash_fn}")
+        n_idx = build_minhash_index(
+            old, path, n=3, num_perm=16, bands=4, hash_fn=hash_fn
+        )
+        assert n_idx == old.count()
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in minhash_probe_index(
+                spark, path, new, threshold=0.3
+            ).collect()
+        )
+        union_pairs = minhash_lsh_pairs(
+            docs, n=3, num_perm=16, bands=4, threshold=0.3,
+            hash_fn=hash_fn, max_bucket_size=None,
+        ).collect()
+        want = sorted(
+            (r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in union_pairs
+            if (r["doc_a"] % 2 == 0) != (r["doc_b"] % 2 == 0)
+        )
+        assert got == want and got, hash_fn
+
+
+def test_minhash_index_dedup_and_upsert(spark, tmp_path):
+    """dedup_against_index drops exactly the new docs with a match;
+    upserting the survivors makes them visible to the NEXT probe
+    (the incremental ingest loop), and upsert == rebuild over the
+    union for probe purposes."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_probe_index,
+        upsert_minhash_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "dreams of fish and chips in the warm afternoon sun near the "
+        "river bank"
+    )
+    old = spark.createDataFrame(
+        [(1, base), (2, "all about broadcast joins and bloom filters "
+                        "inside a columnar execution engine today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base),                       # dup of 1 -> dropped
+         (11, base.replace("dreams", "thinks")),  # near dup -> dropped
+         (12, "fresh unique content mentioning watermarks and state "
+              "stores in structured streaming applications")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_inc")
+    build_minhash_index(old, path, n=3, num_perm=16, bands=4)
+    survivors = dedup_against_index(spark, path, new, threshold=0.5)
+    assert {r["doc_id"] for r in survivors.collect()} == {12}
+    n = upsert_minhash_index(path, survivors)
+    assert n == 1
+    # the upserted survivor is now in the store: probing its own text
+    # again matches it
+    again = spark.createDataFrame(
+        [(20, "fresh unique content mentioning watermarks and state "
+              "stores in structured streaming applications")],
+        "doc_id long, text string",
+    )
+    hits = minhash_probe_index(spark, path, again, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in hits} == {(12, 20)}
+    # and a doc matching ONLY the pre-upsert store still matches too
+    hit1 = minhash_probe_index(
+        spark, path,
+        spark.createDataFrame([(21, base)], "doc_id long, text string"),
+        threshold=0.5,
+    ).collect()
+    assert (1, 21) in {(r["doc_a"], r["doc_b"]) for r in hit1}
