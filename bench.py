@@ -3030,6 +3030,78 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — advisory
             skip("sparse_index_250k", repr(e))
 
+        # incremental near-dup dedup against a persisted MinHash store
+        # (r14): the corpus-refresh shape — a bounded new batch probes
+        # the standing 250k-doc index instead of re-signing the union.
+        # The honest comparison is against this run's own
+        # minhash_lsh_250k_docs wall (the union re-pass the probe
+        # replaces); the store build is the one-time cost, cached.
+        try:
+            mh_ok = time_left() > 75
+            if not mh_ok:
+                raise TimeoutError("bench deadline (needs 75 s)")
+            progress("minhash index 250k docs: probe batch vs union repass")
+            from embedding_to_vectordatabase_spark.operators.dedup import (  # noqa: E501
+                build_minhash_index,
+                minhash_probe_index,
+            )
+
+            mh_idx_path = os.path.join(SCRATCH, "minhash250k_idx")
+            mh_meta = ensure_index(
+                mh_idx_path,
+                {"kind": "minhash", "n": 3, "num_perm": 64,
+                 "bands": 16, "hash_fn": "xxhash64",
+                 "fixture": "docs250k"},
+                lambda: build_minhash_index(
+                    scratch_docs, mh_idx_path,
+                    n=3, num_perm=64, bands=16, hash_fn="xxhash64",
+                ),
+            )
+            # deterministic 1000-doc batch: existing docs re-texted
+            # with a suffix (near dups of their originals) — every
+            # probe row should match, exercising the verify stage
+            batch = (
+                scratch_docs.filter(F.col("doc_id") % 250 == 0)
+                .limit(1000)
+                .select(
+                    (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" suffix")).alias(
+                        "text"
+                    ),
+                )
+            )
+            n_batch = batch.count()
+            mk_probe = lambda: minhash_probe_index(  # noqa: E731
+                spark, mh_idx_path, batch, threshold=0.5
+            )
+            n_matches = mk_probe().count()  # warmup
+            t0 = time.time()
+            materialize(mk_probe())
+            probe_sec = round(time.time() - t0, 3)
+            union_wall = timings.get("minhash_lsh_250k_docs")
+            throughput["minhash_index_250k"] = {
+                "build_sec": mh_meta["build_sec"],
+                "build_cached": mh_meta["cached"],
+                "probe_batch_docs": n_batch,
+                "probe_matches": n_matches,
+                "probe_sec": probe_sec,
+                "union_repass_sec_same_run": union_wall,
+                "probe_speedup_over_union_repass": (
+                    round(union_wall / max(probe_sec, 1e-9), 2)
+                    if union_wall
+                    else None
+                ),
+                "calib_ms": calib_ms(),
+                "note": (
+                    "probe broadcasts the bounded batch and scans the "
+                    "band store once map-side - per-refresh cost is "
+                    "O(batch) instead of the union re-sign "
+                    "(minhash_lsh_250k_docs) every cycle"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — advisory
+            skip("minhash_index_250k", repr(e))
+
         # floor-amortization curve runs BEFORE round6 ops in r10: the
         # r9 artifact shipped with this section EMPTY (the round's #1
         # verdict item), while round6 ops had fresh numbers — on a

@@ -244,6 +244,16 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "minhash_probe_index": [
+        # incremental probe: the batch's band rows and signatures
+        # broadcast into the store scans — nothing store-sized may
+        # shuffle (a SortMergeJoin here would re-shuffle the standing
+        # corpus on every refresh)
+        ("batch broadcasts into the store, never shuffles it",
+         lambda s: s.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
     "ivfsq8_topk_refined": [
         # same pruning contract as IVFADC: probed lists must reach
         # the partitioned code store as planning-time PartitionFilters
