@@ -1679,6 +1679,43 @@ def _minhash_est_expr(a_sig, b_sig, num_perm: int):
     )
 
 
+def minhash_bands_from_signatures(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, band, bucket) band rows derived from an existing
+    (doc_id, sig) relation — the same band hash as
+    ``minhash_lsh_pairs``'s banding and ``minhash_bands_maponly``
+    (sig-slice md5/xxhash64), but computed off a signature column
+    instead of re-running the shingle + permutation pipeline."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+
+    def _bucket(b: int) -> Column:
+        elems = [F.element_at("sig", b * r + j + 1) for j in range(r)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *elems))
+        return F.xxhash64(*elems)
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _bucket(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def build_minhash_index(
     docs: DataFrame,
     index_path: str,
@@ -1710,14 +1747,24 @@ def build_minhash_index(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     spark = docs.sparkSession
-    minhash_signatures(
+    # the expensive shingle + permutation pipeline runs ONCE: the
+    # persisted signature relation is the source for BOTH stores
+    # (bands are a cheap sig-slice hash; review finding r14 — the old
+    # spelling re-ran the whole pipeline for minhash_bands_maponly)
+    sigs = minhash_signatures(
         docs, text_col, id_col, n, num_perm, hash_fn
-    ).write.mode("overwrite").parquet(f"{index_path}/signatures.parquet")
-    minhash_bands_maponly(
-        docs, text_col, id_col, n, num_perm, bands, hash_fn
-    ).select("band", "bucket", "doc_id").write.mode("overwrite").parquet(
-        f"{index_path}/bands.parquet"
-    )
+    ).persist()
+    try:
+        sigs.write.mode("overwrite").parquet(
+            f"{index_path}/signatures.parquet"
+        )
+        minhash_bands_from_signatures(
+            sigs, num_perm, bands, hash_fn
+        ).select("band", "bucket", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/bands.parquet")
+    finally:
+        sigs.unpersist()
     spark.createDataFrame(
         [(int(n), int(num_perm), int(bands), hash_fn)],
         "n int, num_perm int, bands int, hash_fn string",
@@ -1742,15 +1789,20 @@ def upsert_minhash_index(
     n_before = spark.read.parquet(
         f"{index_path}/signatures.parquet"
     ).count()
-    minhash_signatures(
+    sigs = minhash_signatures(
         new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
-    ).write.mode("append").parquet(f"{index_path}/signatures.parquet")
-    minhash_bands_maponly(
-        new_docs, text_col, id_col, m["n"], m["num_perm"], m["bands"],
-        m["hash_fn"],
-    ).select("band", "bucket", "doc_id").write.mode("append").parquet(
-        f"{index_path}/bands.parquet"
-    )
+    ).persist()
+    try:
+        sigs.write.mode("append").parquet(
+            f"{index_path}/signatures.parquet"
+        )
+        minhash_bands_from_signatures(
+            sigs, m["num_perm"], m["bands"], m["hash_fn"]
+        ).select("band", "bucket", "doc_id").write.mode(
+            "append"
+        ).parquet(f"{index_path}/bands.parquet")
+    finally:
+        sigs.unpersist()
     n_after = spark.read.parquet(
         f"{index_path}/signatures.parquet"
     ).count()
@@ -1774,9 +1826,13 @@ def _probe_minhash_index(
     once semi-joined by the broadcast candidates. Nothing corpus-sized
     ever shuffles."""
     m = spark.read.parquet(f"{index_path}/meta.parquet").first()
-    pb = minhash_bands_maponly(
-        new_docs, text_col, id_col, m["n"], m["num_perm"], m["bands"],
-        m["hash_fn"],
+    # the batch's shingle + permutation pipeline runs once: bands are
+    # the sig-slice hash of the same signatures the verify stage uses
+    batch_sigs = minhash_signatures(
+        new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
+    ).persist()
+    pb = minhash_bands_from_signatures(
+        batch_sigs, m["num_perm"], m["bands"], m["hash_fn"]
     ).select("band", "bucket", F.col("doc_id").alias("__new_id"))
     cand = (
         spark.read.parquet(f"{index_path}/bands.parquet")
@@ -1792,9 +1848,10 @@ def _probe_minhash_index(
         )
         .select("__old_id", "__new_id", F.col("sig").alias("__old_sig"))
     )
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
-    ).select(F.col("doc_id").alias("__new_id"), F.col("sig").alias("__new_sig"))
+    new_sigs = batch_sigs.select(
+        F.col("doc_id").alias("__new_id"),
+        F.col("sig").alias("__new_sig"),
+    )
     return (
         old_sigs.join(F.broadcast(new_sigs), "__new_id")
         .select(

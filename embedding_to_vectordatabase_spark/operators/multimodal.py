@@ -119,8 +119,10 @@ def parse_image_header(payload: bytes):
     b = bytes(payload)
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
         if b[12:16] == b"IHDR":
-            w = int.from_bytes(b[16:20], "big")
-            h = int.from_bytes(b[20:24], "big")
+            # PNG dims are uint32 — a corrupt header can exceed the
+            # int32 output column; clamp-to-NULL like parse_av_header
+            w = _fit(int.from_bytes(b[16:20], "big"), _I32_MAX)
+            h = _fit(int.from_bytes(b[20:24], "big"), _I32_MAX)
             return "png", w, h
         return "png", None, None
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
@@ -130,9 +132,13 @@ def parse_image_header(payload: bytes):
             int.from_bytes(b[8:10], "little"),
         )
     if len(b) >= 26 and b[:2] == b"BM":
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h = int.from_bytes(b[22:26], "little", signed=True)
-        return "bmp", w, abs(h)
+        # negative height = top-down (abs'd); a negative WIDTH is
+        # corrupt -> NULL
+        w = _fit(
+            int.from_bytes(b[18:22], "little", signed=True), _I32_MAX
+        )
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return "bmp", w, _fit(h, _I32_MAX)
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
         n = len(b)
@@ -222,6 +228,18 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 _MP4_TOP_BOXES = (b"ftyp", b"styp", b"moov", b"mdat", b"free", b"wide", b"skip")
 
+_I32_MAX = (1 << 31) - 1
+_I64_MAX = (1 << 63) - 1
+
+
+def _fit(v, bound):
+    """Clamp-to-NULL: corrupt-but-walkable headers can declare
+    arbitrary integers (a fmt chunk with sample_rate >= 2^31, an mvhd
+    with duration 2^63 and timescale 1); a value outside the output
+    column's type is treated as unparseable — the row survives with
+    NULL instead of overflowing the Arrow cast and killing the task."""
+    return v if v is not None and 0 <= v <= bound else None
+
 
 def parse_av_header(payload: bytes):
     """(format, duration_ms, sample_rate, n_channels) parsed from the
@@ -265,7 +283,12 @@ def parse_av_header(payload: bytes):
             if data_size is not None and byte_rate
             else None
         )
-        return "wav", dur, sr, ch
+        return (
+            "wav",
+            _fit(dur, _I64_MAX),
+            _fit(sr, _I32_MAX),
+            _fit(ch, _I32_MAX),
+        )
     if n >= 12 and b[4:8] in _MP4_TOP_BOXES:
 
         def boxes(lo: int, hi: int):
@@ -304,7 +327,7 @@ def parse_av_header(payload: bytes):
                     continue
                 if ts:
                     dur_ms = dur * 1000 // ts
-        return "mp4", dur_ms, None, None
+        return "mp4", _fit(dur_ms, _I64_MAX), None, None
     return None, None, None, None
 
 
@@ -358,6 +381,7 @@ def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
     every_ms: int = 1000,
+    max_duration_ms: int = 86_400_000,
 ) -> DataFrame:
     """Frame-sampling TIMESTAMPS over the REAL container duration:
     one (row × frame_ts_ms) output row per ``every_ms`` interval of
@@ -373,8 +397,18 @@ def sample_video_frames(
     """
     if every_ms < 1:
         raise ValueError("every_ms must be >= 1")
+    if max_duration_ms < 1:
+        raise ValueError("max_duration_ms must be >= 1")
+    # ``max_duration_ms`` (default 24 h) bounds the per-row fan-out: a
+    # corrupt or hostile header can declare a multi-millennium
+    # duration, and an unbounded explode(sequence(...)) would build an
+    # array past Spark's element limit and kill the job — rows past
+    # the cap are treated like unparseable ones (no frames), the same
+    # row-survival policy as decode_av's clamp-to-NULL
     dec = decode_av(df, payload_col).filter(
-        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+        F.col("duration_ms").isNotNull()
+        & (F.col("duration_ms") > 0)
+        & (F.col("duration_ms") <= F.lit(int(max_duration_ms)))
     )
     keep = [
         c for c in df.columns if c != payload_col

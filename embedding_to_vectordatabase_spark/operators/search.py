@@ -1402,33 +1402,52 @@ def _write_sparse_segment(
     per-doc length denormalized on when doc stats are kept), a df
     partial-count segment, and — when doc stats are kept — a one-row
     (n_docs, total_dl) corpus_stats partial. All three are plain
-    appends on upsert."""
-    cols = [doc_id, "token", "weight", bucket.alias("token_bucket")]
-    out = postings
-    if store_doc_stats:
-        dl_w = Window.partitionBy(doc_id)
-        out = postings.withColumn(
-            "dl", F.sum(F.col("weight").cast("double")).over(dl_w)
-        )
-        cols = [
-            doc_id, "token", "weight", "dl",
-            bucket.alias("token_bucket"),
-        ]
-    out.select(*cols).write.mode(mode).partitionBy(
-        "token_bucket"
-    ).parquet(f"{index_path}/postings.parquet")
-    postings.groupBy("token").agg(F.count("*").alias("df")).select(
-        "token", "df", bucket.alias("token_bucket")
-    ).write.mode(mode).partitionBy("token_bucket").parquet(
-        f"{index_path}/df_stats.parquet"
+    appends on upsert.
+
+    The input lineage (often a corpus-wide explode + groupBy)
+    executes exactly ONCE: the staged segment is persisted
+    (memory-and-disk) for the duration of the three writes and
+    unpersisted after — without it the df and corpus-stats writes
+    would each re-run the full input pipeline (review finding r14)."""
+    staged = postings.select(
+        F.col(doc_id).alias("__doc"),
+        "token",
+        "weight",
+        bucket.alias("token_bucket"),
     )
     if store_doc_stats:
-        postings.agg(
-            F.countDistinct(doc_id).alias("n_docs"),
-            F.sum(F.col("weight").cast("double")).alias("total_dl"),
-        ).coalesce(1).write.mode(mode).parquet(
-            f"{index_path}/corpus_stats.parquet"
+        dl_w = Window.partitionBy("__doc")
+        staged = staged.withColumn(
+            "dl", F.sum(F.col("weight").cast("double")).over(dl_w)
         )
+    staged = staged.persist()
+    try:
+        out_cols = [F.col("__doc").alias(doc_id), "token", "weight"]
+        if store_doc_stats:
+            out_cols.append(F.col("dl"))
+        staged.select(
+            *out_cols, "token_bucket"
+        ).write.mode(mode).partitionBy("token_bucket").parquet(
+            f"{index_path}/postings.parquet"
+        )
+        staged.groupBy("token_bucket", "token").agg(
+            F.count("*").alias("df")
+        ).select("token", "df", "token_bucket").write.mode(
+            mode
+        ).partitionBy("token_bucket").parquet(
+            f"{index_path}/df_stats.parquet"
+        )
+        if store_doc_stats:
+            staged.agg(
+                F.countDistinct("__doc").alias("n_docs"),
+                F.sum(F.col("weight").cast("double")).alias(
+                    "total_dl"
+                ),
+            ).coalesce(1).write.mode(mode).parquet(
+                f"{index_path}/corpus_stats.parquet"
+            )
+    finally:
+        staged.unpersist()
 
 
 def upsert_sparse_index(
@@ -1468,6 +1487,53 @@ def upsert_sparse_index(
         f"{index_path}/postings.parquet"
     ).count()
     return n_after - n_before
+
+
+def _sparse_token_buckets(spark, index_path: str, toks: list):
+    """(num_buckets, {token: bucket}) for a query token list: the
+    bucket ids come from the SAME engine expression the build used
+    (xxhash64 over the string-cast token — no Python reimplementation
+    to drift), one driver-side job over the tiny list. Shared by the
+    IP and BM25 searches over the store."""
+    nb = int(
+        spark.read.parquet(f"{index_path}/meta.parquet").first()[
+            "num_buckets"
+        ]
+    )
+    tok_schema = (
+        "token string" if isinstance(toks[0], str) else "token bigint"
+    )
+    bucket_rows = (
+        spark.createDataFrame([(t,) for t in toks], tok_schema)
+        .select(
+            "token",
+            F.pmod(
+                F.xxhash64(F.col("token").cast("string")), F.lit(nb)
+            )
+            .cast("int")
+            .alias("token_bucket"),
+        )
+        .collect()
+    )
+    return nb, {r["token"]: r["token_bucket"] for r in bucket_rows}
+
+
+def _sum_df_segments(spark, index_path: str, toks: list, tok_bucket):
+    """{token: total df} summed across the append-only df segments,
+    bucket-pruned and token-filtered to the (query-vocab-bounded)
+    list."""
+    buckets = sorted({tok_bucket[t] for t in toks})
+    seg = (
+        spark.read.parquet(f"{index_path}/df_stats.parquet")
+        .filter(
+            F.col("token_bucket").isin(buckets)
+            & F.col("token").isin(toks)
+        )
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    return {r["token"]: int(r["df"]) for r in seg}
 
 
 def sparse_topk_index(
@@ -1514,45 +1580,9 @@ def sparse_topk_index(
 
     if not toks:
         return _empty()
-    nb = int(
-        spark.read.parquet(f"{index_path}/meta.parquet").first()[
-            "num_buckets"
-        ]
-    )
-    # bucket ids computed by the SAME engine expression the build
-    # used (no Python xxhash64 reimplementation to drift): one
-    # driver-side job over the tiny token list. The string cast makes
-    # int and string token columns hash identically to their build-
-    # time form (int 5 casts to "5" both here and at build).
-    tok_schema = (
-        "token string" if isinstance(toks[0], str) else "token bigint"
-    )
-    bucket_rows = (
-        spark.createDataFrame([(t,) for t in toks], tok_schema)
-        .select(
-            "token",
-            F.pmod(
-                F.xxhash64(F.col("token").cast("string")), F.lit(nb)
-            )
-            .cast("int")
-            .alias("token_bucket"),
-        )
-        .collect()
-    )
-    tok_bucket = {r["token"]: r["token_bucket"] for r in bucket_rows}
+    nb, tok_bucket = _sparse_token_buckets(spark, index_path, toks)
     if max_doc_freq is not None:
-        buckets = sorted({tok_bucket[t] for t in toks})
-        seg = (
-            spark.read.parquet(f"{index_path}/df_stats.parquet")
-            .filter(
-                F.col("token_bucket").isin(buckets)
-                & F.col("token").isin(toks)
-            )
-            .groupBy("token")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        df_tot = {r["token"]: r["df"] for r in seg}
+        df_tot = _sum_df_segments(spark, index_path, toks, tok_bucket)
         toks = [t for t in toks if df_tot.get(t, 0) <= max_doc_freq]
         if not toks:
             return _empty()
@@ -1622,7 +1652,6 @@ def bm25_topk_index(
             "bm25_topk_index needs a store built with "
             "store_doc_stats=True (doc lengths + corpus stats)"
         )
-    nb = int(meta["num_buckets"])
     tok_rows = query_terms.select("token").distinct().collect()
     toks = sorted({r["token"] for r in tok_rows})
     store = spark.read.parquet(f"{index_path}/postings.parquet")
@@ -1637,34 +1666,8 @@ def bm25_topk_index(
     )
     if not toks:
         return empty
-    tok_schema = (
-        "token string" if isinstance(toks[0], str) else "token bigint"
-    )
-    bucket_rows = (
-        spark.createDataFrame([(t,) for t in toks], tok_schema)
-        .select(
-            "token",
-            F.pmod(
-                F.xxhash64(F.col("token").cast("string")), F.lit(nb)
-            )
-            .cast("int")
-            .alias("token_bucket"),
-        )
-        .collect()
-    )
-    tok_bucket = {r["token"]: r["token_bucket"] for r in bucket_rows}
-    buckets = sorted({tok_bucket[t] for t in toks})
-    seg = (
-        spark.read.parquet(f"{index_path}/df_stats.parquet")
-        .filter(
-            F.col("token_bucket").isin(buckets)
-            & F.col("token").isin(toks)
-        )
-        .groupBy("token")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    df_tot = {r["token"]: int(r["df"]) for r in seg}
+    _, tok_bucket = _sparse_token_buckets(spark, index_path, toks)
+    df_tot = _sum_df_segments(spark, index_path, toks, tok_bucket)
     if max_doc_freq is not None:
         toks = [t for t in toks if df_tot.get(t, 0) <= max_doc_freq]
     toks = [t for t in toks if df_tot.get(t, 0) > 0]
@@ -1684,10 +1687,15 @@ def bm25_topk_index(
         )
         for t in toks
     }
+    # duplicate (query_id, token) rows keep their multiplicity — the
+    # inline bm25_topk scores one term contribution per occurrence,
+    # and "identical scoring" includes that edge
+    tok_schema = (
+        "token string" if isinstance(toks[0], str) else "token bigint"
+    )
     qt = F.broadcast(
         query_terms.filter(F.col("token").isin(toks))
         .select("query_id", "token")
-        .distinct()
         .join(
             F.broadcast(
                 spark.createDataFrame(
@@ -2700,11 +2708,18 @@ def upsert_pq_index(
     until the next build). Returns the number of rows appended."""
     spark = new_vectors.sparkSession
     books = load_pq_codebooks(spark, index_path)
-    n = new_vectors.count()
+    # appended-row count from the code store's parquet FOOTERS
+    # (metadata-only) instead of a .count() that re-executes the
+    # batch lineage — the documented ingest shape derives batches
+    # from expensive pipelines (review finding r14, matching the
+    # sparse/minhash upserts)
+    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     pq_encode(new_vectors, books, vec_col, corpus_id).write.mode(
         "append"
     ).parquet(f"{index_path}/codes.parquet")
-    return n
+    return (
+        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+    )
 
 
 def pq_topk_index(
@@ -2936,11 +2951,18 @@ def upsert_ivfadc_index(
     spark = new_vectors.sparkSession
     cent = _load_ivf_centroids(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
-    n = new_vectors.count()
+    # appended-row count from the code store's parquet FOOTERS
+    # (metadata-only) instead of a .count() that re-executes the
+    # batch lineage — the documented ingest shape derives batches
+    # from expensive pipelines (review finding r14, matching the
+    # sparse/minhash upserts)
+    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     _ivfadc_encode(new_vectors, cent, books, vec_col, corpus_id).write.mode(
         "append"
     ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
-    return n
+    return (
+        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+    )
 
 
 def ann_topk_ivfadc(
@@ -2996,8 +3018,17 @@ def ann_topk_ivfadc(
             f"query dim {qmat.shape[1]} != codebook dim {mm * dsub}"
         )
     npb = min(nprobe, len(cent))
-    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
-    probes = np.argsort(d2, axis=1)[:, :npb].astype(np.int32)
+    # probe selection follows the INDEX metric (the FAISS/Milvus IVF
+    # recipe): L2 probes the nearest centroids, IP probes the largest
+    # inner products — an L2 probe under IP would skip the high-norm
+    # lists where the max-IP neighbors of an unnormalized corpus live
+    if metric == "IP":
+        key = -(qmat @ cent.T)
+    else:
+        key = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
+    probes = np.argsort(key, axis=1, kind="stable")[:, :npb].astype(
+        np.int32
+    )
     probed = sorted({int(x) for x in probes.ravel()})
 
     nq = len(qids)
@@ -3393,11 +3424,18 @@ def upsert_opq_index(
     spark = new_vectors.sparkSession
     R = load_opq_rotation(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
-    n = new_vectors.count()
+    # appended-row count from the code store's parquet FOOTERS
+    # (metadata-only) instead of a .count() that re-executes the
+    # batch lineage — the documented ingest shape derives batches
+    # from expensive pipelines (review finding r14, matching the
+    # sparse/minhash upserts)
+    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     opq_encode(new_vectors, R, books, vec_col, corpus_id).write.mode(
         "append"
     ).parquet(f"{index_path}/codes.parquet")
-    return n
+    return (
+        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+    )
 
 
 def opq_topk_index(
@@ -3443,6 +3481,30 @@ def opq_topk_index(
 #   L2²: ‖q−x̂‖² = ‖y‖² − 2(y∘s)·c + (s∘s)·(c∘c),   y = q − vmin
 # so codes are never decoded to floats row-by-row.
 # ---------------------------------------------------------------------------
+
+
+def _sq8_query_weights(qmat, vmin, vdiff, metric: str):
+    """(W (dim, Q), bias (Q,), extra) for the affine ADC identities in
+    the section header — shared by the flat and IVF searches so the
+    scoring math lives in exactly one place:
+    IP → W = (q∘s)ᵀ, bias = q·vmin, extra None;
+    L2 → W = (y∘s)ᵀ, bias = ‖y‖², extra = s∘s (y = q − vmin)."""
+    s = vdiff / 255.0
+    if metric == "IP":
+        return (qmat * s[None, :]).T, qmat @ vmin, None
+    Y = qmat - vmin[None, :]
+    return (Y * s[None, :]).T, (Y**2).sum(axis=1), s**2
+
+
+def _sq8_code_batch(X, vmin_f32, scale_f32):
+    """uint8 SQ8 codes of a float32 batch: clip(rint((x − vmin) ×
+    255/vdiff), 0, 255) — the one encode kernel both the flat and the
+    IVF-routed passes run."""
+    import numpy as np
+
+    return np.clip(
+        np.rint((X - vmin_f32[None, :]) * scale_f32[None, :]), 0, 255
+    ).astype(np.uint8)
 
 
 def sq8_train(
@@ -3521,11 +3583,7 @@ def sq8_encode(
                     f"vector dim {X.shape[1]} != trained dim {dim}"
                 )
             n = X.shape[0]
-            codes = np.clip(
-                np.rint((X - vmin_b[None, :]) * scale_b[None, :]),
-                0,
-                255,
-            ).astype(np.uint8)
+            codes = _sq8_code_batch(X, vmin_b, scale_b)
             flat = np.ascontiguousarray(codes).reshape(-1)
             offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
             code_arr = pa.BinaryArray.from_buffers(
@@ -3577,16 +3635,7 @@ def sq8_topk(
     qids, qmat = _query_matrix(queries, query_id, query_vec)
     if qmat.shape[1] != dim:
         raise ValueError(f"query dim {qmat.shape[1]} != trained dim {dim}")
-    s = vdiff / 255.0
-    if metric == "IP":
-        W = (qmat * s[None, :]).T            # (dim, Q)
-        bias = qmat @ vmin                   # (Q,)
-        extra = None
-    else:
-        Y = qmat - vmin[None, :]
-        W = (Y * s[None, :]).T               # (dim, Q)
-        bias = (Y**2).sum(axis=1)            # (Q,) = ‖y‖²
-        extra = s**2                         # (dim,) for C²·s²
+    W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
     bc = codes.sparkSession.sparkContext.broadcast(
         (qids, W, bias, extra)
     )
@@ -3725,11 +3774,18 @@ def upsert_sq8_index(
     tradeoff). Returns rows appended."""
     spark = new_vectors.sparkSession
     vmin, vdiff = load_sq8_params(spark, index_path)
-    n = new_vectors.count()
+    # appended-row count from the code store's parquet FOOTERS
+    # (metadata-only) instead of a .count() that re-executes the
+    # batch lineage — the documented ingest shape derives batches
+    # from expensive pipelines (review finding r14, matching the
+    # sparse/minhash upserts)
+    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     sq8_encode(new_vectors, vmin, vdiff, vec_col, corpus_id).write.mode(
         "append"
     ).parquet(f"{index_path}/codes.parquet")
-    return n
+    return (
+        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+    )
 
 
 def sq8_topk_index(
@@ -3871,11 +3927,7 @@ def _ivfsq8_encode(
             )
             n = X.shape[0]
             a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(axis=1)
-            codes = np.clip(
-                np.rint((X - vmin_b[None, :]) * scale_b[None, :]),
-                0,
-                255,
-            ).astype(np.uint8)
+            codes = _sq8_code_batch(X, vmin_b, scale_b)
             flat = np.ascontiguousarray(codes).reshape(-1)
             offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
             code_arr = pa.BinaryArray.from_buffers(
@@ -3910,13 +3962,20 @@ def upsert_ivfsq8_index(
     spark = new_vectors.sparkSession
     cent = _load_ivf_centroids(spark, index_path)
     vmin, vdiff = load_sq8_params(spark, index_path)
-    n = new_vectors.count()
+    # appended-row count from the code store's parquet FOOTERS
+    # (metadata-only) instead of a .count() that re-executes the
+    # batch lineage — the documented ingest shape derives batches
+    # from expensive pipelines (review finding r14, matching the
+    # sparse/minhash upserts)
+    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     _ivfsq8_encode(
         new_vectors, cent, vmin, vdiff, vec_col, corpus_id
     ).write.mode("append").partitionBy("list_id").parquet(
         f"{index_path}/codes.parquet"
     )
-    return n
+    return (
+        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+    )
 
 
 def ann_topk_ivfsq8(
@@ -3958,19 +4017,14 @@ def ann_topk_ivfsq8(
     if qmat.shape[1] != dim:
         raise ValueError(f"query dim {qmat.shape[1]} != trained dim {dim}")
     npb = min(nprobe, len(cent))
-    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
-    probes = np.argsort(d2, axis=1, kind="stable")[:, :npb]
-    probed = sorted({int(x) for x in probes.ravel()})
-    s = vdiff / 255.0
+    # metric-faithful probe selection — see ann_topk_ivfadc
     if metric == "IP":
-        W = (qmat * s[None, :]).T
-        bias = qmat @ vmin
-        extra = None
+        key = -(qmat @ cent.T)
     else:
-        Y = qmat - vmin[None, :]
-        W = (Y * s[None, :]).T
-        bias = (Y**2).sum(axis=1)
-        extra = s**2
+        key = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
+    probes = np.argsort(key, axis=1, kind="stable")[:, :npb]
+    probed = sorted({int(x) for x in probes.ravel()})
+    W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
 
     probe_sets = [set(int(x) for x in probes[qi]) for qi in range(len(qids))]
     bc = spark.sparkContext.broadcast((qids, probe_sets, W, bias, extra))

@@ -57,6 +57,21 @@ def _build_walls(d: dict) -> tuple[float, float]:
             skipped += w
         else:
             paid += w
+    # every OTHER ensure_index-cached store in the artifact (sparse
+    # postings, minhash band store, future additions): any top-level
+    # section dict carrying the (build_sec, build_cached) pair joins
+    # the debt ledger automatically — the r14 review found the first
+    # two were silently missing from the cold projection
+    for key, sec in d.items():
+        if not isinstance(sec, dict) or "build_cached" not in sec:
+            continue
+        w = sec.get("build_sec")
+        if not isinstance(w, (int, float)):
+            continue
+        if sec["build_cached"]:
+            skipped += float(w)
+        else:
+            paid += float(w)
     return paid, skipped
 
 

@@ -1298,3 +1298,76 @@ def test_parse_av_header_property_roundtrip():
 
     wav_case()
     mp4_case()
+
+
+def test_decode_headers_clamp_corrupt_values_to_null(spark):
+    """Corrupt-but-walkable headers declaring values outside the
+    output column types must yield NULLs, not overflow the Arrow cast
+    and kill the task (r14 review finding): a WAV fmt chunk with
+    sample_rate >= 2^31, an MP4 v1 mvhd whose duration_ms exceeds
+    int64, and a PNG with uint32 dims past int32."""
+    import struct
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_av,
+        decode_image,
+        parse_av_header,
+        parse_image_header,
+    )
+
+    # WAV with a 2^31 sample rate (byte_rate kept sane so the walk
+    # still parses duration)
+    big_sr = 1 << 31
+    fmt = struct.pack("<HHIIHH", 1, 1, big_sr & 0xFFFFFFFF, 8000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 16000)
+    )
+    got = parse_av_header(wav)
+    assert got[0] == "wav" and got[2] is None  # rate clamped to NULL
+    # MP4 v1: duration 2^62 at timescale 1 -> duration_ms > int64 max
+    mp4 = _golden_mp4(1, 1 << 62, version=1)
+    assert parse_av_header(mp4) == ("mp4", None, None, None)
+    # PNG with uint32 dims past int32
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 0xFFFFFFFF, 23) + b"\x00" * 9
+    )
+    assert parse_image_header(png) == ("png", None, 23)
+    # and through the Spark operators: rows survive with NULLs
+    df_av = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp4))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_av(df_av).collect()}
+    assert rows[1]["sample_rate"] is None and rows[1]["av_format"] == "wav"
+    assert rows[2]["duration_ms"] is None and rows[2]["av_format"] == "mp4"
+    df_img = spark.createDataFrame(
+        [(3, bytearray(png))], "media_id long, payload binary"
+    )
+    r3 = decode_image(df_img).first()
+    assert r3["width"] is None and r3["height"] == 23
+
+
+def test_sample_video_frames_bounds_corrupt_durations(spark):
+    """A hostile header declaring a multi-year duration must produce
+    NO frames (like the unparseable path) instead of exploding an
+    unbounded sequence; legitimate durations under the cap still
+    sample."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_golden_mp4(1000, 2500))),        # 2.5 s ok
+            (2, bytearray(_golden_mp4(1, 10**15, version=1))),  # ~31k yrs
+        ],
+        "media_id long, payload binary",
+    )
+    out = sample_video_frames(df, every_ms=1000).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert {k: sorted(v) for k, v in got.items()} == {1: [0, 1000, 2000]}

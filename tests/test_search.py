@@ -1668,3 +1668,88 @@ def test_bm25_index_upsert_equals_full_build(spark, sf_dir, tmp_path):
     got = key(bm25_topk_index(spark, inc, qt, k=10).collect())
     want = key(bm25_topk_index(spark, full, qt, k=10).collect())
     assert got == want and got
+
+
+def test_ivf_probe_selection_follows_metric(spark, tmp_path):
+    """IP probe routing must pick the max-inner-product lists, not the
+    L2-nearest ones: with an unnormalized corpus the true max-IP
+    neighbors live in a high-norm cluster that is L2-FAR from the
+    query, so an L2 probe at nprobe=1 would search the wrong list
+    (the review finding: both IVF composites routed by L2 for every
+    metric). Asserted for IVFADC and IVF_SQ8."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfadc,
+        ann_topk_ivfsq8,
+        build_ivfadc_index,
+        build_ivfsq8_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    # cluster A: near the query direction but tiny norm (L2-close);
+    # cluster B: same direction, huge norm (L2-far, max IP)
+    a = rng.normal(0, 0.05, (200, dim)) + 0.5
+    b = rng.normal(0, 0.05, (200, dim)) + 40.0
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([a, b]))
+    ]
+    emb_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0] * dim)], "query_id long, embedding array<float>"
+    )
+    exact_top = set(range(200, 400))  # every B member beats every A
+    adc_path = str(tmp_path / "ip_adc")
+    build_ivfadc_index(emb_df, adc_path, nlist=4, m=4, seed=7)
+    got_adc = {
+        r["vec_id"]
+        for r in ann_topk_ivfadc(
+            spark, adc_path, q, k=5, metric="IP", nprobe=1
+        ).collect()
+    }
+    assert got_adc and got_adc <= exact_top, got_adc
+    sq8_path = str(tmp_path / "ip_sq8")
+    build_ivfsq8_index(emb_df, sq8_path, nlist=4, seed=7)
+    got_sq8 = {
+        r["vec_id"]
+        for r in ann_topk_ivfsq8(
+            spark, sq8_path, q, k=5, metric="IP", nprobe=1
+        ).collect()
+    }
+    assert got_sq8 and got_sq8 <= exact_top, got_sq8
+
+
+def test_bm25_index_duplicate_query_terms_match_inline(spark, sf_dir, tmp_path):
+    """Duplicate (query_id, token) rows must contribute once per
+    occurrence in BOTH paths (the inline scorer has no dedup, so the
+    index path must not add one)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_index,
+        build_sparse_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "spark"), ("q1", "join")],
+        "query_id string, token string",
+    )
+    path = str(tmp_path / "bm25_dup")
+    build_sparse_index(
+        _word_postings(docs), path, num_buckets=16, store_doc_stats=True
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in bm25_topk_index(spark, path, qt, k=10).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in bm25_topk(docs, qt, k=10).collect()
+    )
+    assert got == want and got
