@@ -1753,3 +1753,65 @@ def test_bm25_index_duplicate_query_terms_match_inline(spark, sf_dir, tmp_path):
         for r in bm25_topk(docs, qt, k=10).collect()
     )
     assert got == want and got
+
+
+def test_sparse_index_property_matches_inline(spark, tmp_path):
+    """Property (hypothesis): for arbitrary small posting relations
+    and cap values, the persisted-store search equals the inline form
+    exactly — build/bucket/df-segment logic holds beyond the crafted
+    fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        sparse_topk_index,
+    )
+
+    posting = st.tuples(
+        st.integers(min_value=0, max_value=9),       # doc
+        st.integers(min_value=0, max_value=14),      # token
+        st.floats(
+            min_value=0.1, max_value=9.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+    )
+
+    case_i = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(posting, min_size=1, max_size=40),
+        cap=st.one_of(st.none(), st.integers(min_value=1, max_value=8)),
+        nb=st.sampled_from([1, 4, 16]),
+    )
+    def case(rows, cap, nb):
+        # one posting per (doc, token): keep the max weight
+        ded = {}
+        for d, t, w in rows:
+            ded[(d, t)] = max(w, ded.get((d, t), 0.0))
+        cp = spark.createDataFrame(
+            [(d, t, round(w, 3)) for (d, t), w in sorted(ded.items())],
+            "doc_id long, token int, weight double",
+        )
+        qp = cp.filter(F.col("doc_id") <= 2).select(
+            F.col("doc_id").alias("query_id"), "token", "weight"
+        )
+        case_i[0] += 1
+        path = str(tmp_path / f"prop_{case_i[0]}")
+        build_sparse_index(cp, path, num_buckets=nb)
+        got = _rows_key(
+            sparse_topk_index(
+                spark, path, qp, k=3, max_doc_freq=cap
+            ).collect()
+        )
+        want = _rows_key(
+            sparse_topk_inverted(cp, qp, k=3, max_doc_freq=cap).collect()
+        )
+        assert got == want
+
+    case()
