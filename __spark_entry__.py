@@ -4213,7 +4213,11 @@ def _q_av_meta_decode(spark, sf_dir):
     byte round-trip through the chunk/box walkers, including the
     duration divisions (data_bytes×1000//byte_rate and
     duration×1000//timescale). WAV fields are little-endian, MP4
-    big-endian, so both byte orders are exercised."""
+    big-endian, so both byte orders are exercised. r15: the MP4 side
+    now carries a full audio trak (trak→mdia→hdlr 'soun'→minf→stbl→
+    stsd→mp4a, ISO 14496-12 §12.2.3), so sample_rate (16.16 fixed
+    point) and n_channels round-trip through the per-track box walk
+    too — no more NULL audio fields on the MP4 rows."""
     from embedding_to_vectordatabase_spark.operators.multimodal import (
         decode_av,
     )
@@ -4262,13 +4266,34 @@ def _q_av_meta_decode(spark, sf_dir):
         F.lit("64617461"),                 # 'data'
         _le(data_size, 4),                 # size only — the walk stops
     )
+    def _be16(c):
+        return F.lpad(F.hex(c.cast("long")), 4, "0")
+
     mp4_hex = F.concat(
         F.lit("000000106674797069736F6D00000000"),  # ftyp isom
-        F.lit("000000246D6F6F76"),                  # moov size 36
+        F.lit("0000008C6D6F6F76"),                  # moov size 140
         F.lit("0000001C6D766864"),                  # mvhd size 28, v0
         F.lit("00000000" * 3),                      # flags/ctime/mtime
         _be32(F.col("__ts")),
         _be32(F.col("__dur")),
+        # audio trak: trak(104) > mdia(96) > hdlr('soun') + minf(68)
+        # > stbl(60) > stsd(52) > mp4a entry(36)
+        F.lit("000000687472616B"),                  # trak
+        F.lit("000000606D646961"),                  # mdia
+        F.lit("0000001468646C72"),                  # hdlr size 20
+        F.lit("00000000" * 2),                      # verflags/predef
+        F.lit("736F756E"),                          # 'soun'
+        F.lit("000000446D696E66"),                  # minf
+        F.lit("0000003C7374626C"),                  # stbl
+        F.lit("0000003473747364"),                  # stsd size 52
+        F.lit("0000000000000001"),                  # verflags + count 1
+        F.lit("000000246D703461"),                  # mp4a entry size 36
+        F.lit("0000000000000001"),                  # 6 reserved + dri
+        F.lit("00000000" * 2),                      # reserved[2]
+        _be16(F.col("__ch")),                       # channelcount
+        F.lit("001000000000"),                      # samplesize/pre/resv
+        _be16(F.col("__sr")),                       # 16.16 samplerate
+        F.lit("0000"),                              # ...fraction bits
     )
     payload = F.unhex(
         F.when(F.pmod("doc_id", F.lit(2)) == 0, wav_hex).otherwise(
@@ -4296,10 +4321,8 @@ SELECT doc_id,
                  THEN ((dsz0 + ch * 2) * 1000) // (sr * ch * 2)
                  ELSE (dur * 1000) // ts
             END AS BIGINT) AS duration_ms,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(sr AS INTEGER) END
-           AS sample_rate,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(ch AS INTEGER) END
-           AS n_channels
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels
 FROM p
 """
 

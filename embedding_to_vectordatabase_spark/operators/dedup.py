@@ -1816,9 +1816,13 @@ def _probe_minhash_index(
     threshold: float,
     text_col: str,
     id_col: str,
+    intra_batch: bool = False,
 ) -> DataFrame:
     """(old_id, new_id, est) matches of a probe batch against the
-    store. Scale shape: the batch's band rows and signatures are both
+    store; with ``intra_batch`` also (smaller_id → larger_id) matches
+    WITHIN the batch off the same band rows (a band self-join on the
+    broadcast batch — no store involvement). Scale shape: the batch's
+    band rows and signatures are both
     row-local computes over the (contract-bounded) batch and BROADCAST
     — the bands store scans ONCE map-side with no shuffle of the
     store, candidate (old, new) ids dedup on three narrow columns
@@ -1827,10 +1831,19 @@ def _probe_minhash_index(
     ever shuffles."""
     m = spark.read.parquet(f"{index_path}/meta.parquet").first()
     # the batch's shingle + permutation pipeline runs once: bands are
-    # the sig-slice hash of the same signatures the verify stage uses
+    # the sig-slice hash of the same signatures the verify stage uses.
+    # localCheckpoint, NOT persist: persist() registers the plan in
+    # the session CacheManager, which only unpersist() releases — and
+    # the returned (lazy) plan references these signatures, so the
+    # operator can't unpersist before returning; every probe in the
+    # documented recurring ingest-refresh loop would pin another cache
+    # entry for the session lifetime (r15 ADVICE). A localCheckpoint
+    # materializes the bounded batch eagerly (blocks freed by the
+    # ContextCleaner when the caller drops the result) and keeps the
+    # probe plan shape — batch broadcasts, store scans once — intact.
     batch_sigs = minhash_signatures(
         new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
-    ).persist()
+    ).localCheckpoint(eager=True)
     pb = minhash_bands_from_signatures(
         batch_sigs, m["num_perm"], m["bands"], m["hash_fn"]
     ).select("band", "bucket", F.col("doc_id").alias("__new_id"))
@@ -1840,9 +1853,36 @@ def _probe_minhash_index(
         .select(F.col("doc_id").alias("__old_id"), "__new_id")
         .dropDuplicates()
     )
+    if intra_batch:
+        # within-batch candidates off the SAME band rows: smaller id
+        # plays the "old" role so the downstream anti-join keeps it
+        self_cand = (
+            pb.alias("l")
+            .join(
+                pb.select(
+                    "band", "bucket",
+                    F.col("__new_id").alias("__r_id"),
+                ).alias("r"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("__new_id") < F.col("__r_id"))
+            .select(
+                F.col("__new_id").alias("__old_id"),
+                F.col("__r_id").alias("__new_id"),
+            )
+            .dropDuplicates()
+        )
+        cand = cand.unionByName(self_cand).dropDuplicates()
+    old_sig_src = spark.read.parquet(
+        f"{index_path}/signatures.parquet"
+    ).select("doc_id", "sig")
+    if intra_batch:
+        # intra-batch "old" docs live in the batch, not the store
+        old_sig_src = old_sig_src.unionByName(
+            batch_sigs.select("doc_id", "sig")
+        )
     old_sigs = (
-        spark.read.parquet(f"{index_path}/signatures.parquet")
-        .join(
+        old_sig_src.join(
             F.broadcast(cand),
             F.col("doc_id") == F.col("__old_id"),
         )
@@ -1906,13 +1946,26 @@ def dedup_against_index(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    intra_batch: bool = False,
 ) -> DataFrame:
     """The incremental ingest-dedup operator: new documents with NO
     near-duplicate in the standing corpus (one probe + an anti-join).
     Follow with ``upsert_minhash_index`` on the survivors to keep the
     store current — the P6/J2 ingest anti-join generalized from exact
-    ids to MinHash near-duplication."""
+    ids to MinHash near-duplication.
+
+    By default two near-duplicates WITHIN one batch both survive
+    (neither is in the store yet) and both get upserted — permanently
+    admitting the pair (r15 ADVICE). ``intra_batch=True`` closes the
+    gap off the probe's own band rows: a batch doc is also dropped
+    when it near-matches a SMALLER-id doc in the same batch. That
+    rule is PAIRWISE, not transitive-closure: with a<c<b, a~b and
+    c~b but a≁c, only b drops here (a and c both survive), while a
+    cluster pass keeps one survivor per connected component; for
+    full cluster semantics run ``minhash_lsh_pairs`` +
+    ``dup_survivors`` on the batch before probing."""
     matches = _probe_minhash_index(
-        spark, index_path, new_docs, threshold, text_col, id_col
+        spark, index_path, new_docs, threshold, text_col, id_col,
+        intra_batch=intra_batch,
     ).select(F.col("__new_id").alias(id_col)).dropDuplicates()
     return new_docs.join(matches, id_col, "left_anti")

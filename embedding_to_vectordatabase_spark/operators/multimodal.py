@@ -258,10 +258,15 @@ def parse_av_header(payload: bytes):
       to 'mvhd': version 0 keeps timescale/duration as BE u32 at
       payload offsets 12/16, version 1 at 20/24 with a u64 duration;
       duration_ms = duration × 1000 // timescale (ISO 14496-12 §8.2.2).
+      sample_rate/channels come from the FIRST audio track's sample
+      description: trak → mdia (hdlr handler_type == 'soun', §8.4.3)
+      → minf → stbl → stsd → first sample entry, whose
+      AudioSampleEntry payload carries channelcount as BE u16 at +16
+      and samplerate as 16.16 fixed point at +24 (rate = upper 16
+      bits; ISO 14496-12 §12.2.3) — NULL when no audio track or a
+      truncated entry.
 
-    sample_rate/channels are NULL for MP4 (they live per-track in
-    stsd, below header granularity); returns (None,)*4 for
-    unrecognized or truncated bytes.
+    Returns (None,)*4 for unrecognized or truncated bytes.
     """
     b = bytes(payload)
     n = len(b)
@@ -309,25 +314,63 @@ def parse_av_header(payload: bytes):
                 yield typ, i + hdr, min(i + sz, hi)
                 i += sz
 
-        dur_ms = None
+        dur_ms = sr = ch = None
         for typ, lo, hi in boxes(0, n):
             if typ != b"moov":
                 continue
             for t2, l2, h2 in boxes(lo, hi):
-                if t2 != b"mvhd":
-                    continue
-                ver = b[l2] if h2 > l2 else 0
-                if ver == 1 and h2 - l2 >= 32:
-                    ts = int.from_bytes(b[l2 + 20 : l2 + 24], "big")
-                    dur = int.from_bytes(b[l2 + 24 : l2 + 32], "big")
-                elif h2 - l2 >= 20:
-                    ts = int.from_bytes(b[l2 + 12 : l2 + 16], "big")
-                    dur = int.from_bytes(b[l2 + 16 : l2 + 20], "big")
-                else:
-                    continue
-                if ts:
-                    dur_ms = dur * 1000 // ts
-        return "mp4", _fit(dur_ms, _I64_MAX), None, None
+                if t2 == b"mvhd":
+                    ver = b[l2] if h2 > l2 else 0
+                    if ver == 1 and h2 - l2 >= 32:
+                        ts = int.from_bytes(b[l2 + 20 : l2 + 24], "big")
+                        dur = int.from_bytes(b[l2 + 24 : l2 + 32], "big")
+                    elif h2 - l2 >= 20:
+                        ts = int.from_bytes(b[l2 + 12 : l2 + 16], "big")
+                        dur = int.from_bytes(b[l2 + 16 : l2 + 20], "big")
+                    else:
+                        continue
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif t2 == b"trak" and sr is None:
+                    for t3, l3, h3 in boxes(l2, h2):
+                        if t3 != b"mdia":
+                            continue
+                        is_audio = False
+                        stbl = None
+                        for t4, l4, h4 in boxes(l3, h3):
+                            if t4 == b"hdlr" and h4 - l4 >= 12:
+                                is_audio = (
+                                    b[l4 + 8 : l4 + 12] == b"soun"
+                                )
+                            elif t4 == b"minf":
+                                for t5, l5, h5 in boxes(l4, h4):
+                                    if t5 == b"stbl":
+                                        stbl = (l5, h5)
+                        if not (is_audio and stbl):
+                            continue
+                        for t5, l5, h5 in boxes(*stbl):
+                            if t5 != b"stsd" or h5 - l5 < 8:
+                                continue
+                            # skip version/flags + entry_count, then
+                            # read the FIRST sample entry box
+                            for _t6, l6, h6 in boxes(l5 + 8, h5):
+                                if h6 - l6 >= 28:
+                                    ch = int.from_bytes(
+                                        b[l6 + 16 : l6 + 18], "big"
+                                    )
+                                    sr = (
+                                        int.from_bytes(
+                                            b[l6 + 24 : l6 + 28], "big"
+                                        )
+                                        >> 16
+                                    )
+                                break
+        return (
+            "mp4",
+            _fit(dur_ms, _I64_MAX),
+            _fit(sr, _I32_MAX),
+            _fit(ch, _I32_MAX),
+        )
     return None, None, None, None
 
 

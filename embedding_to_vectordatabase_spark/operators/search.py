@@ -1462,9 +1462,13 @@ def upsert_sparse_index(
     rebuild equivalence is EXACT and asserted in tests). Batches are
     DOCUMENT-granularity: on a doc-stats store the per-doc length and
     the (n_docs, total_dl) partial are computed within the batch, so
-    a document split across two upserts would double-count — ship
-    each document's postings in one batch (the natural ingest shape).
-    Returns the number of postings appended."""
+    a document split across two upserts would double-count its dl AND
+    its per-token df (a token seen in both halves counts twice,
+    inflating df toward — or past — n_docs and so deflating that
+    term's BM25 idf; ``bm25_topk_index`` clamps df ≤ n_docs so the
+    idf only floors, never domain-errors) — ship each document's
+    postings in one batch (the natural ingest shape). Returns the
+    number of postings appended."""
     spark = new_postings.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
     nb = int(meta["num_buckets"])
@@ -1681,9 +1685,19 @@ def bm25_topk_index(
     )
     n_docs = int(stats["n"])
     avgdl = float(stats["tdl"]) / max(n_docs, 1)
+    # df is a SUM of per-segment postings counts while n_docs counts
+    # distinct docs, so duplicate (doc, token) postings in one build —
+    # or one document's tokens split across upsert batches — can push
+    # df above n_docs; the Lucene form log((N+1)/(df+0.5)) then goes
+    # NEGATIVE (df > N + 0.5), flipping that term's contribution to a
+    # penalty. Clamp df to n_docs so idf keeps Lucene's nonnegative
+    # floor log((N+1)/(N+0.5)). Same batch-granularity caveat as dl:
+    # upsert whole documents.
     idf = {
         t: math.log(
-            1.0 + (n_docs - df_tot[t] + 0.5) / (df_tot[t] + 0.5)
+            1.0
+            + (n_docs - min(df_tot[t], n_docs) + 0.5)
+            / (min(df_tot[t], n_docs) + 0.5)
         )
         for t in toks
     }
@@ -2806,17 +2820,45 @@ def _train_ivfadc(
     return cent, books
 
 
+def _write_ivf_meta(spark, index_path: str, metric: str) -> None:
+    """Persist the index metric (the FAISS/Milvus index-metric
+    contract): list ASSIGNMENT must follow it at build AND upsert, or
+    high-IP vectors get L2-assigned to lists the IP probe ranks low
+    (r14 ADVICE). One tiny single-row parquet."""
+    spark.createDataFrame(
+        [(metric,)], "metric string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/ivf_meta.parquet"
+    )
+
+
+def _load_ivf_meta(spark, index_path: str) -> str:
+    """Index metric off the meta store; stores built before the meta
+    existed assigned by L2 — that stays their contract."""
+    try:
+        return str(
+            spark.read.parquet(f"{index_path}/ivf_meta.parquet").first()[
+                "metric"
+            ]
+        )
+    except Exception:
+        return "L2"
+
+
 def _ivfadc_encode(
     corpus: DataFrame,
     cent: "np.ndarray",
     books: "np.ndarray",
     vec_col: str,
     corpus_id: str,
+    metric: str = "L2",
 ) -> DataFrame:
-    """ONE map-only Arrow pass: nearest-centroid assignment, residual,
-    and m-byte residual-PQ code per vector — the coarse matmul and the
-    m subspace matmuls run per batch, codes built zero-copy off Arrow
-    buffers (the pq_encode kernel plus the routing column).
+    """ONE map-only Arrow pass: centroid assignment under the INDEX
+    metric (L2 → nearest, IP → max inner product, the FAISS
+    IndexIVF assignment contract), residual, and m-byte residual-PQ
+    code per vector — the coarse matmul and the m subspace matmuls
+    run per batch, codes built zero-copy off Arrow buffers (the
+    pq_encode kernel plus the routing column).
 
     Output: (<corpus_id>, list_id int, pq_code binary)."""
     import numpy as np
@@ -2848,7 +2890,12 @@ def _ivfadc_encode(
                 dtype=np.float32,
             )
             n = X.shape[0]
-            a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(axis=1)
+            if metric == "IP":
+                a = (X @ cm).argmax(axis=1)
+            else:
+                a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(
+                    axis=1
+                )
             R = X - cent_b[a]
             codes = np.empty((n, mm), dtype=np.uint8)
             for j in range(mm):
@@ -2887,11 +2934,18 @@ def build_ivfadc_index(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     train_cap: int | None = None,
+    metric: str = "L2",
 ) -> tuple[int, int]:
     """Persisted IVFADC index build (Jégou et al. 2011 §IV — the
     billion-scale composition the reference's FLAT Milvus index would
     graduate to): coarse quantizer routes each vector to one of
     ``nlist`` inverted lists, PQ encodes the residual in m bytes.
+    ``metric`` is the INDEX metric: list assignment follows it at
+    build and upsert (IP stores assign by max inner product — the
+    FAISS/Milvus contract; an L2-assigned store under an IP probe
+    under-recalls on unnormalized corpora), it's recorded in
+    ``ivf_meta.parquet``, and searches may still score either metric
+    (assignment only shapes recall at low nprobe, never scores).
 
     - ``<index_path>/centroids.parquet``    — (list_id, centroid);
     - ``<index_path>/pq_codebooks.parquet`` — (sub, code, centroid),
@@ -2907,6 +2961,9 @@ def build_ivfadc_index(
     deadline-bounded callers trade sample size for wall); ONE
     map-only Arrow pass encodes the corpus. Returns
     (nlist_eff, ksub)."""
+    metric = metric.upper()
+    if metric not in ("L2", "IP"):
+        raise ValueError(f"unknown metric {metric!r}; use L2|IP")
     cent, books = _train_ivfadc(
         corpus, vec_col, nlist, m, nbits, seed, train_fraction,
         n_corpus, train_cap,
@@ -2919,9 +2976,12 @@ def build_ivfadc_index(
         f"{index_path}/centroids.parquet"
     )
     _write_pq_codebooks(spark, index_path, books)
-    _ivfadc_encode(corpus, cent, books, vec_col, corpus_id).write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    _write_ivf_meta(spark, index_path, metric)
+    _ivfadc_encode(
+        corpus, cent, books, vec_col, corpus_id, metric
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_path}/codes.parquet"
+    )
     return len(cent), books.shape[1]
 
 
@@ -2944,22 +3004,27 @@ def upsert_ivfadc_index(
     corpus_id: str = "vec_id",
 ) -> int:
     """Incremental IVFADC maintenance: route + residual-encode a batch
-    of NEW vectors with the EXISTING quantizers and append into the
-    partitioned code store — no retrain, no re-encode (the IVF/PQ
-    upsert contract; quantizer drift until the next build is the
-    standard tradeoff). Returns the number of rows appended."""
+    of NEW vectors with the EXISTING quantizers — assignment under
+    the STORE's recorded metric, so IP stores keep max-IP routing
+    across upserts — and append into the partitioned code store; no
+    retrain, no re-encode (the IVF/PQ upsert contract; quantizer
+    drift until the next build is the standard tradeoff). Returns
+    the number of rows appended."""
     spark = new_vectors.sparkSession
     cent = _load_ivf_centroids(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
+    metric = _load_ivf_meta(spark, index_path)
     # appended-row count from the code store's parquet FOOTERS
     # (metadata-only) instead of a .count() that re-executes the
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
     n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
-    _ivfadc_encode(new_vectors, cent, books, vec_col, corpus_id).write.mode(
-        "append"
-    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    _ivfadc_encode(
+        new_vectors, cent, books, vec_col, corpus_id, metric
+    ).write.mode("append").partitionBy("list_id").parquet(
+        f"{index_path}/codes.parquet"
+    )
     return (
         spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
     )
@@ -3496,15 +3561,39 @@ def _sq8_query_weights(qmat, vmin, vdiff, metric: str):
     return (Y * s[None, :]).T, (Y**2).sum(axis=1), s**2
 
 
-def _sq8_code_batch(X, vmin_f32, scale_f32):
-    """uint8 SQ8 codes of a float32 batch: clip(rint((x − vmin) ×
-    255/vdiff), 0, 255) — the one encode kernel both the flat and the
-    IVF-routed passes run."""
+def _sq8_code_batch(X, vmin_f, scale_f):
+    """uint8 SQ8 codes of a batch: clip(rint((x − vmin) × 255/vdiff),
+    0, 255) — the one encode kernel both the flat and the IVF-routed
+    passes run. Encode arithmetic is float64 everywhere (callers pass
+    float64 X/params): codes are then a pure function of the input
+    values, reproducible by any engine's double arithmetic (the SQL
+    oracles mirror this expression with ``round_even``), and identical
+    between inline and persisted builds. Encode is a one-time map-only
+    pass, so the 2× traffic vs float32 never sits on the scan path."""
     import numpy as np
 
     return np.clip(
-        np.rint((X - vmin_f32[None, :]) * scale_f32[None, :]), 0, 255
+        np.rint((X - vmin_f[None, :]) * scale_f[None, :]), 0, 255
     ).astype(np.uint8)
+
+
+def _sq8_symmetric_weights(qmat, vmin, vdiff):
+    """(W, bias, extra) casting SYMMETRIC code-space squared-L2 into
+    the same (bias − 2·C@W + (C²)@extra) scoring shape the asymmetric
+    kernel runs: encode the queries with the corpus quantizer, then
+    ‖c_q − c‖² = ‖c_q‖² − 2 c·c_q + ‖c‖², i.e. W = C_qᵀ, bias =
+    rowsum(C_q²), extra = 1⃗. Every term is an integer ≤ dim·255²
+    (< 2⁵³), so float64 accumulation is EXACT and order-independent —
+    the property that lets the DuckDB oracles reproduce the candidate
+    set bit-for-bit (the same trick ``dense_topk_quantized``'s
+    symmetric mode uses). L2-only by construction."""
+    import numpy as np
+
+    scale = 255.0 / vdiff
+    CQ = _sq8_code_batch(
+        qmat.astype(np.float64), vmin, scale
+    ).astype(np.float64)
+    return CQ.T, (CQ**2).sum(axis=1), np.ones(len(vmin))
 
 
 def sq8_train(
@@ -3569,14 +3658,15 @@ def sq8_encode(
     )
 
     def encode(batches):
-        vmin_b = bc.value[0].astype(np.float32)
-        scale_b = (np.float32(255.0) / bc.value[1]).astype(np.float32)
+        # float64 encode arithmetic — see _sq8_code_batch for why
+        vmin_b = bc.value[0]
+        scale_b = 255.0 / bc.value[1]
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             X = _pa_matrix(
                 rb.column(rb.schema.get_field_index(vec_col)),
-                dtype=np.float32,
+                dtype=np.float64,
             )
             if X.shape[1] != dim:
                 raise ValueError(
@@ -3615,27 +3705,44 @@ def sq8_topk(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Approximate top-k over SQ8 codes by asymmetric scoring against
     the affine decode (see the section header identities): the whole
     batch scores against ALL queries in two BLAS matmuls — C @ W and
-    (for L2) C² @ s² — with no per-row decode. Scan payload is dim
-    bytes/vector (4× under float32); same per-batch local top-k +
-    tiny global window shape as ``pq_topk``, same optional exact
-    refine stage. Output: (query_id, <corpus_id>, score double,
-    rank int)."""
+    (for L2) C² @ s² — with no per-row decode, run in FLOAT32 (the
+    codes are 8-bit, the stage-1 ranking is approximate by contract
+    and the refine stage is exact, so float32's ~1e-7 relative error
+    buys half the memory traffic and ~2× BLAS throughput over the
+    float64 kernel — top-k equivalence asserted in tests). Scan
+    payload is dim bytes/vector (4× under float32); same per-batch
+    local top-k + tiny global window shape as ``pq_topk``, same
+    optional exact refine stage.
+
+    ``symmetric=True`` (L2 only) scores in CODE SPACE against the
+    quantized queries instead — every partial an exact integer in
+    float64, making the candidate set order-independent and
+    bit-reproducible by a SQL oracle (see ``_sq8_symmetric_weights``);
+    this path keeps the float64 matmul because integer sums up to
+    dim·255² exceed float32's 2²⁴ mantissa. Output: (query_id,
+    <corpus_id>, score double, rank int)."""
     import numpy as np
 
     metric = metric.upper()
     if metric not in ("L2", "IP"):
         raise ValueError(f"unknown metric {metric!r}; use L2|IP")
+    if symmetric and metric != "L2":
+        raise ValueError("symmetric SQ8 scoring is L2-only")
     vmin = np.asarray(vmin, dtype=np.float64)
     vdiff = np.asarray(vdiff, dtype=np.float64)
     dim = len(vmin)
     qids, qmat = _query_matrix(queries, query_id, query_vec)
     if qmat.shape[1] != dim:
         raise ValueError(f"query dim {qmat.shape[1]} != trained dim {dim}")
-    W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
+    if symmetric:
+        W, bias, extra = _sq8_symmetric_weights(qmat, vmin, vdiff)
+    else:
+        W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
     bc = codes.sparkSession.sparkContext.broadcast(
         (qids, W, bias, extra)
     )
@@ -3657,22 +3764,26 @@ def sq8_topk(
 
     def local_topk(batches):
         qids_b, W_b, bias_b, extra_b = bc.value
-        Wf = W_b.astype(np.float64)
+        # float64 only when exactness is the contract (symmetric mode)
+        dt = np.float64 if symmetric else np.float32
+        Wf = W_b.astype(dt)
+        extra_f = None if extra_b is None else extra_b.astype(dt)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             C = _pa_codes(
                 rb.column(rb.schema.get_field_index(code_col)), dim
-            ).astype(np.float64)
+            ).astype(dt)
             ids = rb.column(rb.schema.get_field_index(corpus_id))
             ids_np = ids.to_numpy(zero_copy_only=False)
             if metric == "IP":
+                # float32 matmul; float64 bias add upcasts the result
                 S = C @ Wf + bias_b[None, :]          # (n, Q)
             else:
                 S = (
                     bias_b[None, :]
                     - 2.0 * (C @ Wf)
-                    + ((C**2) @ extra_b)[:, None]
+                    + ((C**2) @ extra_f)[:, None]
                 )
                 S = np.sqrt(np.maximum(S, 0.0))
             kk = min(kk1, rb.num_rows)
@@ -3719,6 +3830,7 @@ def build_sq8_index(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     train_cap: int | None = None,
+    params: tuple | None = None,
 ) -> int:
     """Persisted SQ8 index build (train-once contract, parity with the
     PQ/IVFADC/OPQ lifecycles):
@@ -3728,10 +3840,20 @@ def build_sq8_index(
     - ``<index_path>/codes.parquet`` — (<corpus_id>, sq8_code binary),
       dim BYTES per vector off ONE map-only Arrow pass.
 
-    Returns dim."""
-    vmin, vdiff = sq8_train(
-        corpus, vec_col, seed, train_fraction, n_corpus, train_cap
-    )
+    ``params=(vmin, vdiff)`` pins the per-dim ranges instead of
+    training them off the spread sample — the FAISS
+    ``QT_8bit_direct``-style fixed-range mode; with pinned ranges the
+    whole encode is deterministic double arithmetic, which is what
+    lets the SQL oracles reproduce the store. Returns dim."""
+    import numpy as np
+
+    if params is not None:
+        vmin = np.asarray(params[0], dtype=np.float64)
+        vdiff = np.asarray(params[1], dtype=np.float64)
+    else:
+        vmin, vdiff = sq8_train(
+            corpus, vec_col, seed, train_fraction, n_corpus, train_cap
+        )
     spark = corpus.sparkSession
     spark.createDataFrame(
         [
@@ -3800,19 +3922,20 @@ def sq8_topk_index(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Search a ``build_sq8_index`` store: params load to the driver
     (dim rows), the code column is scanned with the two-matmul
     asymmetric kernel — byte-identical results to inline
     ``sq8_train``+``sq8_encode``+``sq8_topk`` at the same seed
-    (asserted in tests)."""
+    (asserted in tests). ``symmetric`` as in ``sq8_topk``."""
     vmin, vdiff = load_sq8_params(spark, index_path)
     codes = spark.read.parquet(f"{index_path}/codes.parquet")
     return sq8_topk(
         codes, queries, vmin, vdiff,
         k=k, metric=metric, corpus_id=corpus_id, query_id=query_id,
         query_vec=query_vec, refine=refine, refine_k=refine_k,
-        vec_col=vec_col,
+        vec_col=vec_col, symmetric=symmetric,
     )
 
 
@@ -3826,6 +3949,8 @@ def build_ivfsq8_index(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     train_cap: int | None = None,
+    params: tuple | None = None,
+    metric: str = "L2",
 ) -> tuple[int, int]:
     """Persisted IVF_SQ8 index build — the public Milvus IVF_SQ8 /
     FAISS IndexIVFScalarQuantizer composition: coarse quantizer routes
@@ -3834,7 +3959,11 @@ def build_ivfsq8_index(
     range already covers the whole corpus, so list-local residual
     coding buys little at 8 bits/dim and raw codes keep the scoring
     kernel list-independent — one broadcast (W, bias) per query, no
-    per-list LUT rebuild):
+    per-list LUT rebuild). ``params=(vmin, vdiff)`` pins the per-dim
+    ranges (deterministic encode — see ``build_sq8_index``);
+    ``metric`` is the INDEX metric driving list assignment at build
+    and upsert, recorded in ``ivf_meta.parquet`` (see
+    ``build_ivfadc_index``):
 
     - ``<index_path>/centroids.parquet``  — (list_id, centroid);
     - ``<index_path>/sq8_params.parquet`` — (dim_idx, vmin, vdiff);
@@ -3848,6 +3977,9 @@ def build_ivfsq8_index(
     (nlist_eff, dim)."""
     import numpy as np
 
+    metric = metric.upper()
+    if metric not in ("L2", "IP"):
+        raise ValueError(f"unknown metric {metric!r}; use L2|IP")
     X = _spread_sample(
         corpus,
         vec_col,
@@ -3857,9 +3989,13 @@ def build_ivfsq8_index(
         n_corpus,
     )
     cent = _lloyd(X, nlist, seed)
-    vmin = X.min(axis=0).astype(np.float64)
-    vdiff = X.max(axis=0).astype(np.float64) - vmin
-    vdiff[vdiff <= 0] = 1.0
+    if params is not None:
+        vmin = np.asarray(params[0], dtype=np.float64)
+        vdiff = np.asarray(params[1], dtype=np.float64)
+    else:
+        vmin = X.min(axis=0).astype(np.float64)
+        vdiff = X.max(axis=0).astype(np.float64) - vmin
+        vdiff[vdiff <= 0] = 1.0
     dim = X.shape[1]
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -3874,9 +4010,12 @@ def build_ivfsq8_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_path}/sq8_params.parquet"
     )
-    _ivfsq8_encode(corpus, cent, vmin, vdiff, vec_col, corpus_id).write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(f"{index_path}/codes.parquet")
+    _write_ivf_meta(spark, index_path, metric)
+    _ivfsq8_encode(
+        corpus, cent, vmin, vdiff, vec_col, corpus_id, metric
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_path}/codes.parquet"
+    )
     return len(cent), dim
 
 
@@ -3887,10 +4026,14 @@ def _ivfsq8_encode(
     vdiff: "np.ndarray",
     vec_col: str,
     corpus_id: str,
+    metric: str = "L2",
 ) -> DataFrame:
-    """ONE map-only Arrow pass: nearest-centroid routing + dim-byte
-    SQ8 code per vector (the coarse matmul plus one vectorized
-    clip/rint), codes built zero-copy off Arrow buffers.
+    """ONE map-only Arrow pass: centroid routing under the INDEX
+    metric (see ``_ivfadc_encode``) + dim-byte SQ8 code per vector
+    (the coarse matmul plus one vectorized clip/rint), codes built
+    zero-copy off Arrow buffers. The SQ8 encode itself runs in
+    float64 (see ``_sq8_code_batch``); only the routing matmul stays
+    float32 — routing has no value-parity contract.
 
     Output: (<corpus_id>, list_id int, sq8_code binary)."""
     import numpy as np
@@ -3914,8 +4057,8 @@ def _ivfsq8_encode(
 
     def encode(batches):
         cent_b = bc.value[0].astype(np.float32)
-        vmin_b = bc.value[1].astype(np.float32)
-        scale_b = (np.float32(255.0) / bc.value[2]).astype(np.float32)
+        vmin_b = bc.value[1]
+        scale_b = 255.0 / bc.value[2]
         cm = cent_b.T
         c2 = (cent_b**2).sum(axis=1)
         for rb in batches:
@@ -3923,10 +4066,16 @@ def _ivfsq8_encode(
                 continue
             X = _pa_matrix(
                 rb.column(rb.schema.get_field_index(vec_col)),
-                dtype=np.float32,
+                dtype=np.float64,
             )
             n = X.shape[0]
-            a = (c2[None, :] - np.float32(2.0) * (X @ cm)).argmin(axis=1)
+            X32 = X.astype(np.float32)
+            if metric == "IP":
+                a = (X32 @ cm).argmax(axis=1)
+            else:
+                a = (c2[None, :] - np.float32(2.0) * (X32 @ cm)).argmin(
+                    axis=1
+                )
             codes = _sq8_code_batch(X, vmin_b, scale_b)
             flat = np.ascontiguousarray(codes).reshape(-1)
             offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
@@ -3955,13 +4104,14 @@ def upsert_ivfsq8_index(
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
 ) -> int:
-    """Incremental IVF_SQ8 maintenance: route + encode a NEW batch
-    with the EXISTING quantizers and append into the partitioned code
-    store — no retrain (the shared upsert contract). Returns rows
-    appended."""
+    """Incremental IVF_SQ8 maintenance: route (under the store's
+    recorded metric) + encode a NEW batch with the EXISTING quantizers
+    and append into the partitioned code store — no retrain (the
+    shared upsert contract). Returns rows appended."""
     spark = new_vectors.sparkSession
     cent = _load_ivf_centroids(spark, index_path)
     vmin, vdiff = load_sq8_params(spark, index_path)
+    metric = _load_ivf_meta(spark, index_path)
     # appended-row count from the code store's parquet FOOTERS
     # (metadata-only) instead of a .count() that re-executes the
     # batch lineage — the documented ingest shape derives batches
@@ -3969,7 +4119,7 @@ def upsert_ivfsq8_index(
     # sparse/minhash upserts)
     n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
     _ivfsq8_encode(
-        new_vectors, cent, vmin, vdiff, vec_col, corpus_id
+        new_vectors, cent, vmin, vdiff, vec_col, corpus_id, metric
     ).write.mode("append").partitionBy("list_id").parquet(
         f"{index_path}/codes.parquet"
     )
@@ -3991,8 +4141,12 @@ def ann_topk_ivfsq8(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Search a ``build_ivfsq8_index`` store: nprobe-bounded SQ8 ADC.
+    ``symmetric`` as in ``sq8_topk`` (exact code-space L2; at full
+    probe the result set equals flat symmetric ``sq8_topk`` exactly —
+    the property the SQL oracle relies on).
 
     Driver side (all tiny): centroids + per-dim params load, each
     query picks its ``nprobe`` nearest lists, and the scoring weights
@@ -4010,6 +4164,8 @@ def ann_topk_ivfsq8(
     metric = metric.upper()
     if metric not in ("L2", "IP"):
         raise ValueError(f"unknown metric {metric!r}; use L2|IP")
+    if symmetric and metric != "L2":
+        raise ValueError("symmetric SQ8 scoring is L2-only")
     cent = _load_ivf_centroids(spark, index_path)
     vmin, vdiff = load_sq8_params(spark, index_path)
     dim = len(vmin)
@@ -4024,7 +4180,10 @@ def ann_topk_ivfsq8(
         key = (cent**2).sum(axis=1)[None, :] - 2.0 * (qmat @ cent.T)
     probes = np.argsort(key, axis=1, kind="stable")[:, :npb]
     probed = sorted({int(x) for x in probes.ravel()})
-    W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
+    if symmetric:
+        W, bias, extra = _sq8_symmetric_weights(qmat, vmin, vdiff)
+    else:
+        W, bias, extra = _sq8_query_weights(qmat, vmin, vdiff, metric)
 
     probe_sets = [set(int(x) for x in probes[qi]) for qi in range(len(qids))]
     bc = spark.sparkContext.broadcast((qids, probe_sets, W, bias, extra))
@@ -4049,7 +4208,11 @@ def ann_topk_ivfsq8(
 
     def local_topk(batches):
         qids_b, probe_sets_b, W_b, bias_b, extra_b = bc.value
-        Wf = W_b.astype(np.float64)
+        # float32 scan kernel unless symmetric exactness is required
+        # — see sq8_topk
+        dt = np.float64 if symmetric else np.float32
+        Wf = W_b.astype(dt)
+        extra_f = None if extra_b is None else extra_b.astype(dt)
         # list_id -> probing query indices, built ONCE per task
         probe_map: dict[int, list[int]] = {}
         for qi, ps in enumerate(probe_sets_b):
@@ -4060,7 +4223,7 @@ def ann_topk_ivfsq8(
                 continue
             C = _pa_codes(
                 rb.column(rb.schema.get_field_index("sq8_code")), dim
-            ).astype(np.float64)
+            ).astype(dt)
             L = (
                 rb.column(rb.schema.get_field_index("list_id"))
                 .to_numpy(zero_copy_only=False)
@@ -4080,10 +4243,11 @@ def ann_topk_ivfsq8(
                 rows_l = order[bounds[ui] : bounds[ui + 1]]
                 Csub = C[rows_l]
                 M = Csub @ Wf[:, qis]  # (rows, |qis|)
-                if extra_b is not None:
-                    sq = (Csub**2) @ extra_b
+                if extra_f is not None:
+                    sq = (Csub**2) @ extra_f
                 for col, qi in enumerate(qis):
-                    if extra_b is None:
+                    # float64 bias upcasts the float32 kernel output
+                    if extra_f is None:
                         sc = M[:, col] + bias_b[qi]
                     else:
                         sc = bias_b[qi] - 2.0 * M[:, col] + sq

@@ -850,3 +850,79 @@ def test_minhash_index_dedup_and_upsert(spark, tmp_path):
         threshold=0.5,
     ).collect()
     assert (1, 21) in {(r["doc_a"], r["doc_b"]) for r in hit1}
+
+
+def test_minhash_probe_leaves_no_cache_entries(spark, tmp_path):
+    """The probe must not pin cache entries for the session lifetime
+    (r15 ADVICE: batch_sigs.persist() was never unpersisted, so every
+    probe in a recurring ingest-refresh loop grew the CacheManager
+    unboundedly). localCheckpoint keeps the plan shape without the
+    CacheManager registration."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_probe_index,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    base_empty = cm.isEmpty()
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (3, "completely different words about parquet row groups")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_leak")
+    build_minhash_index(old, path, n=3, num_perm=16, bands=4)
+    minhash_probe_index(spark, path, new, threshold=0.5).collect()
+    dedup_against_index(spark, path, new, threshold=0.5).collect()
+    assert cm.isEmpty() == base_empty and base_empty, (
+        "probe left entries in the CacheManager"
+    )
+
+
+def test_dedup_against_index_intra_batch(spark, tmp_path):
+    """Default: two near-duplicates within one batch both survive
+    (neither is in the store). intra_batch=True drops the larger-id
+    member off the same band rows, so the pair is never upserted."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "dreams of fish and chips in the warm afternoon sun near the "
+        "river bank"
+    )
+    old = spark.createDataFrame(
+        [(1, "all about broadcast joins and bloom filters inside a "
+             "columnar execution engine running adaptive plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base),                               # intra-batch dup pair...
+         (11, base.replace("dreams", "thinks")),   # ...with 10
+         (12, "fresh unique content mentioning watermarks and state "
+              "stores in structured streaming applications")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_intra")
+    build_minhash_index(old, path, n=3, num_perm=16, bands=4)
+    lax = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            spark, path, new, threshold=0.5
+        ).collect()
+    }
+    assert lax == {10, 11, 12}  # the documented gap
+    strict = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            spark, path, new, threshold=0.5, intra_batch=True
+        ).collect()
+    }
+    assert strict == {10, 12}  # 11 drops against smaller-id 10

@@ -1190,6 +1190,119 @@ def _golden_mp4(timescale, duration, version=0, trailing_mdat=True):
     return out
 
 
+def _mp4_box(typ, payload):
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _golden_mp4_audio(
+    timescale, duration, sr, ch, video_trak_first=False,
+    truncate_entry=False,
+):
+    """ftyp + moov(mvhd + [vide trak] + audio trak) with a full
+    trak→mdia→hdlr('soun')/minf→stbl→stsd→mp4a walk — the ISO
+    14496-12 §12.2.3 AudioSampleEntry layout (channelcount BE u16 at
+    payload +16, samplerate 16.16 at +24)."""
+    import struct
+
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration),
+    )
+    entry_payload = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dri
+        + b"\x00" * 8                               # reserved[2] u32
+        + struct.pack(">HHHH", ch, 16, 0, 0)        # ch/size/pre/resv
+        + struct.pack(">I", sr << 16)               # 16.16 samplerate
+    )
+    if truncate_entry:
+        entry_payload = entry_payload[:20]  # cut before samplerate
+    entry = _mp4_box(b"mp4a", entry_payload)
+    stsd = _mp4_box(
+        b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry
+    )
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"soun")
+    mdia = _mp4_box(
+        b"mdia", hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+    )
+    traks = _mp4_box(b"trak", mdia)
+    if video_trak_first:
+        vhdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide")
+        traks = _mp4_box(b"trak", _mp4_box(b"mdia", vhdlr)) + traks
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    return ftyp + moov
+
+
+def test_parse_av_header_mp4_audio_track(spark):
+    """MP4 per-track audio metadata (r14 VERDICT item 8): the stsd
+    box walk fills sample_rate/n_channels from the first AUDIO
+    track's sample entry; video traks are skipped by handler type, a
+    truncated entry yields NULLs, and a moov with no trak keeps the
+    r14 NULL behavior."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_av,
+        parse_av_header,
+    )
+
+    cases = [
+        (1, _golden_mp4_audio(1000, 3500, 44100, 2),
+         ("mp4", 3500, 44100, 2)),
+        # a video trak first: the walk must reach the AUDIO trak
+        (2, _golden_mp4_audio(90000, 45000, 16000, 1,
+                              video_trak_first=True),
+         ("mp4", 500, 16000, 1)),
+        # entry truncated before the samplerate field -> NULLs
+        (3, _golden_mp4_audio(1000, 1000, 8000, 1, truncate_entry=True),
+         ("mp4", 1000, None, None)),
+        # no trak at all: unchanged r14 behavior
+        (4, _golden_mp4(1000, 2000), ("mp4", 2000, None, None)),
+    ]
+    for _, payload, want in cases:
+        assert parse_av_header(payload) == want, payload[:16]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in cases],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (
+            r["av_format"], r["duration_ms"], r["sample_rate"],
+            r["n_channels"],
+        )
+        for r in decode_av(df).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_parse_av_header_mp4_audio_property():
+    """Property: any (timescale, duration, sr ≤ u16, ch) synthesizes
+    and parses back exactly — the stsd walk has no constants tuned to
+    the golden case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_av_header,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ts=st.integers(min_value=1, max_value=2**32 - 1),
+        dur=st.integers(min_value=0, max_value=2**32 - 1),
+        sr=st.integers(min_value=0, max_value=65535),
+        ch=st.integers(min_value=0, max_value=65535),
+        vfirst=st.booleans(),
+    )
+    def case(ts, dur, sr, ch, vfirst):
+        got = parse_av_header(
+            _golden_mp4_audio(ts, dur, sr, ch, video_trak_first=vfirst)
+        )
+        assert got == ("mp4", dur * 1000 // ts, sr, ch)
+
+    case()
+
+
 def test_parse_av_header_golden(spark):
     """Real AV header parsing (r13 VERDICT item 5): WAV RIFF chunk
     walk (incl. word-aligned odd chunks) and MP4 mvhd v0/v1 box walk

@@ -1457,7 +1457,11 @@ def test_sq8_scores_match_affine_reconstruction(emb, queries, tmp_path):
     against the affine reconstruction x̂ = vmin + c·(vdiff/255) for
     BOTH metrics — an independent numpy check that pins the kernel
     (the SQ8 analogue of the IVFADC reconstruction test that caught
-    the r13 shifted-query LUT bug)."""
+    the r13 shifted-query LUT bug). The scan kernel runs float32
+    (r14 VERDICT item 3), so the comparison happens in SQUARED
+    space with a tolerance sized to float32 accumulation noise
+    (~1e-4 at this fixture's magnitudes) — far below any formula
+    bug, which shows up at O(1)."""
     import numpy as np
 
     from embedding_to_vectordatabase_spark.operators.search import (
@@ -1487,20 +1491,81 @@ def test_sq8_scores_match_affine_reconstruction(emb, queries, tmp_path):
         for r in out:
             xhat = vmin + code_map[r["vec_id"]].astype(np.float64) * s
             q = qmat[r["query_id"]]
-            want = (
-                float(q @ xhat)
-                if metric == "IP"
-                else float(np.sqrt(((q - xhat) ** 2).sum()))
-            )
-            assert abs(r["score"] - want) < 1e-6, (metric, r)
+            if metric == "IP":
+                want = float(q @ xhat)
+                assert abs(r["score"] - want) < 1e-3, (metric, r, want)
+            else:
+                want_sq = float(((q - xhat) ** 2).sum())
+                assert abs(r["score"] ** 2 - want_sq) < 1e-3, (
+                    metric, r, want_sq,
+                )
+
+
+def test_sq8_symmetric_mode_is_exact_integer_distance(spark, emb):
+    """``symmetric=True`` scores must EQUAL the independently computed
+    code-space L2 distance bit-for-bit — the integer-exactness
+    property the SQL oracles rely on (every partial ≤ dim·255² < 2⁵³,
+    so float64 accumulation is order-independent). Pinned params make
+    the encode deterministic double arithmetic end-to-end."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        sq8_encode,
+        sq8_topk,
+    )
+
+    dim = len(emb.first()["embedding"])
+    vmin = np.full(dim, -1.0)
+    vdiff = np.full(dim, 2.0)
+    codes = sq8_encode(emb, vmin, vdiff)
+    code_map = {
+        r["vec_id"]: np.frombuffer(
+            bytes(r["sq8_code"]), dtype=np.uint8
+        ).astype(np.float64)
+        for r in codes.collect()
+    }
+    q_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qcodes = {
+        qid: np.clip(
+            np.rint((np.array(vec, dtype=np.float64) + 1.0) * 127.5),
+            0, 255,
+        )
+        for qid, vec in (
+            (r["query_id"], list(r["embedding"])) for r in q_df.collect()
+        )
+    }
+    out = sq8_topk(
+        codes, q_df, vmin, vdiff, k=5, metric="L2", symmetric=True
+    ).collect()
+    assert len(out) == 4 * 5
+    for r in out:
+        want = float(
+            np.sqrt(((qcodes[r["query_id"]] - code_map[r["vec_id"]]) ** 2).sum())
+        )
+        assert r["score"] == want, (r, want)
+    # IP rejects symmetric by contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="L2-only"):
+        sq8_topk(codes, q_df, vmin, vdiff, metric="IP", symmetric=True)
 
 
 def test_ivfsq8_full_probe_equals_flat_sq8(emb, queries, tmp_path):
     """At nprobe == nlist every list is probed by every query, so the
-    IVF_SQ8 search must return EXACTLY flat sq8_topk's results when
-    both use the same trained ranges (raw — not residual — codes make
-    the scoring kernel list-independent, so routing can only change
-    WHICH rows score, and at full probe that's all of them)."""
+    IVF_SQ8 search must return flat sq8_topk's results when both use
+    the same trained ranges (raw — not residual — codes make the
+    scoring kernel list-independent, so routing can only change WHICH
+    rows score, and at full probe that's all of them). The SYMMETRIC
+    path asserts BIT-EXACT equality (integer-exact float64 kernel);
+    the asymmetric paths run float32 GEMMs whose summation order
+    differs between the flat and grouped-by-list shapes, so they
+    assert score agreement at float32 noise scale plus per-query
+    membership overlap — a routing bug drops whole lists and fails
+    both forms by orders of magnitude."""
+    from collections import defaultdict
+
     from embedding_to_vectordatabase_spark.operators.search import (
         ann_topk_ivfsq8,
         build_ivfsq8_index,
@@ -1514,21 +1579,50 @@ def test_ivfsq8_full_probe_equals_flat_sq8(emb, queries, tmp_path):
     nlist, dim = build_ivfsq8_index(emb, path, nlist=8, seed=7)
     assert dim == len(emb.first()["embedding"])
     vmin, vdiff = load_sq8_params(spark, path)
+    flat_codes = sq8_encode(emb, vmin, vdiff)
+
+    # exact form: symmetric kernels are float64 integer-exact in both
+    # paths, so full probe must match bit-for-bit
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in ann_topk_ivfsq8(
+            spark, path, queries, k=5, metric="L2", nprobe=nlist,
+            symmetric=True,
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in sq8_topk(
+            flat_codes, queries, vmin, vdiff, k=5, metric="L2",
+            symmetric=True,
+        ).collect()
+    )
+    assert got == want
+
+    # float32 asymmetric form: per-(query, rank) score agreement at
+    # float32 noise scale + >=4/5 per-query membership overlap
     for metric in ("IP", "L2"):
-        got = sorted(
-            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
-            for r in ann_topk_ivfsq8(
-                spark, path, queries, k=5, metric=metric, nprobe=nlist
-            ).collect()
-        )
-        want = sorted(
-            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
-            for r in sq8_topk(
-                sq8_encode(emb, vmin, vdiff), queries, vmin, vdiff,
-                k=5, metric=metric,
-            ).collect()
-        )
-        assert got == want, metric
+        got_rows = ann_topk_ivfsq8(
+            spark, path, queries, k=5, metric=metric, nprobe=nlist
+        ).collect()
+        want_rows = sq8_topk(
+            flat_codes, queries, vmin, vdiff, k=5, metric=metric
+        ).collect()
+        g, w = defaultdict(dict), defaultdict(dict)
+        for r in got_rows:
+            g[r["query_id"]][r["rank"]] = (r["vec_id"], r["score"])
+        for r in want_rows:
+            w[r["query_id"]][r["rank"]] = (r["vec_id"], r["score"])
+        assert set(g) == set(w) and g
+        for qid in w:
+            assert set(g[qid]) == set(w[qid])
+            for rank in w[qid]:
+                assert abs(g[qid][rank][1] - w[qid][rank][1]) < 1e-3, (
+                    metric, qid, rank, g[qid][rank], w[qid][rank],
+                )
+            g_ids = {v for v, _ in g[qid].values()}
+            w_ids = {v for v, _ in w[qid].values()}
+            assert len(g_ids & w_ids) >= 4, (metric, qid, g_ids, w_ids)
 
 
 def test_ivfsq8_partition_pruning_recall_and_upsert(emb, queries, tmp_path):
@@ -1670,6 +1764,39 @@ def test_bm25_index_upsert_equals_full_build(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_bm25_index_df_above_ndocs_clamps_idf(spark, tmp_path):
+    """df is a posting-ROW count per segment, so duplicate (doc,
+    token) rows in one build — or a document split across upserts —
+    can push df past n_docs; the Lucene form log((N+1)/(df+0.5))
+    then goes NEGATIVE and the term scores as a penalty (r15
+    ADVICE). The clamp keeps idf at Lucene's nonnegative floor:
+    scores stay finite and positive."""
+    import math
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+    )
+
+    # df('x') = 2 posting rows > n_docs = 1: unclamped idf would be
+    # log(2/2.5) < 0
+    postings = spark.createDataFrame(
+        [("d1", "x", 1.0), ("d1", "x", 1.0)],
+        "doc_id string, token string, weight double",
+    )
+    path = str(tmp_path / "bm25_dupdf")
+    build_sparse_index(
+        postings, path, num_buckets=4, store_doc_stats=True
+    )
+    qt = spark.createDataFrame(
+        [("q1", "x")], "query_id string, token string"
+    )
+    out = bm25_topk_index(spark, path, qt, k=5).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert math.isfinite(r["score"]) and r["score"] > 0, r
+
+
 def test_ivf_probe_selection_follows_metric(spark, tmp_path):
     """IP probe routing must pick the max-inner-product lists, not the
     L2-nearest ones: with an unnormalized corpus the true max-IP
@@ -1721,6 +1848,70 @@ def test_ivf_probe_selection_follows_metric(spark, tmp_path):
         ).collect()
     }
     assert got_sq8 and got_sq8 <= exact_top, got_sq8
+
+
+def test_ivf_ip_store_assigns_by_max_ip_and_upsert_keeps_metric(
+    spark, tmp_path
+):
+    """An IP-metric store must ASSIGN lists by max inner product at
+    build AND upsert (r14 ADVICE: search-time probes were made
+    metric-faithful but encode still routed by L2, so high-IP vectors
+    could land in lists the IP probe ranks low). The metric is
+    recorded in ivf_meta.parquet and honored by upserts without the
+    caller restating it."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _load_ivf_centroids,
+        _load_ivf_meta,
+        build_ivfadc_index,
+        build_ivfsq8_index,
+        upsert_ivfadc_index,
+        upsert_ivfsq8_index,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    # two direction clusters with very different norms: IP and L2
+    # assignment disagree for the high-norm half
+    lo = rng.normal(0, 0.05, (100, dim)) + 0.3
+    hi = rng.normal(0, 0.05, (100, dim)) + 20.0
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([lo, hi]))
+    ]
+    emb_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    for name, build, upsert in (
+        ("adc", build_ivfadc_index, upsert_ivfadc_index),
+        ("sq8", build_ivfsq8_index, upsert_ivfsq8_index),
+    ):
+        path = str(tmp_path / f"ip_store_{name}")
+        old = emb_df.filter(F.col("vec_id") % 2 == 0)
+        kwargs = {"nlist": 4, "seed": 7, "metric": "IP"}
+        if name == "adc":
+            kwargs["m"] = 4
+        build(old, path, **kwargs)
+        assert _load_ivf_meta(spark, path) == "IP"
+        cent = _load_ivf_centroids(spark, path)
+        upsert(path, emb_df.filter(F.col("vec_id") % 2 == 1))
+        got = {
+            r["vec_id"]: int(r["list_id"])
+            for r in spark.read.parquet(f"{path}/codes.parquet")
+            .select("vec_id", "list_id")
+            .collect()
+        }
+        assert len(got) == 200
+        for vid, lid in got.items():
+            ips = cent @ vecs[vid]
+            # float32 routing vs this float64 check can flip exact
+            # near-ties between cluster-sibling centroids; require
+            # the chosen list's IP to BE the max up to that noise
+            assert ips[lid] >= ips.max() - 1e-3 * max(
+                1.0, abs(ips.max())
+            ), (name, vid, lid, ips)
 
 
 def test_bm25_index_duplicate_query_terms_match_inline(spark, sf_dir, tmp_path):
