@@ -2754,18 +2754,26 @@ def _q_ivfadc_topk_refined(spark, sf_dir):
 
 def _q_sq8_topk_refined(spark, sf_dir):
     """SQ8 scalar quantization (public FAISS QT_8bit / Milvus IVF_SQ8
-    recipe): per-dimension trained [vmin, vmax] ranges, one byte per
-    dimension (4x under float32), ADC scoring via the affine decode
-    identity as two BLAS matmuls per batch, exact re-rank of the
-    bounded candidates (operators/search.py:build_sq8_index/
-    sq8_topk_index) — completes the quantization menu (int8
-    symmetric / PQ / OPQ / IVFADC / SQ8) with the same persisted
-    train-once lifecycle. Rows-only: the trained ranges come off the
-    partition-head spread sample, which SQL can't reproduce; refined
-    ==dense_topk equality, index==inline parity, the affine-
-    reconstruction score identity and the upsert contract are
-    asserted in tests/test_search.py."""
+    recipe): per-dimension [vmin, vmax] ranges, one byte per dimension
+    (4x under float32), code-space scoring as two BLAS matmuls per
+    batch, exact re-rank of the bounded candidates
+    (operators/search.py:build_sq8_index/sq8_topk_index) — completes
+    the quantization menu (int8 symmetric / PQ / OPQ / IVFADC / SQ8)
+    with the same persisted train-once lifecycle. FULL value oracle
+    (r14 VERDICT item 4): ranges PINNED to [-1, 1] (the FAISS
+    QT_8bit_direct-style fixed-range mode — the synthetic embeddings
+    live inside it) make the encode pure double arithmetic
+    (clip(round_even((x+1)·127.5), 0, 255), float64 end-to-end), and
+    ``symmetric=True`` scores candidates as EXACT integer code-space
+    L2 (every partial ≤ dim·255² < 2⁵³, order-independent), so DuckDB
+    reproduces the candidate set bit-for-bit; the refine stage is the
+    same float64 L2 + 6dp round as o4's oracle. The spread-sample
+    TRAINED mode keeps its own coverage in tests/test_search.py
+    (refined==dense_topk, index==inline, affine-reconstruction
+    identity, upsert)."""
     import tempfile
+
+    import numpy as np
 
     from embedding_to_vectordatabase_spark.operators.search import (
         build_sq8_index,
@@ -2773,13 +2781,17 @@ def _q_sq8_topk_refined(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     path = tempfile.mkdtemp(prefix="sg_sq8_")
-    build_sq8_index(emb, path, seed=7, train_cap=512)
+    build_sq8_index(
+        emb, path, params=(np.full(dim, -1.0), np.full(dim, 2.0))
+    )
     out = sq8_topk_index(
-        spark, path, q, k=5, metric="L2", refine=emb, refine_k=20
+        spark, path, q, k=5, metric="L2", refine=emb, refine_k=20,
+        symmetric=True,
     )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
@@ -2791,13 +2803,19 @@ def _q_ivfsq8_topk_refined(spark, sf_dir):
     composition): coarse quantizer routes to nlist inverted lists,
     SQ8 codes the raw vectors at one byte/dim, search scans only the
     nprobe probed list PARTITIONS (parquet partition pruning, the
-    IVFADC mechanism) with the list-independent affine scoring
-    kernel, then exact-refines the bounded candidates
-    (operators/search.py:build_ivfsq8_index/ann_topk_ivfsq8).
-    Rows-only: seeded-kmeans routing isn't SQL-reproducible;
-    full-probe==flat-SQ8 equality, partition pruning, recall and
-    upsert are asserted in tests/test_search.py."""
+    IVFADC mechanism) with the list-independent scoring kernel, then
+    exact-refines the bounded candidates
+    (operators/search.py:build_ivfsq8_index/ann_topk_ivfsq8). FULL
+    value oracle (r14 VERDICT item 4): at nprobe == nlist every code
+    row scores exactly once, so seeded-kmeans routing cannot affect
+    the result and the pinned-range symmetric form is the SAME
+    deterministic arithmetic as the flat SQ8 oracle (full-probe ==
+    flat equality is ALSO asserted bit-exactly in
+    tests/test_search.py); pruned-probe recall and upsert keep their
+    test coverage."""
     import tempfile
+
+    import numpy as np
 
     from embedding_to_vectordatabase_spark.operators.search import (
         ann_topk_ivfsq8,
@@ -2805,18 +2823,67 @@ def _q_ivfsq8_topk_refined(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     path = tempfile.mkdtemp(prefix="sg_ivfsq8_")
-    nlist, _ = build_ivfsq8_index(emb, path, nlist=16, seed=7)
+    nlist, _ = build_ivfsq8_index(
+        emb, path, nlist=16, seed=7,
+        params=(np.full(dim, -1.0), np.full(dim, 2.0)),
+    )
     out = ann_topk_ivfsq8(
         spark, path, q, k=5, metric="L2", nprobe=nlist,
-        refine=emb, refine_k=20,
+        refine=emb, refine_k=20, symmetric=True,
     )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+# Shared by sq8_topk_refined and ivfsq8_topk_refined (full probe makes
+# the IVF store's routing irrelevant to the result): pinned-range SQ8
+# encode as pure double arithmetic, EXACT integer code-space L2 for
+# the candidate stage (bit-reproducible — no float summation-order
+# sensitivity), float64 exact L2 + 6dp round for the refine stage.
+_SQL_SQ8_TOPK = """
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           LEAST(GREATEST(round_even((CAST(x AS DOUBLE) + 1.0) * 127.5, 0),
+                          0.0), 255.0)) AS code
+  FROM embeddings
+), qc AS (
+  SELECT vec_id AS query_id, code FROM codes WHERE vec_id < 3
+), ascored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(q.code,
+           (x,i) -> (x - c.code[i]) * (x - c.code[i]))) AS d2
+  FROM qc q, codes c
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY d2, vec_id) AS arank
+    FROM ascored)
+  WHERE arank <= 20
+), refined AS (
+  SELECT cand.query_id, cand.vec_id,
+         sqrt(list_sum(list_transform(q.embedding, (x,i) ->
+           (CAST(x AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+           * (CAST(x AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))))
+           AS score
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score, vec_id) AS rank
+  FROM refined)
+WHERE rank <= 5
+"""
 
 
 def _q_dense_topk_quantized(spark, sf_dir):
@@ -4572,6 +4639,49 @@ def _q_minhash_probe_index(spark, sf_dir):
         old, path, n=3, num_perm=16, bands=4, hash_fn="md5"
     )
     return minhash_probe_index(spark, path, new, threshold=0.5)
+
+
+def _q_index_stats_report(spark, sf_dir):
+    """Operational report over a persisted index store
+    (operators/metrics.py:index_stats — r14 VERDICT item 9): build a
+    bucket-partitioned sparse store with doc stats off the even-id
+    half of the corpus postings, upsert the odd half (a second
+    append segment), then report per-relation rows/files/partitions/
+    occupancy-skew reading only parquet footers, directory-derived
+    partition values and file names — never a data column. Rows-only:
+    the numbers describe the PHYSICAL store layout (file/segment
+    counts), which SQL over the logical tables cannot see;
+    exact-count and segment-count assertions live in
+    tests/test_misc_operators.py::test_index_stats_report. Row count
+    is deterministic: one row per relation present (postings,
+    df_stats, corpus_stats, meta)."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        index_stats,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        upsert_sparse_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    path = tempfile.mkdtemp(prefix="sg_idx_stats_")
+    build_sparse_index(
+        postings.filter(F.col("doc_id") % 2 == 0), path,
+        num_buckets=16, store_doc_stats=True,
+    )
+    upsert_sparse_index(path, postings.filter(F.col("doc_id") % 2 == 1))
+    return index_stats(spark, path).orderBy("relation")
 
 
 # the minhash_lsh_pairs oracle restricted to cross-parity pairs: one
@@ -6929,33 +7039,100 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # --- r14 additions ---
     ("sparse_topk_index", _q_sparse_topk_index, _SQL_SPARSE_TOPK),
     ("av_meta_decode", _q_av_meta_decode, _SQL_AV_META_DECODE),
-    ("sq8_topk_refined", _q_sq8_topk_refined, None),
-    ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, None),
+    ("sq8_topk_refined", _q_sq8_topk_refined, _SQL_SQ8_TOPK),
+    ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, _SQL_SQ8_TOPK),
     ("bm25_topk_index", _q_bm25_topk_index, _SQL_BM25_TOPK),
     ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
+    # --- r15 additions ---
+    ("index_stats_report", _q_index_stats_report, None),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
 # registry. Rotation policy (unchanged since r10, reapplied each round):
-# (a) queries with NO driver-green record lead — this round the three
-# new full oracles (sparse_topk_index: the persisted sparse inverted
-# index; av_meta_decode: real WAV/MP4 header-byte parsing round-tripped
-# against arithmetic; bm25_topk_index: BM25 over the persisted store,
-# decimal-exact against the inline oracle; minhash_probe_index:
-# incremental near-dup probe of a persisted LSH store, oracled as the
-# cross-parity restriction of the minhash_lsh_pairs SQL); (b) the back-fill takes queries whose LATEST driver-green
-# record is OLDEST, computed from the committed CORRECTNESS_r*.json
-# files — after r13's rotation that is the r10-record cohort (the TPC-H
-# variants + the V-family vector functions, 12 oracle-bearing), then the
-# r11-record cohort in registry order up to the 47-slot oracle budget;
+# (a) queries with NO driver-green record — or whose implementation
+# changed AFTER their latest record — lead. This round: the two SQ8
+# searches CONVERTED from rows-only to full value oracles (pinned
+# [-1,1] ranges make the encode pure double arithmetic and the
+# symmetric code-space L2 is integer-exact, so DuckDB reproduces the
+# candidate set bit-for-bit — r14 VERDICT item 4); av_meta_decode
+# RE-SEATED (the MP4 side now carries a full audio trak and the
+# stsd box walk fills sample_rate/channels — r14 item 8);
+# bm25_topk_index RE-SEATED (df<=n_docs idf clamp is in its scoring
+# path — r15 ADVICE); minhash_probe_index RE-SEATED (probe staging
+# moved persist->localCheckpoint and grew intra-batch/exclude_self
+# forms — r14 item 6 / ADVICE).
+# (b) the back-fill takes queries whose LATEST driver-green record is
+# OLDEST, computed from the committed CORRECTNESS_r*.json files —
+# after r14's rotation that is the r11-record cohort (15
+# oracle-bearing), then the r12-record cohort in registry order up
+# to the 47-slot oracle budget (27 of its 47 fit; the remainder
+# stays covered by tools/oracle_check.py + tests/test_oracle_window.py
+# at both gate SFs every round).
 # (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
-# round: the new sq8_topk_refined and ivfsq8_topk_refined (no record at
-# all — policy (a) outranks seniority), and ivfadc_topk_refined
-# RE-SEATED because its implementation changed AFTER its r13 record
-# (commit ba34d7e: the IP LUT fix + the grouped batch kernel postdate
-# the r13 driver run — the one deliberate r13-window overlap). Displaced cohorts keep
-# their recorded provenance and remain covered by tools/oracle_check.py
-# and tests/test_oracle_window.py at both gate SFs every round.
+# round: the new index_stats_report (no record — policy (a) outranks
+# seniority), ivfadc_topk_refined RE-SEATED (its encode now routes by
+# the recorded store metric and the build writes ivf_meta — changed
+# after its r14 record), and ann_topk_bucketed (oldest rows-only
+# record, r10).
+_R15_WINDOW: list[str] = [
+    # (a) new/changed-this-round oracles first
+    "sq8_topk_refined",
+    "ivfsq8_topk_refined",
+    "av_meta_decode",
+    "bm25_topk_index",
+    "minhash_probe_index",
+    # (b) oldest latest-driver-record first: the r11-record cohort...
+    "s1_jsonl_scan",
+    "s4_file_name",
+    "s5_swap_extension",
+    "s5_whole_files",
+    "s10_generate_corpus",
+    "w1_row_numbers",
+    "k7_delete_where",
+    "p4_sparse_cast",
+    "p9_word_count",
+    "p10_expr_filter",
+    "token_count",
+    "tfidf_top_terms",
+    "zorder_key",
+    "theta_user_overlap",
+    "dsir_weights_en",
+    # ...then the r12-record cohort in registry order up to the budget
+    "hybrid_topk_rrf",
+    "bpe_token_count",
+    "redact_pii",
+    "a3_load_metrics",
+    "st_windowed_event_counts",
+    "st_windowed_sliding",
+    "dedup_substrings",
+    "dup_ngram_stats",
+    "c4_quality_signals",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "user_set_ops",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "st_running_counts",
+    "dense_topk_quantized",
+    "dedup_spans",
+    "bm25_topk",
+    "dup_clusters",
+    "near_dedup_representatives",
+    # (c) rows-only at the window TAIL by policy (see above)
+    "index_stats_report",
+    "ivfadc_topk_refined",
+    "ann_topk_bucketed",
+]
+
+# r14 window kept for provenance documentation (rotation diffs read as
+# one list per round); no longer feeds _registry_order().
 _R14_WINDOW: list[str] = [
     # (a) new-this-round oracles first
     "sparse_topk_index",
@@ -7013,71 +7190,8 @@ _R14_WINDOW: list[str] = [
     "ivfadc_topk_refined",
 ]
 
-# r13 window kept for provenance documentation (rotation diffs read as
-# one list per round); no longer feeds _registry_order().
-_R13_WINDOW: list[str] = [
-    # (a) new-this-round oracle first
-    "image_meta_decode",
-    # ...then the composed-hash cohort with pre-r12 driver records
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
-    "simhash_pairs_md5",
-    "decontaminate",
-    "corpus_curate",
-    "dedup_exact",
-    "exact_duplicate_groups",
-    "embedding_near_dup",
-    # (b) oldest latest-driver-record first: the rest of the r9 cohort...
-    "bigram_lm_score",
-    "bloom_anti_join",
-    "centroid_similarity",
-    "corpus_mix",
-    "cube_pricing",
-    "event_value_quantiles",
-    "pack_sequences",
-    "percentile_filter",
-    "repetition_score",
-    "skew_profile",
-    "snapshot_diff",
-    "split_assignment",
-    "stratified_sample",
-    "throttle_events",
-    "topk_per_group",
-    "topn_tokens",
-    "weighted_sample",
-    # ...then the r10 cohort in registry order up to the oracle budget
-    "a1_file_stats",
-    "a2_manager_stats",
-    "a4_breakpoint_stats",
-    "events_type_counts",
-    "j3_kb_scope",
-    "o1_sorted_registry",
-    "o2_point_lookup",
-    "o4_dense_topk",
-    "p2_clean_title",
-    "p3_reformat_doc",
-    "sparse_topk_inverted",
-    "st_session_window",
-    "st_sessionize",
-    "st_stateful_dedup",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    # (c) rows-only at the window TAIL by policy: the new persisted
-    # IVFADC search and the xxhash64 simhash pair path (its shingle
-    # staging plan changed via the r13 NULL-text coalesce)
-    "ivfadc_topk_refined",
-    "simhash_pairs",
-]
-
-
 def _registry_order() -> list[tuple[str, Callable, str | None]]:
-    rank = {n: i for i, n in enumerate(_R14_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R15_WINDOW)}
     head = sorted(
         (e for e in _REGISTRY_ENTRIES if e[0] in rank),
         key=lambda e: rank[e[0]],

@@ -809,6 +809,48 @@ def main() -> None:
     # UNFLAGGED (VERDICT r9 item 1) — any probe past this threshold
     # now labels the whole artifact degraded
     CALIB_OUTLIER_MS = 5.0
+
+    def point_probe() -> float:
+        """Per-entry point probe with ONE bounded retry (r14 VERDICT
+        item 2): mid-run probes routinely catch lingering JVM/GC or a
+        passing steal gust on a healthy box — the committed r14
+        artifact carried 14/29 degraded section markers while the
+        run-level 2-of-3 rule stayed (correctly) quiet, forcing
+        cross-round diffs to exclude half the artifact. A first probe
+        past the band settles 1 s and probes again, recording the
+        MIN: a transient passes and the entry stays clean; genuine
+        box degradation reads high twice and still flags. The
+        sample_min-based measurements this labels are already
+        storm-resistant (min-of-N, steal-aware extension), so the
+        cleaner second probe cannot mask a poisoned number there;
+        single-shot scans pair it with a measurement retry
+        (``probed_scan``)."""
+        p = calib_ms()
+        if p > CALIB_OUTLIER_MS and time_left() > 5:
+            time.sleep(1.0)
+            p = min(p, calib_ms())
+        return p
+
+    def probed_scan(fn):
+        """(value, sec, probe_ms) for a SINGLE-SHOT timed measurement:
+        run, probe; when the after-probe reads past the healthy band
+        and the deadline allows, re-run the measurement ONCE and keep
+        the cleaner-probed sample (r14 VERDICT item 2 — a steal gust
+        inside a single-shot scan must not poison the committed
+        evidence for the whole round; a genuinely degraded box reads
+        high on both probes and the entry still flags degraded)."""
+        t0 = time.time()
+        val = fn()
+        sec = round(time.time() - t0, 3)
+        probe = calib_ms()
+        if probe > CALIB_OUTLIER_MS and time_left() > 2 * sec + 10:
+            t0 = time.time()
+            val2 = fn()
+            sec2 = round(time.time() - t0, 3)
+            probe2 = calib_ms()
+            if probe2 < probe:
+                val, sec, probe = val2, sec2, probe2
+        return val, sec, probe
     # signal (3) of the 2-of-3 outlier rule: committed sf0.1 healthy
     # values (r8: q1 0.67, dedup 0.53, profile 0.48-0.72, topk 0.38,
     # windowed 0.26; r10 driver+builder twins agree) x ~2 slack.
@@ -1499,7 +1541,7 @@ def main() -> None:
                     sample_min(mk, 2 if time_left() > 60 else 1), 3
                 )
                 sp_steal = sample_min.last_steal_pct
-                sp_calib = calib_ms()
+                sp_calib = point_probe()
                 if sp_steal >= STEAL_FLAG_PCT:
                     steal_flags[f"{qname}_{n_docs // 1000}k_docs"] = sp_steal
                 duck_sec, capped = duck_timed(
@@ -1562,7 +1604,7 @@ def main() -> None:
                     ] = {
                         "spark_sec": xx_sec,
                         "steal_pct": sample_min.last_steal_pct,
-                        "calib_ms": calib_ms(),
+                        "calib_ms": point_probe(),
                         "md5_variant_sec": spark_sec,
                         "xxhash64_over_md5": round(
                             xx_sec / max(spark_sec, 1e-9), 2
@@ -1717,7 +1759,7 @@ def main() -> None:
             # probe catches the page-cache/IO coldness the CPU probe
             # is blind to (the r9 poison signature: after-probe 3.9 ms
             # healthy, sample 6x out of band)
-            calib["after_minhash_250k_ms"] = calib_ms()
+            calib["after_minhash_250k_ms"] = point_probe()
             calib["io_after_minhash_250k_ms"] = io_probe_ms()
 
             def _windowed_5m():
@@ -1778,7 +1820,7 @@ def main() -> None:
                 scale_amplified[key] = {
                     "spark_sec": spark_sec,
                     "steal_pct": sample_min.last_steal_pct,
-                    "calib_ms": calib_ms(),
+                    "calib_ms": point_probe(),
                     "duckdb_sec": duck_sec,
                     "duckdb_hit_cap": capped,
                     # >1 = Spark faster on the same data (duckdb_sec is a
@@ -2003,7 +2045,7 @@ def main() -> None:
                     "quant_over_exact": round(
                         q2m_sec / max(e2m_sec, 1e-9), 2
                     ),
-                    "calib_ms": calib_ms(),
+                    "calib_ms": point_probe(),
                     "note": (
                         "constant ~0.6s two-phase overhead, not "
                         "asymptotic; int8 wins bytes (3.6x) not "
@@ -2092,7 +2134,7 @@ def main() -> None:
             scale_amplified["corpus_curate_minhash_250k"] = {
                 "spark_sec": curate_sec,
                 "steal_pct": curate_steal,
-                "calib_ms": calib_ms(),
+                "calib_ms": point_probe(),
                 "duckdb_sec": duck_sec,
                 "duckdb_hit_cap": capped,
                 "spark_speedup_over_duckdb": round(
@@ -2264,10 +2306,9 @@ def main() -> None:
 
             progress("ann recall (hard): exact / lsh / ivf top-5")
             ann_calib: dict[str, float] = {}
-            t0 = time.time()
-            exact = topk_ids(dense_topk(cvecs, qdf, k=5))
-            exact_sec = round(time.time() - t0, 3)
-            ann_calib["exact"] = calib_ms()
+            exact, exact_sec, ann_calib["exact"] = probed_scan(
+                lambda: topk_ids(dense_topk(cvecs, qdf, k=5))
+            )
             # VERDICT r8 item 7 / r9 item 7: the DEFAULT path leads
             # and ablations are labeled as such — lsh_adaptive is the
             # ann_topk_bucketed operator default since r8;
@@ -2295,28 +2336,27 @@ def main() -> None:
                     "role": "ablation (fixed-radius)",
                 },
             }
-            t0 = time.time()
-            lsh = topk_ids(
-                ann_topk_bucketed(
-                    cvecs, qdf, k=5, bits=10, probe_radius=2,
-                    adaptive=False,
+            lsh, lsh_sec, ann_calib["lsh_bucketed"] = probed_scan(
+                lambda: topk_ids(
+                    ann_topk_bucketed(
+                        cvecs, qdf, k=5, bits=10, probe_radius=2,
+                        adaptive=False,
+                    )
                 )
             )
-            lsh_sec = round(time.time() - t0, 3)
-            ann_calib["lsh_bucketed"] = calib_ms()
-            t0 = time.time()
-            ada = topk_ids(
-                ann_topk_bucketed(
-                    cvecs, qdf, k=5, bits=10,
-                    adaptive=True, probe_budget=56,
+            ada, ada_sec, ann_calib["lsh_adaptive"] = probed_scan(
+                lambda: topk_ids(
+                    ann_topk_bucketed(
+                        cvecs, qdf, k=5, bits=10,
+                        adaptive=True, probe_budget=56,
+                    )
                 )
             )
-            ada_sec = round(time.time() - t0, 3)
-            ann_calib["lsh_adaptive"] = calib_ms()
-            t0 = time.time()
-            ivf = topk_ids(ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8))
-            ivf_sec = round(time.time() - t0, 3)
-            ann_calib["ivf"] = calib_ms()
+            ivf, ivf_sec, ann_calib["ivf"] = probed_scan(
+                lambda: topk_ids(
+                    ann_topk_ivf(cvecs, qdf, k=5, nlist=64, nprobe=8)
+                )
+            )
 
             def recall(m: dict[int, set], subset=None) -> float:
                 qs_ = [
@@ -2424,7 +2464,7 @@ def main() -> None:
                 throughput["semdedup_105k_n_dropped"] = (
                     n_hard - n_survivors
                 )
-                calib["after_semdedup_ms"] = calib_ms()
+                calib["after_semdedup_ms"] = point_probe()
 
             # PQ family on the hard fixture's 52.5k half (r12 VERDICT
             # item 1b + stretch item 8), LAST in the ANN section so a
@@ -2515,14 +2555,15 @@ def main() -> None:
                     ),
                 )
                 flat_build_sec = flat_meta["build_sec"]
-                t0 = time.time()
-                flat_cand = topk_ids(
-                    pq_topk_index(
-                        spark, flat_path, qdf, k=RK, metric="IP"
+                flat_cand, flat_sec, ann_calib["pq_flat_adc"] = (
+                    probed_scan(
+                        lambda: topk_ids(
+                            pq_topk_index(
+                                spark, flat_path, qdf, k=RK, metric="IP"
+                            )
+                        )
                     )
                 )
-                flat_sec = round(time.time() - t0, 3)
-                ann_calib["pq_flat_adc"] = calib_ms()
                 books = load_pq_codebooks(spark, flat_path)
 
                 ivfadc_path = os.path.join(SCRATCH, "ivfadc_idx")
@@ -2540,15 +2581,14 @@ def main() -> None:
                 nlist_eff = spark.read.parquet(
                     f"{ivfadc_path}/centroids.parquet"
                 ).count()
-                t0 = time.time()
-                adc_cand = topk_ids(
-                    ann_topk_ivfadc(
-                        spark, ivfadc_path, qdf, k=RK, metric="IP",
-                        nprobe=8,
+                adc_cand, adc_sec, ann_calib["ivfadc"] = probed_scan(
+                    lambda: topk_ids(
+                        ann_topk_ivfadc(
+                            spark, ivfadc_path, qdf, k=RK, metric="IP",
+                            nprobe=8,
+                        )
                     )
                 )
-                adc_sec = round(time.time() - t0, 3)
-                ann_calib["ivfadc"] = calib_ms()
 
                 # Q=32 batch point (r13 VERDICT item 6 done-line): the
                 # grouped batch kernel (ba34d7e) replaced nq × nprobe
@@ -2591,14 +2631,13 @@ def main() -> None:
                     ),
                 )
                 opq_build_sec = opq_meta["build_sec"]
-                t0 = time.time()
-                opq_cand = topk_ids(
-                    opq_topk_index(
-                        spark, opq_path, qdf, k=RK, metric="IP"
+                opq_cand, opq_sec, ann_calib["opq"] = probed_scan(
+                    lambda: topk_ids(
+                        opq_topk_index(
+                            spark, opq_path, qdf, k=RK, metric="IP"
+                        )
                     )
                 )
-                opq_sec = round(time.time() - t0, 3)
-                ann_calib["opq"] = calib_ms()
                 R_opq = load_opq_rotation(spark, opq_path)
                 opq_books = load_pq_codebooks(spark, opq_path)
 
@@ -2614,22 +2653,121 @@ def main() -> None:
                 )
 
                 sq8_path = os.path.join(SCRATCH, "sq8_idx")
+                # "enc": "f64" — r15 moved the SQ8 encode arithmetic
+                # to float64 (SQL-parity), changing codes at rounding
+                # boundaries; the key bump invalidates stores encoded
+                # by the old float32 kernel
                 sq8_meta = ensure_index(
                     sq8_path,
                     {"kind": "sq8", "seed": 7, "train_cap": 6400,
-                     "fixture": "hard_half"},
+                     "fixture": "hard_half", "enc": "f64"},
                     lambda: build_sq8_index(
                         pq_corpus, sq8_path, seed=7, train_cap=6400
                     ),
                 )
-                t0 = time.time()
-                sq8_cand = topk_ids(
-                    sq8_topk_index(
-                        spark, sq8_path, qdf, k=RK, metric="IP"
+                sq8_cand, sq8_sec, ann_calib["sq8"] = probed_scan(
+                    lambda: topk_ids(
+                        sq8_topk_index(
+                            spark, sq8_path, qdf, k=RK, metric="IP"
+                        )
                     )
                 )
-                sq8_sec = round(time.time() - t0, 3)
-                ann_calib["sq8"] = calib_ms()
+
+                # IVF_SQ8 (r14 VERDICT item 1: the one quantized
+                # family missing a recall row): same byte budget as
+                # flat SQ8, nprobe/nlist pruning like IVFADC
+                from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                    ann_topk_ivfsq8,
+                    build_ivfsq8_index,
+                )
+
+                ivfsq8_path = os.path.join(SCRATCH, "ivfsq8_idx")
+                ivfsq8_meta = ensure_index(
+                    ivfsq8_path,
+                    {"kind": "ivfsq8", "nlist": 64, "seed": 7,
+                     "train_cap": 6400, "fixture": "hard_half"},
+                    lambda: build_ivfsq8_index(
+                        pq_corpus, ivfsq8_path, nlist=64, seed=7,
+                        train_cap=6400,
+                    ),
+                )
+                ivfsq8_cand, ivfsq8_sec, ann_calib["ivfsq8"] = (
+                    probed_scan(
+                        lambda: topk_ids(
+                            ann_topk_ivfsq8(
+                                spark, ivfsq8_path, qdf, k=RK,
+                                metric="IP", nprobe=8,
+                            )
+                        )
+                    )
+                )
+
+                # m SWEEP (r14 VERDICT item 1): the committed m=16
+                # point reads candidate recall 0.133 on this fixture
+                # with only a recon-error proxy beside it — a user
+                # cannot tell what buying more bytes fixes. Flat-PQ
+                # at m in {16, 32, 64} (64/128/256x compression at
+                # dim 1024), one k=100 scan each against the same
+                # ground truth; builds cache in the per-SF scratch
+                # like every other quantizer.
+                m_sweep: dict[str, dict] = {
+                    str(M_PQ): {
+                        "bytes_per_vec": M_PQ,
+                        "refined_recall_at_5": None,  # filled below
+                        "build_sec": flat_build_sec,
+                        "scan_sec": flat_sec,
+                        "build_cached": flat_meta["cached"],
+                    }
+                }
+                for m_pt in (32, 64):
+                    if time_left() < 120:
+                        skip(
+                            f"pq_family:m_sweep_m{m_pt}",
+                            "bench deadline (needs 120 s)",
+                        )
+                        continue
+                    progress(f"pq m-sweep: flat m={m_pt}")
+                    mpt_path = os.path.join(SCRATCH, f"pq_flat_m{m_pt}")
+                    mpt_meta = ensure_index(
+                        mpt_path,
+                        {"kind": "pq_flat", "m": m_pt, "seed": 7,
+                         "train_cap": 6400, "fixture": "hard_half"},
+                        lambda: build_pq_index(
+                            pq_corpus, mpt_path, m=m_pt, seed=7,
+                            train_cap=6400,
+                        ),
+                    )
+                    mpt_cand, mpt_sec, ann_calib[f"pq_m{m_pt}"] = (
+                        probed_scan(
+                            lambda: topk_ids(
+                                pq_topk_index(
+                                    spark, mpt_path, qdf, k=RK,
+                                    metric="IP",
+                                )
+                            )
+                        )
+                    )
+                    # the OTHER user knob: refine_k. One k=1000 scan
+                    # shows whether a 10x candidate budget rescues
+                    # this m before the user buys more bytes.
+                    mpt_cand_1k = topk_ids(
+                        pq_topk_index(
+                            spark, mpt_path, qdf, k=1000, metric="IP"
+                        )
+                    )
+                    m_sweep[str(m_pt)] = {
+                        "bytes_per_vec": m_pt,
+                        "refined_recall_at_5": pq_recall(mpt_cand),
+                        "refined_recall_at_5_boundary": pq_recall(
+                            mpt_cand, boundary_qids
+                        ),
+                        "refined_recall_at_5_rk1000": pq_recall(
+                            mpt_cand_1k
+                        ),
+                        "build_sec": mpt_meta["build_sec"],
+                        "scan_sec": mpt_sec,
+                        "build_cached": mpt_meta["cached"],
+                    }
 
                 # (a) reconstruction error, driver-side on a fixed
                 # 2000-vector eval sample (deterministic given the
@@ -2731,9 +2869,33 @@ def main() -> None:
                     # tests/test_search.py::test_opq_rotation_lowers_
                     # quantization_error_deterministically
                     "opq_parity_within_3pct": err_opq <= 1.03 * err_flat,
-                    # == refined recall@5 at refine_k=100: exact
-                    # re-rank puts any retained true-top-5 member in
-                    # the first 5, so the two metrics are identical
+                    # THE usability number (r14 VERDICT item 1):
+                    # recall@5 AFTER the exact refine, per family,
+                    # same queries + ground truth as the LSH/IVF rows
+                    # above. Numerically EQUAL to candidate recall at
+                    # refine_k=100 (the exact re-rank puts any
+                    # retained true-top-5 member in the first 5), so
+                    # one k=100 scan measures both — candidate_recall
+                    # keys kept below for cross-round diffs.
+                    "refined_recall_at_5": {
+                        "flat_adc_m16": pq_recall(flat_cand),
+                        "ivfadc_m16": pq_recall(adc_cand),
+                        "opq_m16": pq_recall(opq_cand),
+                        "sq8": pq_recall(sq8_cand),
+                        "ivfsq8": pq_recall(ivfsq8_cand),
+                    },
+                    "refined_recall_at_5_boundary": {
+                        "flat_adc_m16": pq_recall(flat_cand, boundary_qids),
+                        "ivfadc_m16": pq_recall(adc_cand, boundary_qids),
+                        "opq_m16": pq_recall(opq_cand, boundary_qids),
+                        "sq8": pq_recall(sq8_cand, boundary_qids),
+                        "ivfsq8": pq_recall(ivfsq8_cand, boundary_qids),
+                    },
+                    # bytes/vector vs refined recall@5 for flat PQ at
+                    # m in {16, 32, 64} — the knob a user actually
+                    # turns when m=16 under-recalls (r14 item 1's
+                    # sweep ask); filled above, m=16 recall set here
+                    "m_sweep_flat_pq": m_sweep,
                     "candidate_recall_at_100": {
                         "flat_adc": pq_recall(flat_cand),
                         "ivfadc": pq_recall(adc_cand),
@@ -2765,6 +2927,8 @@ def main() -> None:
                         "opq_scan": opq_sec,
                         "sq8_build": sq8_meta["build_sec"],
                         "sq8_scan": sq8_sec,
+                        "ivfsq8_build": ivfsq8_meta["build_sec"],
+                        "ivfsq8_search": ivfsq8_sec,
                     },
                     # True per index when this run reused the scratch
                     # cache: build walls above are then the preserved
@@ -2774,21 +2938,49 @@ def main() -> None:
                         "ivfadc": ivf_meta["cached"],
                         "opq": opq_meta["cached"],
                         "sq8": sq8_meta["cached"],
+                        "ivfsq8": ivfsq8_meta["cached"],
                     },
                     "note": (
-                        "recon error is the stable evidence (residual "
-                        "and rotated quantizers at equal bytes); "
-                        "candidate recall on THIS fixture is "
-                        "intrinsically modest/high-variance for any "
-                        "m-byte code — exact top-5 among thousands of "
-                        "near-tie cluster siblings turns on noise the "
-                        "code cannot retain, while the LSH/IVF rows "
-                        "above score pruned candidates with the exact "
-                        "metric. ivfadc additionally scans only the "
-                        "nprobe/nlist probed partitions of the "
-                        "persisted code store (plan-audited)."
+                        "refined_recall_at_5 is the usability number "
+                        "per family (same queries/ground truth as the "
+                        "LSH/IVF rows); the m_sweep rows state what "
+                        "each byte budget buys on a fixture built of "
+                        "near-tie cluster siblings — exact top-5 "
+                        "there turns on noise components an m-byte "
+                        "code cannot retain, which is why SQ8 (1024 "
+                        "B) saturates while m=16 (16 B) cannot. recon "
+                        "error remains the quantizer-design evidence "
+                        "(residual/rotated at equal bytes). ivfadc/"
+                        "ivfsq8 additionally scan only the nprobe/"
+                        "nlist probed partitions of the persisted "
+                        "code store (plan-audited)."
                     ),
                 }
+                m_sweep[str(M_PQ)]["refined_recall_at_5"] = pq_recall(
+                    flat_cand
+                )
+                m_sweep[str(M_PQ)]["refined_recall_at_5_boundary"] = (
+                    pq_recall(flat_cand, boundary_qids)
+                )
+                if time_left() > 30:
+                    m_sweep[str(M_PQ)]["refined_recall_at_5_rk1000"] = (
+                        pq_recall(
+                            topk_ids(
+                                pq_topk_index(
+                                    spark, flat_path, qdf, k=1000,
+                                    metric="IP",
+                                )
+                            )
+                        )
+                    )
+                # each recall point here moves in 1/30 steps (6
+                # queries x top-5): single-hit differences between
+                # adjacent m values are sampling granularity, the
+                # m-vs-bytes TREND and the rk1000 column are the
+                # signal
+                ann_recall["pq_family"]["recall_granularity"] = round(
+                    1.0 / (len(pq_exact) * 5), 3
+                )
 
                 # ANISOTROPIC fixture (r13 VERDICT item 3): the hard
                 # fixture is isotropic, where OPQ reduces to PQ by
@@ -3019,7 +3211,7 @@ def main() -> None:
                     inl_sec / max(idx_sec, 1e-9), 2
                 ),
                 "rows_match": n_idx == n_inl,
-                "calib_ms": calib_ms(),
+                "calib_ms": point_probe(),
                 "note": (
                     "inline re-derives postings+df from the corpus "
                     "per query (the 100 TB dominant cost); the store "
@@ -3091,7 +3283,7 @@ def main() -> None:
                     if union_wall
                     else None
                 ),
-                "calib_ms": calib_ms(),
+                "calib_ms": point_probe(),
                 "note": (
                     "probe broadcasts the bounded batch and scans the "
                     "band store once map-side - per-refresh cost is "
@@ -3264,7 +3456,7 @@ def main() -> None:
                     "steal_pct": point_steal,
                     # CPU probe taken here (healthy ~2 ms): labels the
                     # degradation modes steal%% misses
-                    "calib_ms": calib_ms(),
+                    "calib_ms": point_probe(),
                 }
                 if point_steal >= STEAL_FLAG_PCT:
                     steal_flags[label] = point_steal

@@ -1947,12 +1947,20 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     intra_batch: bool = False,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """The incremental ingest-dedup operator: new documents with NO
     near-duplicate in the standing corpus (one probe + an anti-join).
     Follow with ``upsert_minhash_index`` on the survivors to keep the
     store current — the P6/J2 ingest anti-join generalized from exact
     ids to MinHash near-duplication.
+
+    ``exclude_self=True`` ignores store matches where old_id ==
+    new_id — required under at-least-once replay (the streaming
+    ingest gate): a replayed batch whose survivors were already
+    upserted would otherwise match THEMSELVES in the store and all
+    drop, losing the batch's output on the re-run. Only sound when
+    ids are globally unique (the corpus contract).
 
     By default two near-duplicates WITHIN one batch both survive
     (neither is in the store yet) and both get upserted — permanently
@@ -1964,8 +1972,15 @@ def dedup_against_index(
     cluster pass keeps one survivor per connected component; for
     full cluster semantics run ``minhash_lsh_pairs`` +
     ``dup_survivors`` on the batch before probing."""
-    matches = _probe_minhash_index(
+    matched = _probe_minhash_index(
         spark, index_path, new_docs, threshold, text_col, id_col,
         intra_batch=intra_batch,
-    ).select(F.col("__new_id").alias(id_col)).dropDuplicates()
+    )
+    if exclude_self:
+        matched = matched.filter(
+            F.col("__old_id") != F.col("__new_id")
+        )
+    matches = matched.select(
+        F.col("__new_id").alias(id_col)
+    ).dropDuplicates()
     return new_docs.join(matches, id_col, "left_anti")

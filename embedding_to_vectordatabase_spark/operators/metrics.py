@@ -175,3 +175,322 @@ def skew_profile(
         .orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys])
         .limit(top_n)
     )
+
+
+# Relations a persisted index may carry, with the partition column
+# used by its store layout (None = unpartitioned). Covers every
+# build_*_index lifecycle in operators/search.py and operators/
+# dedup.py: sparse/BM25 (postings + df_stats segments + corpus_stats),
+# dense quantized (codes [+ list_id], centroids, pq_codebooks,
+# sq8_params, opq_rotation), MinHash LSH (signatures, bands).
+_INDEX_RELATIONS: list[tuple[str, str | None]] = [
+    ("postings", "token_bucket"),
+    ("df_stats", "token_bucket"),
+    ("corpus_stats", None),
+    ("codes", "list_id"),
+    ("centroids", None),
+    ("pq_codebooks", None),
+    ("sq8_params", None),
+    ("opq_rotation", None),
+    ("signatures", None),
+    ("bands", None),
+    ("meta", None),
+    ("ivf_meta", None),
+]
+
+
+def index_stats(spark, index_path: str) -> DataFrame:
+    """Operational report over a persisted index store (any of the
+    build/upsert lifecycles here): one row per relation present under
+    ``index_path`` with row count, file (≈ append-segment) count, and
+    — for bucket/list-partitioned relations — partition count plus
+    max/avg occupancy and their ratio (the skew number that predicts
+    a hot bucket or an overweight IVF list before a query does).
+
+    Every build writes one file set and every upsert APPENDS one, so
+    ``n_files`` reads as the segment count the append-only stores
+    accumulate — the compaction trigger. Cost shape: zero data
+    columns are read — each relation contributes a count() (parquet
+    footer row counts), a distinct over ``input_file_name()`` and,
+    when partitioned, a groupBy on the PARTITION column (directory-
+    derived, no column pages touched). Output: (relation, n_rows,
+    n_files, n_partitions, max_partition_rows, avg_partition_rows,
+    skew_ratio) — partition fields NULL for unpartitioned relations.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    frames = []
+    for rel, part_col in _INDEX_RELATIONS:
+        p = f"{index_path}/{rel}.parquet"
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        if not jpath.getFileSystem(conf).exists(jpath):
+            continue
+        # input_file_name() is nondeterministic, so it must be
+        # PROJECTED before any aggregate references it
+        df = spark.read.parquet(p).withColumn(
+            "__file", F.input_file_name()
+        )
+        use_part = part_col if part_col in df.columns else None
+        if use_part is not None:
+            per = df.groupBy(use_part).agg(
+                F.count("*").alias("__n"),
+                F.countDistinct("__file").alias("__f"),
+            )
+            stats = per.agg(
+                F.sum("__n").cast("long").alias("n_rows"),
+                F.sum("__f").cast("long").alias("n_files"),
+                F.count("*").cast("long").alias("n_partitions"),
+                F.max("__n").cast("long").alias("max_partition_rows"),
+                F.round(F.avg("__n"), 3).alias("avg_partition_rows"),
+                F.round(F.max("__n") / F.avg("__n"), 3).alias(
+                    "skew_ratio"
+                ),
+            )
+        else:
+            stats = df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct("__file").cast("long").alias("n_files"),
+                F.lit(None).cast("long").alias("n_partitions"),
+                F.lit(None).cast("long").alias("max_partition_rows"),
+                F.lit(None).cast("double").alias("avg_partition_rows"),
+                F.lit(None).cast("double").alias("skew_ratio"),
+            )
+        frames.append(stats.select(F.lit(rel).alias("relation"), "*"))
+    if not frames:
+        raise ValueError(f"no index relations found under {index_path}")
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _swap_dirs(spark, live: str, staged: str) -> None:
+    """Replace ``live`` with ``staged`` via two FS renames (backup,
+    then promote) and delete the backup last — the windows where the
+    store is inconsistent are the two renames, not the whole rewrite,
+    and a crash leaves either the old store or a ``.bak`` to recover
+    from. Parquet has no atomic multi-file swap; a transactional
+    table format is the real answer at production scale — this is
+    the honest FS-level version of it."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    live_p, staged_p, bak_p = P(live), P(staged), P(live + ".bak")
+    fs = live_p.getFileSystem(conf)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+    if not fs.rename(live_p, bak_p):
+        raise IOError(f"could not stage backup of {live}")
+    if not fs.rename(staged_p, live_p):
+        fs.rename(bak_p, live_p)  # roll back
+        raise IOError(f"could not promote compacted {staged}")
+    fs.delete(bak_p, True)
+
+
+def compact_index(spark, index_path: str) -> DataFrame:
+    """Segment compaction for the append-only persisted index stores —
+    the operational action ``index_stats``'s growing ``n_files``
+    calls for. Every upsert appends one segment (one file per touched
+    partition), so a long ingest loop accumulates small files whose
+    open/footer cost eventually dominates the bucket-pruned scans the
+    layouts exist for. Per relation present:
+
+    - ``postings`` / ``codes`` (bucket/list-partitioned): rewritten
+      as ONE file per partition (repartition on the partition column,
+      so each directory's rows land in exactly one task) —
+      row-for-row identical content, search results unchanged
+      (asserted in tests);
+    - ``df_stats``: per-segment PARTIAL counts summed into one
+      segment per bucket — the sums the searches compute at query
+      time, precomputed (exact, the partials are mergeable by
+      construction);
+    - ``corpus_stats``: the (n_docs, total_dl) partials summed to one
+      row;
+    - ``signatures`` / ``bands`` (MinHash): rewritten single-file
+      with exact-duplicate rows dropped — duplicates only exist
+      after an at-least-once double-upsert, where they are benign
+      for probes but pure waste.
+
+    Each rewrite stages to ``<relation>.parquet.compact`` and swaps
+    via FS rename (see ``_swap_dirs``). Tiny relations (meta,
+    centroids, params) are left alone. Returns the ``index_stats``
+    report AFTER compaction."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def exists(p: str) -> bool:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(conf).exists(jp)
+
+    for rel, part_col in (("postings", "token_bucket"), ("codes", "list_id")):
+        p = f"{index_path}/{rel}.parquet"
+        if not exists(p):
+            continue
+        df = spark.read.parquet(p)
+        if part_col not in df.columns:
+            df.coalesce(1).write.mode("overwrite").parquet(p + ".compact")
+        else:
+            nparts = df.select(part_col).distinct().count()
+            (
+                df.repartition(max(int(nparts), 1), part_col)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(p + ".compact")
+            )
+        _swap_dirs(spark, p, p + ".compact")
+    p = f"{index_path}/df_stats.parquet"
+    if exists(p):
+        df = spark.read.parquet(p)
+        merged = df.groupBy("token_bucket", "token").agg(
+            F.sum("df").alias("df")
+        ).select("token", "df", "token_bucket")
+        nparts = merged.select("token_bucket").distinct().count()
+        (
+            merged.repartition(max(int(nparts), 1), "token_bucket")
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(p + ".compact")
+        )
+        _swap_dirs(spark, p, p + ".compact")
+    p = f"{index_path}/corpus_stats.parquet"
+    if exists(p):
+        df = spark.read.parquet(p)
+        df.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("double").alias("total_dl"),
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".compact")
+        _swap_dirs(spark, p, p + ".compact")
+    for rel in ("signatures", "bands"):
+        p = f"{index_path}/{rel}.parquet"
+        if not exists(p):
+            continue
+        spark.read.parquet(p).dropDuplicates().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".compact")
+        _swap_dirs(spark, p, p + ".compact")
+    return index_stats(spark, index_path)
+
+
+def delete_from_index(
+    spark, index_path: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Delete-by-id over a persisted index store — the reference's K7
+    delete (`vector_database/milvus_connector.py` delete-by-expr)
+    carried to the index lifecycles, completing
+    build/search/upsert/compact/delete/stats. ``doc_ids`` is a
+    one-column DataFrame of ids to remove (bounded by contract, like
+    a probe batch: it BROADCASTS into every rewrite).
+
+    Per relation present:
+
+    - ``postings`` / ``codes`` / ``signatures`` / ``bands``: rewritten
+      minus the matching ids via a broadcast anti-join, keeping the
+      partition layout (one file per bucket/list directory, like
+      ``compact_index``);
+    - ``df_stats``: REBUILT from the retained postings (per-token
+      counts can't be decremented from the mergeable partials without
+      knowing which segment carried the deleted doc — the rewrite
+      already streams the retained rows, so exact recount is free);
+    - ``corpus_stats``: rebuilt from the retained postings' distinct
+      (doc, dl) pairs when doc lengths are stored.
+
+    Dense stores (codes): the quantizers (centroids/codebooks/params)
+    are NOT retrained — deletion only removes rows, the standard
+    IVF/PQ delete semantics. Returns the post-delete ``index_stats``
+    report. Each rewrite stages + FS-rename-swaps like
+    ``compact_index``."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def exists(p: str) -> bool:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(conf).exists(jp)
+
+    ids = F.broadcast(
+        doc_ids.select(F.col(doc_ids.columns[0]).alias("__del_id"))
+        .dropDuplicates()
+    )
+
+    def kept(df: DataFrame, col: str) -> DataFrame:
+        return df.join(
+            ids, df[col] == F.col("__del_id"), "left_anti"
+        )
+
+    post_p = f"{index_path}/postings.parquet"
+    if exists(post_p):
+        df = spark.read.parquet(post_p)
+        keep = kept(df, id_col)
+        nparts = keep.select("token_bucket").distinct().count()
+        (
+            keep.repartition(max(int(nparts), 1), "token_bucket")
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(post_p + ".compact")
+        )
+        _swap_dirs(spark, post_p, post_p + ".compact")
+        retained = spark.read.parquet(post_p)
+        if exists(f"{index_path}/df_stats.parquet"):
+            merged = (
+                retained.groupBy("token_bucket", "token")
+                .agg(F.count("*").alias("df"))
+                .select("token", "df", "token_bucket")
+            )
+            np2 = merged.select("token_bucket").distinct().count()
+            (
+                merged.repartition(max(int(np2), 1), "token_bucket")
+                .write.mode("overwrite")
+                .partitionBy("token_bucket")
+                .parquet(f"{index_path}/df_stats.parquet.compact")
+            )
+            _swap_dirs(
+                spark,
+                f"{index_path}/df_stats.parquet",
+                f"{index_path}/df_stats.parquet.compact",
+            )
+        if exists(f"{index_path}/corpus_stats.parquet") and (
+            "dl" in retained.columns
+        ):
+            (
+                retained.select(id_col, "dl")
+                .dropDuplicates([id_col])
+                .agg(
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.sum("dl").cast("double").alias("total_dl"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{index_path}/corpus_stats.parquet.compact")
+            )
+            _swap_dirs(
+                spark,
+                f"{index_path}/corpus_stats.parquet",
+                f"{index_path}/corpus_stats.parquet.compact",
+            )
+    codes_p = f"{index_path}/codes.parquet"
+    if exists(codes_p):
+        df = spark.read.parquet(codes_p)
+        cid = id_col if id_col in df.columns else "vec_id"
+        keep = kept(df, cid)
+        if "list_id" in df.columns:
+            nparts = keep.select("list_id").distinct().count()
+            (
+                keep.repartition(max(int(nparts), 1), "list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(codes_p + ".compact")
+            )
+        else:
+            keep.coalesce(1).write.mode("overwrite").parquet(
+                codes_p + ".compact"
+            )
+        _swap_dirs(spark, codes_p, codes_p + ".compact")
+    for rel in ("signatures", "bands"):
+        p = f"{index_path}/{rel}.parquet"
+        if not exists(p):
+            continue
+        df = spark.read.parquet(p)
+        kept(df, id_col).coalesce(1).write.mode("overwrite").parquet(
+            p + ".compact"
+        )
+        _swap_dirs(spark, p, p + ".compact")
+    return index_stats(spark, index_path)

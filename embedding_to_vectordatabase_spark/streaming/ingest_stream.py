@@ -36,6 +36,10 @@ def stream_ingest_jsonl(
     batch_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     max_files_per_trigger: int = 10,
     available_now: bool = True,
+    neardup_index_path: str | None = None,
+    neardup_threshold: float = 0.8,
+    neardup_text_col: str = "content",
+    neardup_id_col: str = "title",
 ) -> StreamingQuery:
     """File-source streaming ingest: each micro-batch runs the batch
     ingest plan via foreachBatch and writes parquet idempotently.
@@ -46,7 +50,31 @@ def stream_ingest_jsonl(
     commit rewrites the same directory instead of appending
     duplicates (exactly-once output for a deterministic batch_fn).
     Read the sink with ``spark.read.parquet(out_dir)`` — the
-    ``batch_id`` partition column is part of the sink schema."""
+    ``batch_id`` partition column is part of the sink schema.
+
+    ``neardup_index_path`` gates each micro-batch through a persisted
+    MinHash LSH store BEFORE the ingest plan runs — the reference's
+    P6/J2 dedup-before-work (embed_to_milvus.py:52-58 skips files
+    whose name is already registered) extended to near-duplication,
+    and the streaming twin of the batch
+    ``dedup_against_index``/``upsert_minhash_index`` refresh loop:
+
+    1. probe: batch docs near-matching the store (or a SMALLER-id doc
+       in the same batch — ``intra_batch``) are dropped;
+       ``exclude_self`` keeps replays from matching their own
+       first-run upserts;
+    2. upsert: the survivors' signatures/band rows append to the
+       store, keyed by a ``_ingest_markers/batch_<id>`` marker so a
+       replayed batch never double-appends (marker written AFTER the
+       upsert: a crash in between re-runs the upsert — at-least-once
+       on the store, benign duplicates the probe's dropDuplicates
+       absorbs — while the OUTPUT stays exactly-once via the
+       partition overwrite);
+    3. ingest: the batch plan runs on survivors only.
+
+    The store must exist (``build_minhash_index`` on the standing
+    corpus — possibly empty — before starting the stream). Restart +
+    replay safety is asserted in tests/test_streaming.py."""
     from ..plans.ingest import IngestConfig, ingest
 
     stream = (
@@ -56,10 +84,44 @@ def stream_ingest_jsonl(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df
+        if neardup_index_path is not None:
+            from ..operators.dedup import (
+                dedup_against_index,
+                upsert_minhash_index,
+            )
+
+            survivors = dedup_against_index(
+                spark,
+                neardup_index_path,
+                batch_df,
+                threshold=neardup_threshold,
+                text_col=neardup_text_col,
+                id_col=neardup_id_col,
+                intra_batch=True,
+                exclude_self=True,
+            )
+            # one materialization feeds BOTH the upsert and the
+            # ingest (the survivor set is micro-batch-bounded);
+            # blocks release when this batch closure returns
+            src = survivors.localCheckpoint(eager=True)
+            # marker via the Hadoop FS API so the gate works on the
+            # same filesystem family the index lives on (local/hdfs/
+            # object store), not just the driver's local disk
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{neardup_index_path}/_ingest_markers/batch_{batch_id}"
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                upsert_minhash_index(
+                    neardup_index_path, src,
+                    text_col=neardup_text_col, id_col=neardup_id_col,
+                )
+                fs.create(jpath, True).close()
         if batch_fn is not None:
-            out = batch_fn(batch_df, registry)
+            out = batch_fn(src, registry)
         else:
-            out, _ = ingest(batch_df, registry, config=IngestConfig())
+            out, _ = ingest(src, registry, config=IngestConfig())
         out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (

@@ -44,9 +44,21 @@ def _build_walls(d: dict) -> tuple[float, float]:
         ("ivfadc", "ivfadc_build"),
         ("opq", "opq_build"),
         ("sq8", "sq8_build"),
+        ("ivfsq8", "ivfsq8_build"),
     ):
         w = float(walls.get(key, 0.0) or 0.0)
         if cached.get(fam):
+            skipped += w
+        else:
+            paid += w
+    # r15 m-sweep builds (flat PQ at m in {32, 64}; the base-m entry
+    # shares flat_build's wall and is already counted above)
+    base_m = str(pf.get("m"))
+    for mkey, ent in pf.get("m_sweep_flat_pq", {}).items():
+        if mkey == base_m or not isinstance(ent, dict):
+            continue
+        w = float(ent.get("build_sec", 0.0) or 0.0)
+        if ent.get("build_cached"):
             skipped += w
         else:
             paid += w

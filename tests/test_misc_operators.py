@@ -183,30 +183,34 @@ def test_harness_contract():
         "cms_user_counts",
         "pq_topk_refined",
         "ivfadc_topk_refined",
-        "sq8_topk_refined",
-        "ivfsq8_topk_refined",
+        # r15: sq8/ivfsq8 converted to full value oracles (pinned
+        # ranges + symmetric integer code-space scoring)
         "semdedup_survivors",
+        # r15: physical store layout report (file/segment counts a
+        # SQL oracle over the logical tables cannot see)
+        "index_stats_report",
     }
-    # the gate samples the first-50 registry prefix; r14's rotation
-    # (__spark_entry__._R14_WINDOW) declares it explicitly — the
+    # the gate samples the first-50 registry prefix; r15's rotation
+    # (__spark_entry__._R15_WINDOW) declares it explicitly — the
     # window must be exactly the declared names, in order, and the
     # tail past the window keeps oracle-bearing entries before
     # rows-only ones (so any window growth picks up hash-checkable
     # queries first)
     names = list(qs)
-    assert names[: len(e._R14_WINDOW)] == e._R14_WINDOW
-    assert len(e._R14_WINDOW) == 50
-    tail = names[len(e._R14_WINDOW):]
+    assert names[: len(e._R15_WINDOW)] == e._R15_WINDOW
+    assert len(e._R15_WINDOW) == 50
+    tail = names[len(e._R15_WINDOW):]
     tail_rows_only = [n for n in tail if n not in sqls]
     if tail_rows_only:
         assert tail[-len(tail_rows_only):] == tail_rows_only
-    # exactly three rows-only seats in the r14 window tail (the two
-    # brand-new quantizer searches + the ivfadc re-seat)
-    win_rows_only = [n for n in e._R14_WINDOW if n not in sqls]
+    # exactly three rows-only seats in the r15 window tail (the new
+    # index_stats_report, the ivfadc re-seat, the oldest-record
+    # rows-only back-fill)
+    win_rows_only = [n for n in e._R15_WINDOW if n not in sqls]
     assert win_rows_only == [
-        "sq8_topk_refined", "ivfsq8_topk_refined", "ivfadc_topk_refined"
+        "index_stats_report", "ivfadc_topk_refined", "ann_topk_bucketed"
     ]
-    assert e._R14_WINDOW[-3:] == win_rows_only
+    assert e._R15_WINDOW[-3:] == win_rows_only
 
 
 def test_clean_corpus_filters_and_dedups(spark):
@@ -1484,3 +1488,255 @@ def test_sample_video_frames_bounds_corrupt_durations(spark):
     for r in out:
         got.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert {k: sorted(v) for k, v in got.items()} == {1: [0, 1000, 2000]}
+
+
+def test_index_stats_report(spark, tmp_path):
+    """index_stats over a sparse store (build + one upsert) and a
+    MinHash store: every relation present gets a row, row counts
+    match direct reads, the unpartitioned corpus_stats relation's
+    n_files counts the append segments (build + upsert = 2), and the
+    bucket-partitioned postings relation reports occupancy skew."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        index_stats,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        upsert_sparse_index,
+    )
+
+    post = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 7}", 1.0 + i) for i in range(40)],
+        "doc_id string, token string, weight double",
+    )
+    path = str(tmp_path / "sp_store")
+    build_sparse_index(
+        post.filter(F.col("doc_id") < "d3"), path,
+        num_buckets=8, store_doc_stats=True,
+    )
+    upsert_sparse_index(
+        path, post.filter(F.col("doc_id") >= "d3")
+    )
+    stats = {
+        r["relation"]: r for r in index_stats(spark, path).collect()
+    }
+    assert set(stats) == {"postings", "df_stats", "corpus_stats", "meta"}
+    n_direct = spark.read.parquet(f"{path}/postings.parquet").count()
+    assert stats["postings"]["n_rows"] == n_direct == 40
+    assert stats["postings"]["n_partitions"] >= 1
+    assert stats["postings"]["skew_ratio"] >= 1.0
+    assert stats["postings"]["max_partition_rows"] >= 1
+    # one corpus_stats segment per build/upsert
+    assert stats["corpus_stats"]["n_rows"] == 2
+    assert stats["corpus_stats"]["n_files"] == 2
+    assert stats["corpus_stats"]["n_partitions"] is None
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "mh_store")
+    build_minhash_index(docs, mh, n=3, num_perm=16, bands=4)
+    mh_stats = {
+        r["relation"]: r for r in index_stats(spark, mh).collect()
+    }
+    assert set(mh_stats) == {"signatures", "bands", "meta"}
+    assert mh_stats["signatures"]["n_rows"] == 6
+    assert mh_stats["bands"]["n_rows"] == 6 * 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no index relations"):
+        index_stats(spark, str(tmp_path / "nothing_here"))
+
+
+def test_compact_index_preserves_results_and_merges_segments(
+    spark, tmp_path
+):
+    """compact_index rewrites the append-only stores one-file-per-
+    partition and merges the mergeable partials — search results must
+    be IDENTICAL before/after, corpus_stats collapses to one row, and
+    a double-upserted MinHash store (the at-least-once case) loses
+    its duplicate rows."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+        upsert_minhash_index,
+    )
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        compact_index,
+        index_stats,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+        upsert_sparse_index,
+    )
+
+    post = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 5}", 1.0 + i % 3) for i in range(30)],
+        "doc_id string, token string, weight double",
+    )
+    path = str(tmp_path / "sp_compact")
+    build_sparse_index(
+        post.filter(F.col("doc_id") < "d1"), path,
+        num_buckets=4, store_doc_stats=True,
+    )
+    upsert_sparse_index(
+        path, post.filter((F.col("doc_id") >= "d1") & (F.col("doc_id") < "d2"))
+    )
+    upsert_sparse_index(path, post.filter(F.col("doc_id") >= "d2"))
+    qt = spark.createDataFrame(
+        [("q1", "tok0"), ("q1", "tok3"), ("q2", "tok4")],
+        "query_id string, token string",
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+    before = key(bm25_topk_index(spark, path, qt, k=10).collect())
+    pre = {r["relation"]: r for r in index_stats(spark, path).collect()}
+    assert pre["corpus_stats"]["n_rows"] == 3  # build + 2 upserts
+    post_stats = {
+        r["relation"]: r for r in compact_index(spark, path).collect()
+    }
+    after = key(bm25_topk_index(spark, path, qt, k=10).collect())
+    assert after == before and after
+    assert post_stats["corpus_stats"]["n_rows"] == 1
+    assert post_stats["postings"]["n_rows"] == pre["postings"]["n_rows"]
+    # one file per partition directory after the rewrite
+    assert (
+        post_stats["postings"]["n_files"]
+        == post_stats["postings"]["n_partitions"]
+    )
+    assert post_stats["df_stats"]["n_rows"] <= pre["df_stats"]["n_rows"]
+
+    # MinHash: double-upsert (at-least-once) leaves duplicate rows the
+    # compaction drops; probe results identical
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "totally different words about columnar execution and "
+             "vectorized readers in a distributed engine")],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "mh_compact")
+    build_minhash_index(docs, mh, n=3, num_perm=16, bands=4)
+    upsert_minhash_index(mh, batch)
+    upsert_minhash_index(mh, batch)  # the replayed upsert
+    assert (
+        spark.read.parquet(f"{mh}/signatures.parquet").count() == 3
+    )
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    p_before = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_probe_index(spark, mh, probe, 0.5).collect()
+    )
+    mh_stats = {
+        r["relation"]: r for r in compact_index(spark, mh).collect()
+    }
+    assert mh_stats["signatures"]["n_rows"] == 2  # dupes dropped
+    p_after = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_probe_index(spark, mh, probe, 0.5).collect()
+    )
+    assert p_after == p_before and p_after
+
+
+def test_delete_from_index_matches_rebuild(spark, tmp_path):
+    """delete_from_index must be semantically a rebuild-minus-ids:
+    BM25 over the deleted store equals BM25 over a store built from
+    the filtered postings (df/corpus stats exactly recomputed); a
+    deleted doc stops matching MinHash probes; deleted vectors stop
+    appearing in SQ8 searches while survivors keep their codes."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        delete_from_index,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+        build_sq8_index,
+        sq8_topk_index,
+    )
+
+    post = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 5}", 1.0 + i % 3) for i in range(30)],
+        "doc_id string, token string, weight double",
+    )
+    dead = spark.createDataFrame(
+        [("d3",), ("d7",), ("d11",)], "doc_id string"
+    )
+    live = post.join(dead, "doc_id", "left_anti")
+    a = str(tmp_path / "sp_del")
+    b = str(tmp_path / "sp_gold")
+    build_sparse_index(post, a, num_buckets=4, store_doc_stats=True)
+    build_sparse_index(live, b, num_buckets=4, store_doc_stats=True)
+    stats = {
+        r["relation"]: r
+        for r in delete_from_index(spark, a, dead).collect()
+    }
+    assert stats["postings"]["n_rows"] == live.count()
+    qt = spark.createDataFrame(
+        [("q1", "tok0"), ("q1", "tok3"), ("q2", "tok4")],
+        "query_id string, token string",
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+    got = key(bm25_topk_index(spark, a, qt, k=10).collect())
+    want = key(bm25_topk_index(spark, b, qt, k=10).collect())
+    assert got == want and got
+    assert not any(d in {"d3", "d7", "d11"} for _, d, _, _ in got)
+
+    # MinHash: delete the doc a probe would match
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "other text about join reordering and predicate pushdown")],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "mh_del")
+    build_minhash_index(docs, mh, n=3, num_perm=16, bands=4)
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    assert minhash_probe_index(spark, mh, probe, 0.5).count() == 1
+    delete_from_index(
+        spark, mh, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert minhash_probe_index(spark, mh, probe, 0.5).count() == 0
+
+    # SQ8 codes: deleted ids vanish from searches, survivors intact
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 0.3, 8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    sq = str(tmp_path / "sq_del")
+    build_sq8_index(emb, sq, params=(np.full(8, -1.0), np.full(8, 2.0)))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {r["vec_id"] for r in sq8_topk_index(spark, sq, q, k=40).collect()}
+    assert full == set(range(40))
+    delete_from_index(
+        spark, sq,
+        spark.createDataFrame([(5,), (6,)], "vec_id long"),
+        id_col="vec_id",
+    )
+    rest = {r["vec_id"] for r in sq8_topk_index(spark, sq, q, k=40).collect()}
+    assert rest == set(range(40)) - {5, 6}

@@ -91,6 +91,93 @@ def test_stream_restart_does_not_duplicate(spark, dirs):
     assert got.select("file_id").distinct().count() == 15
 
 
+def test_stream_ingest_neardup_gate_restart_and_replay(spark, tmp_path):
+    """Near-dup gating inside the streaming ingest (r14 VERDICT item
+    7): each micro-batch probes a persisted MinHash store, drops
+    store- AND intra-batch near-duplicates, upserts the survivors
+    (marker-keyed exactly-once), and only then runs the batch plan.
+    At-least-once safety: replaying the same batch against a fresh
+    checkpoint (simulated checkpoint loss) is a no-op — survivors
+    don't match their own first-run upserts (exclude_self), the
+    marker skips the double-upsert, and the output partition is
+    overwritten identically."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        build_minhash_index,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt1 = tmp_path / "ckpt1"
+    ckpt2 = tmp_path / "ckpt2"
+    store = str(tmp_path / "mh_store")
+    src.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "dreams of fish and chips in the warm afternoon sun near the "
+        "river bank"
+    )
+    pair = (
+        "structured streaming state stores keep watermarked windowed "
+        "aggregates across micro batches with checkpointed offsets "
+        "and idempotent sinks for exactly once output semantics"
+    )
+    standing = spark.createDataFrame(
+        [("Standing 1", base)], "title string, content string"
+    )
+    build_minhash_index(
+        standing, store, text_col="content", id_col="title",
+        n=3, num_perm=16, bands=4,
+    )
+
+    def doc(title, content):
+        return {"title": title, "pub_time": "2025-04-27",
+                "source": "stream", "content": content}
+
+    _write_jsonl(str(src / "a.jsonl"), [
+        doc("Doc 5", base.replace("dreams", "thinks")),  # ~ store
+        doc("Doc 6", pair),                              # intra pair, smaller
+        doc("Doc 7", pair.replace("output", "sink")),    # intra pair, larger
+        doc("Doc 8", "totally fresh unique document about broadcast "
+                     "joins bloom filters and adaptive query execution"),
+    ])
+
+    def run(ckpt):
+        stream_ingest_jsonl(
+            spark, str(src), str(out), str(ckpt), registry=None,
+            batch_fn=_batch_fn, neardup_index_path=store,
+            neardup_threshold=0.5,
+        ).awaitTermination(120)
+
+    run(ckpt1)
+    got = {r["file_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {6, 8}  # 5 ~ store, 7 ~ intra-batch 6
+    n_store = spark.read.parquet(f"{store}/signatures.parquet").count()
+    assert n_store == 3  # standing + the two survivors
+
+    # replay against a FRESH checkpoint (checkpoint loss): same batch
+    # id re-runs end-to-end — output identical, store un-grown
+    run(ckpt2)
+    got2 = {r["file_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got2 == {6, 8}
+    assert (
+        spark.read.parquet(f"{store}/signatures.parquet").count() == 3
+    )
+
+    # delta file on the ORIGINAL checkpoint: a near-dup of an already
+    # UPSERTED survivor drops; the genuinely new doc flows + upserts
+    _write_jsonl(str(src / "b.jsonl"), [
+        doc("Doc 9", pair.replace("exactly", "at least")),  # ~ Doc 6
+        doc("Doc 10", "completely novel content mentioning parquet "
+                      "row groups column statistics and z ordering"),
+    ])
+    run(ckpt1)
+    got3 = {r["file_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got3 == {6, 8, 10}
+    assert (
+        spark.read.parquet(f"{store}/signatures.parquet").count() == 4
+    )
+
+
 def test_replayed_batch_overwrites_not_appends(spark, dirs):
     """Simulate the crash-between-write-and-commit replay directly:
     writing the same batch_id twice leaves ONE copy (ST3)."""
