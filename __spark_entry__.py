@@ -2673,6 +2673,66 @@ FROM (
 """
 
 
+def _q_hybrid_rrf_index(spark, sf_dir):
+    """Retrieval-level hybrid over PERSISTED stores (r15): the dense
+    leg searches a pinned-range SQ8 store in the symmetric
+    integer-exact mode with exact refine, the sparse leg searches a
+    bucket-partitioned sparse inverted store, and reciprocal-rank
+    fusion composes the two rankings — the end-to-end shape a vector
+    database user actually runs (build once, search both legs, fuse).
+    Both legs carry full value oracles, so the fusion does too: the
+    oracle composes their SQL verbatim inside the RRF template."""
+    import tempfile
+
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sparse_index,
+        build_sq8_index,
+        hybrid_topk_rrf,
+        sparse_topk_index,
+        sq8_topk_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qd = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sq8_path = tempfile.mkdtemp(prefix="sg_hy_sq8_")
+    build_sq8_index(
+        emb, sq8_path, params=(np.full(dim, -1.0), np.full(dim, 2.0))
+    )
+    dense = sq8_topk_index(
+        spark, sq8_path, qd, k=5, metric="L2", refine=emb, refine_k=20,
+        symmetric=True,
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.col("embedding")).alias("token", "weight"),
+    ).filter(F.col("weight") > 0.1)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.col("embedding")).alias("token", "weight"),
+        )
+        .filter(F.col("weight") > 0.1)
+    )
+    sp_path = tempfile.mkdtemp(prefix="sg_hy_sp_")
+    build_sparse_index(corpus, sp_path, num_buckets=16)
+    sparse = sparse_topk_index(
+        spark, sp_path, queries, k=5, max_doc_freq=100
+    ).withColumnRenamed("doc_id", "vec_id")
+    out = hybrid_topk_rrf(dense, sparse, id_col="vec_id", k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "rank",
+    )
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     """Rows-only: seeded-kmeans centroids aren't SQL-reproducible;
     recall + determinism asserted in tests/test_search.py."""
@@ -2835,6 +2895,44 @@ def _q_ivfsq8_topk_refined(spark, sf_dir):
     out = ann_topk_ivfsq8(
         spark, path, q, k=5, metric="L2", nprobe=nlist,
         refine=emb, refine_k=20, symmetric=True,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _q_sq8_topk_filtered(spark, sf_dir):
+    """FILTERED vector search over the persisted SQ8 store (r15): the
+    Milvus-style scalar pre-filter — only corpus ids passing a
+    predicate may be returned, applied BEFORE the top-k so the
+    answers are the best among the allowed, not a post-filtered
+    shrunken tail (operators/search.py:_apply_allowed — the filter
+    set broadcasts left-semi into the code scan; the store never
+    shuffles). Same pinned-range symmetric arithmetic as
+    sq8_topk_refined, so the oracle is that SQL with the predicate on
+    the corpus leg."""
+    import tempfile
+
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        build_sq8_index,
+        sq8_topk_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    path = tempfile.mkdtemp(prefix="sg_sq8_f_")
+    build_sq8_index(
+        emb, path, params=(np.full(dim, -1.0), np.full(dim, 2.0))
+    )
+    out = sq8_topk_index(
+        spark, path, q, k=5, metric="L2", refine=emb, refine_k=20,
+        symmetric=True, allowed_ids=allowed,
     )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
@@ -7045,6 +7143,23 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
+    (
+        "hybrid_rrf_index",
+        _q_hybrid_rrf_index,
+        _SQL_HYBRID_RRF.replace("{dense_sql}", _SQL_SQ8_TOPK).replace(
+            "{sparse_sql}", _SQL_SPARSE_TOPK
+        ),
+    ),
+    # the filtered-search oracle is the SQ8 oracle with the scalar
+    # predicate on the CORPUS leg only (queries stay unfiltered)
+    (
+        "sq8_topk_filtered",
+        _q_sq8_topk_filtered,
+        _SQL_SQ8_TOPK.replace(
+            "FROM qc q, codes c",
+            "FROM qc q, codes c WHERE c.vec_id % 3 = 0",
+        ),
+    ),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
@@ -7065,7 +7180,9 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # OLDEST, computed from the committed CORRECTNESS_r*.json files —
 # after r14's rotation that is the r11-record cohort (15
 # oracle-bearing), then the r12-record cohort in registry order up
-# to the 47-slot oracle budget (27 of its 47 fit; the remainder
+# to the 47-slot oracle budget (26 of its 47 fit after the six (a)
+# seats — hybrid_rrf_index, the sixth, fuses the two persisted-store
+# legs and composes their oracle SQL verbatim; the remainder
 # stays covered by tools/oracle_check.py + tests/test_oracle_window.py
 # at both gate SFs every round).
 # (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
@@ -7081,6 +7198,8 @@ _R15_WINDOW: list[str] = [
     "av_meta_decode",
     "bm25_topk_index",
     "minhash_probe_index",
+    "hybrid_rrf_index",
+    "sq8_topk_filtered",
     # (b) oldest latest-driver-record first: the r11-record cohort...
     "s1_jsonl_scan",
     "s4_file_name",
@@ -7123,8 +7242,6 @@ _R15_WINDOW: list[str] = [
     "dense_topk_quantized",
     "dedup_spans",
     "bm25_topk",
-    "dup_clusters",
-    "near_dedup_representatives",
     # (c) rows-only at the window TAIL by policy (see above)
     "index_stats_report",
     "ivfadc_topk_refined",

@@ -1454,6 +1454,7 @@ def upsert_sparse_index(
     index_path: str,
     new_postings: DataFrame,
     doc_id: str = "doc_id",
+    count_appended: bool = True,
 ) -> int:
     """Incremental sparse-index maintenance: append the new batch's
     postings into their bucket partitions and its per-token document
@@ -1468,7 +1469,12 @@ def upsert_sparse_index(
     term's BM25 idf; ``bm25_topk_index`` clamps df ≤ n_docs so the
     idf only floors, never domain-errors) — ship each document's
     postings in one batch (the natural ingest shape). Returns the
-    number of postings appended."""
+    number of postings appended — or -1 with
+    ``count_appended=False``: the before/after counts are footer
+    reads (no data pages), but footer-read cost grows with the
+    store's accumulated segment count, so a tight ingest loop that
+    doesn't consume the return value can skip both (r15; pair with
+    ``compact_index`` to keep the file count bounded either way)."""
     spark = new_postings.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
     nb = int(meta["num_buckets"])
@@ -1480,13 +1486,17 @@ def upsert_sparse_index(
     ).cast("int")
     # appended-row count from parquet FOOTERS (metadata-only reads)
     # rather than a .count() that re-executes the batch lineage
-    n_before = spark.read.parquet(
-        f"{index_path}/postings.parquet"
-    ).count()
+    n_before = (
+        spark.read.parquet(f"{index_path}/postings.parquet").count()
+        if count_appended
+        else 0
+    )
     _write_sparse_segment(
         new_postings, index_path, bucket, doc_id, store_doc_stats,
         mode="append",
     )
+    if not count_appended:
+        return -1
     n_after = spark.read.parquet(
         f"{index_path}/postings.parquet"
     ).count()
@@ -3043,8 +3053,11 @@ def ann_topk_ivfadc(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a ``build_ivfadc_index`` store: nprobe-bounded ADC.
+    ``allowed_ids`` applies the Milvus-style scalar PRE-filter on the
+    pruned code scan (see ``_apply_allowed``).
 
     Driver side (all tiny): centroids + codebooks load, each query
     picks its ``nprobe`` nearest lists, and the (m × ksub) lookup
@@ -3212,9 +3225,9 @@ def ann_topk_ivfadc(
                 names=["query_id", corpus_id, "score"],
             )
 
-    local = codes.select(corpus_id, "list_id", "pq_code").mapInArrow(
-        local_topk, out_schema
-    )
+    local = _apply_allowed(codes, allowed_ids, corpus_id).select(
+        corpus_id, "list_id", "pq_code"
+    ).mapInArrow(local_topk, out_schema)
     order = F.desc if descending else F.asc
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
@@ -3577,6 +3590,23 @@ def _sq8_code_batch(X, vmin_f, scale_f):
     ).astype(np.uint8)
 
 
+def _apply_allowed(df: DataFrame, allowed_ids, corpus_id: str):
+    """Milvus-style scalar PRE-filter for a vector search: restrict
+    the scored rows to an id set BEFORE any top-k, so the returned
+    neighbors are the best among the allowed — not a post-filtered
+    (and possibly short) tail of an unfiltered top-k. ``allowed_ids``
+    is a one-column DataFrame; it broadcasts into the code/corpus
+    scan as a left-semi join (the bitset-prefilter shape — the
+    filter relation is metadata-sized by contract, the corpus-sized
+    side never shuffles)."""
+    if allowed_ids is None:
+        return df
+    ids = allowed_ids.select(
+        F.col(allowed_ids.columns[0]).alias(corpus_id)
+    ).dropDuplicates()
+    return df.join(F.broadcast(ids), corpus_id, "left_semi")
+
+
 def _sq8_symmetric_weights(qmat, vmin, vdiff):
     """(W, bias, extra) casting SYMMETRIC code-space squared-L2 into
     the same (bias − 2·C@W + (C²)@extra) scoring shape the asymmetric
@@ -3706,6 +3736,7 @@ def sq8_topk(
     refine_k: int | None = None,
     vec_col: str = "embedding",
     symmetric: bool = False,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k over SQ8 codes by asymmetric scoring against
     the affine decode (see the section header identities): the whole
@@ -3803,9 +3834,9 @@ def sq8_topk(
                 names=["query_id", corpus_id, "score"],
             )
 
-    local = codes.select(corpus_id, code_col).mapInArrow(
-        local_topk, out_schema
-    )
+    local = _apply_allowed(codes, allowed_ids, corpus_id).select(
+        corpus_id, code_col
+    ).mapInArrow(local_topk, out_schema)
     order = F.desc if descending else F.asc
     w = Window.partitionBy("query_id").orderBy(
         order("score"), F.asc(corpus_id)
@@ -3923,6 +3954,7 @@ def sq8_topk_index(
     refine_k: int | None = None,
     vec_col: str = "embedding",
     symmetric: bool = False,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a ``build_sq8_index`` store: params load to the driver
     (dim rows), the code column is scanned with the two-matmul
@@ -3935,7 +3967,7 @@ def sq8_topk_index(
         codes, queries, vmin, vdiff,
         k=k, metric=metric, corpus_id=corpus_id, query_id=query_id,
         query_vec=query_vec, refine=refine, refine_k=refine_k,
-        vec_col=vec_col, symmetric=symmetric,
+        vec_col=vec_col, symmetric=symmetric, allowed_ids=allowed_ids,
     )
 
 
@@ -4142,8 +4174,11 @@ def ann_topk_ivfsq8(
     refine_k: int | None = None,
     vec_col: str = "embedding",
     symmetric: bool = False,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a ``build_ivfsq8_index`` store: nprobe-bounded SQ8 ADC.
+    ``allowed_ids`` applies the Milvus-style scalar PRE-filter on the
+    pruned code scan (see ``_apply_allowed``).
     ``symmetric`` as in ``sq8_topk`` (exact code-space L2; at full
     probe the result set equals flat symmetric ``sq8_topk`` exactly —
     the property the SQL oracle relies on).
@@ -4277,9 +4312,9 @@ def ann_topk_ivfsq8(
                 names=["query_id", corpus_id, "score"],
             )
 
-    local = codes.select(corpus_id, "list_id", "sq8_code").mapInArrow(
-        local_topk, out_schema
-    )
+    local = _apply_allowed(codes, allowed_ids, corpus_id).select(
+        corpus_id, "list_id", "sq8_code"
+    ).mapInArrow(local_topk, out_schema)
     order_f = F.desc if descending else F.asc
     w = Window.partitionBy("query_id").orderBy(
         order_f("score"), F.asc(corpus_id)

@@ -2006,3 +2006,73 @@ def test_sparse_index_property_matches_inline(spark, tmp_path):
         assert got == want
 
     case()
+
+
+def test_allowed_ids_prefilter_matches_filtered_bruteforce(
+    spark, emb, queries, tmp_path
+):
+    """allowed_ids must be a PRE-filter: the filtered search's top-k
+    equals exact dense top-k over the allowed subset (refined SQ8 is
+    exact on its candidates), never a post-filtered tail of the
+    unfiltered ranking. Asserted on the flat store and at full probe
+    on both IVF composites."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfadc,
+        ann_topk_ivfsq8,
+        build_ivfadc_index,
+        build_ivfsq8_index,
+        build_sq8_index,
+        dense_topk,
+        sq8_topk_index,
+    )
+
+    dim = len(emb.first()["embedding"])
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in dense_topk(
+            emb.join(allowed, "vec_id", "left_semi"), queries,
+            k=5, metric="L2",
+        ).collect()
+    }
+    assert want
+    sq = str(tmp_path / "sq8_filter")
+    build_sq8_index(
+        emb, sq, params=(np.full(dim, -1.0), np.full(dim, 2.0))
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in sq8_topk_index(
+            spark, sq, queries, k=5, metric="L2", refine=emb,
+            refine_k=50, symmetric=True, allowed_ids=allowed,
+        ).collect()
+    }
+    assert got == want
+    assert all(v % 3 == 0 for v in got.values())
+
+    adc = str(tmp_path / "adc_filter")
+    nlist, _ = build_ivfadc_index(emb, adc, nlist=8, m=8, seed=7)
+    got_adc = {
+        r["vec_id"]
+        for r in ann_topk_ivfadc(
+            spark, adc, queries, k=5, nprobe=nlist, refine=emb,
+            refine_k=50, allowed_ids=allowed,
+        ).collect()
+    }
+    assert got_adc and all(v % 3 == 0 for v in got_adc)
+    ivq = str(tmp_path / "ivfsq8_filter")
+    nlist2, _ = build_ivfsq8_index(
+        emb, ivq, nlist=8, seed=7,
+        params=(np.full(dim, -1.0), np.full(dim, 2.0)),
+    )
+    got_ivq = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_topk_ivfsq8(
+            spark, ivq, queries, k=5, metric="L2", nprobe=nlist2,
+            refine=emb, refine_k=50, symmetric=True,
+            allowed_ids=allowed,
+        ).collect()
+    }
+    assert got_ivq == want
