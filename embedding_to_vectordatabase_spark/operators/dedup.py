@@ -1779,16 +1779,24 @@ def upsert_minhash_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    count_appended: bool = True,
 ) -> int:
     """Append a new batch's signatures and band rows under the
     STORED knobs — no recompute of the standing corpus (the shared
     upsert contract; typically called after ``dedup_against_index``
-    filtered the batch to survivors). Returns documents appended."""
+    filtered the batch to survivors). Returns documents appended —
+    or -1 with ``count_appended=False``: the before/after counts are
+    footer reads, but their cost grows with the store's accumulated
+    segment count, so a recurring ingest loop that never reads the
+    return value can skip both (the streaming gate does; pair with
+    ``compact_index`` to bound the file count either way)."""
     spark = new_docs.sparkSession
     m = spark.read.parquet(f"{index_path}/meta.parquet").first()
-    n_before = spark.read.parquet(
-        f"{index_path}/signatures.parquet"
-    ).count()
+    n_before = (
+        spark.read.parquet(f"{index_path}/signatures.parquet").count()
+        if count_appended
+        else 0
+    )
     sigs = minhash_signatures(
         new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
     ).persist()
@@ -1803,6 +1811,8 @@ def upsert_minhash_index(
         ).parquet(f"{index_path}/bands.parquet")
     finally:
         sigs.unpersist()
+    if not count_appended:
+        return -1
     n_after = spark.read.parquet(
         f"{index_path}/signatures.parquet"
     ).count()

@@ -1165,6 +1165,7 @@ def ann_topk_ivf_index(
     k: int = DEFAULT_TOP_K,
     metric: str = "IP",
     nprobe: int = 10,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search against a ``build_ivf_index`` store: no training, no
     corpus re-assignment — centroids load to the driver (nlist rows),
@@ -1189,9 +1190,9 @@ def ann_topk_ivf_index(
     probe_lists = _probe_lists_udf(cm, c2, npb)
 
     assignments = spark.read.parquet(f"{index_path}/assignments.parquet")
-    c = corpus.join(assignments, corpus_id).withColumnRenamed(
-        "list_id", "__list"
-    )
+    c = _apply_allowed(corpus, allowed_ids, corpus_id).join(
+        assignments, corpus_id
+    ).withColumnRenamed("list_id", "__list")
     q = (
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -2758,14 +2759,19 @@ def pq_topk_index(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search against a ``build_pq_index`` store: codebooks load to
     the driver (m×ksub rows), the code column is scanned with ADC —
     byte-identical plan shape to inline ``pq_topk`` (the equivalence
     is asserted in tests), the float corpus only appears if
-    ``refine`` is passed."""
+    ``refine`` is passed. ``allowed_ids`` applies the Milvus-style
+    scalar PRE-filter on the code scan (see ``_apply_allowed``)."""
     books = load_pq_codebooks(spark, index_path)
-    codes = spark.read.parquet(f"{index_path}/codes.parquet")
+    codes = _apply_allowed(
+        spark.read.parquet(f"{index_path}/codes.parquet"),
+        allowed_ids, corpus_id,
+    )
     return pq_topk(
         codes,
         queries,
@@ -3528,6 +3534,7 @@ def opq_topk_index(
     refine: DataFrame | None = None,
     refine_k: int | None = None,
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a ``build_opq_index`` store: rotation + codebooks load
     to the driver (both tiny), queries rotate into the code space for
@@ -3538,7 +3545,10 @@ def opq_topk_index(
     asserted in tests."""
     R = load_opq_rotation(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
-    codes = spark.read.parquet(f"{index_path}/codes.parquet")
+    codes = _apply_allowed(
+        spark.read.parquet(f"{index_path}/codes.parquet"),
+        allowed_ids, corpus_id,
+    )
     return opq_topk(
         codes, queries, R, books,
         k=k, metric=metric, corpus_id=corpus_id, query_id=query_id,

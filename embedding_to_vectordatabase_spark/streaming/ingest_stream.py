@@ -113,9 +113,13 @@ def stream_ingest_jsonl(
             )
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(jpath):
+                # count_appended=False: the return value is unused
+                # and the footer counts would re-read a store whose
+                # segment count grows with every micro-batch
                 upsert_minhash_index(
                     neardup_index_path, src,
                     text_col=neardup_text_col, id_col=neardup_id_col,
+                    count_appended=False,
                 )
                 fs.create(jpath, True).close()
         if batch_fn is not None:

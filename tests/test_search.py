@@ -2076,3 +2076,61 @@ def test_allowed_ids_prefilter_matches_filtered_bruteforce(
         ).collect()
     }
     assert got_ivq == want
+
+
+def test_allowed_ids_prefilter_pq_opq_ivf_stores(
+    spark, emb, queries, tmp_path
+):
+    """The same pre-filter contract on the remaining persisted-store
+    searches: PQ/OPQ (refined) return only allowed ids and, with a
+    generous refine_k, exactly the filtered exact top-k; the plain
+    IVF store at full probe returns exactly the filtered exact
+    top-k (its scoring is exact)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivf_index,
+        build_ivf_index,
+        build_opq_index,
+        build_pq_index,
+        dense_topk,
+        opq_topk_index,
+        pq_topk_index,
+    )
+
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in dense_topk(
+            emb.join(allowed, "vec_id", "left_semi"), queries,
+            k=5, metric="L2",
+        ).collect()
+    }
+    pq_path = str(tmp_path / "pq_filter")
+    build_pq_index(emb, pq_path, m=8, seed=7)
+    got_pq = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq_topk_index(
+            spark, pq_path, queries, k=5, metric="L2", refine=emb,
+            refine_k=200, allowed_ids=allowed,
+        ).collect()
+    }
+    assert got_pq == want
+    opq_path = str(tmp_path / "opq_filter")
+    build_opq_index(emb, opq_path, m=8, seed=7, n_iter=1)
+    got_opq = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in opq_topk_index(
+            spark, opq_path, queries, k=5, metric="L2", refine=emb,
+            refine_k=200, allowed_ids=allowed,
+        ).collect()
+    }
+    assert got_opq == want
+    ivf_path = str(tmp_path / "ivf_filter")
+    nlist = build_ivf_index(emb, ivf_path, nlist=8, seed=7)
+    got_ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_topk_ivf_index(
+            spark, ivf_path, emb, queries, k=5, metric="L2",
+            nprobe=nlist, allowed_ids=allowed,
+        ).collect()
+    }
+    assert got_ivf == want
