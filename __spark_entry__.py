@@ -4739,6 +4739,69 @@ def _q_minhash_probe_index(spark, sf_dir):
     return minhash_probe_index(spark, path, new, threshold=0.5)
 
 
+def _q_collection_client_e2e(spark, sf_dir):
+    """The reference's MyMilvusClient surface end-to-end
+    (embedding_to_vectordatabase_spark/client.py — DDL, insert,
+    check_exists, ANN search with output fields, delete, stats):
+    chunk rows are built from the embeddings+documents tables, half
+    are deleted by expr after insert, and the search runs over the
+    surviving half with output fields joined back from the
+    collection. Rows-only: the facade composes stores whose searches
+    are individually hash-checked (sq8_topk_refined /
+    sq8_topk_filtered carry the full value oracles for the same
+    arithmetic); the lifecycle invariants (both stores rewritten on
+    delete, re-open binds without rebuild, compaction preserves
+    results) are asserted in tests/test_client.py. Row count is
+    deterministic: 3 queries x top-5 over the surviving corpus."""
+    import tempfile
+
+    from embedding_to_vectordatabase_spark.client import (
+        VectorCollectionClient,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("__content")
+    )
+    chunks = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"], "inner")
+        .select(
+            F.lit(None).cast("long").alias("id"),
+            F.col("vec_id").alias("qa_id"),
+            F.concat(F.lit("q"), "vec_id").alias("question"),
+            F.concat(F.lit("a"), "vec_id").alias("answer"),
+            F.col("vec_id").alias("file_id"),
+            F.lit(0).cast("long").alias("block_id"),
+            F.concat(F.lit("file_"), "vec_id", F.lit(".pdf")).alias(
+                "file_name"
+            ),
+            F.col("__content").alias("content"),
+            F.col("embedding").alias("dense_embedding"),
+            F.create_map(F.lit(0), F.lit(1.0).cast("float")).alias(
+                "sparse_embedding"
+            ),
+            F.lit("src").alias("source"),
+            F.lit("ok").alias("flag"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="sg_client_")
+    client = VectorCollectionClient(spark, f"{root}/kb", dim=dim)
+    client.insert(chunks)
+    client.delete("qa_id % 4 = 3")  # a quarter of the corpus leaves
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return client.search(qvecs, top_k=5).select(
+        "query_id", "qa_id",
+        F.round("score", 6).alias("score"), "rank", "file_id",
+        "file_name",
+    )
+
+
 def _q_index_stats_report(spark, sf_dir):
     """Operational report over a persisted index store
     (operators/metrics.py:index_stats — r14 VERDICT item 9): build a
@@ -7143,6 +7206,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
+    ("collection_client_e2e", _q_collection_client_e2e, None),
     (
         "hybrid_rrf_index",
         _q_hybrid_rrf_index,
@@ -7187,10 +7251,10 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # at both gate SFs every round).
 # (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
 # round: the new index_stats_report (no record — policy (a) outranks
-# seniority), ivfadc_topk_refined RE-SEATED (its encode now routes by
-# the recorded store metric and the build writes ivf_meta — changed
-# after its r14 record), and ann_topk_bucketed (oldest rows-only
-# record, r10).
+# seniority), collection_client_e2e (new: the MyMilvusClient-surface
+# facade lifecycle), and ivfadc_topk_refined RE-SEATED (its encode now
+# routes by the recorded store metric and the build writes ivf_meta —
+# changed after its r14 record).
 _R15_WINDOW: list[str] = [
     # (a) new/changed-this-round oracles first
     "sq8_topk_refined",
@@ -7244,8 +7308,8 @@ _R15_WINDOW: list[str] = [
     "bm25_topk",
     # (c) rows-only at the window TAIL by policy (see above)
     "index_stats_report",
+    "collection_client_e2e",
     "ivfadc_topk_refined",
-    "ann_topk_bucketed",
 ]
 
 # r14 window kept for provenance documentation (rotation diffs read as

@@ -1,0 +1,232 @@
+"""User-facing collection client — the reference's ``MyMilvusClient``
+surface (vector_database/milvus_connector.py:11-206) re-expressed over
+the Spark-native stores, so a reference user can switch call-for-call:
+
+=====================  ==============================================
+reference method       here
+=====================  ==============================================
+__init__ (DDL)         ``VectorCollectionClient`` — collection parquet
+                       (K9 ``create_collection_if_not_exists``) + a
+                       train-free pinned-range SQ8 index built at DDL
+                       time, exactly like the reference's index DDL
+insert (:101)          ``insert`` — append rows + index upsert
+bulk_insert (:112)     ``bulk_insert`` — K5 ``VectorDBBulkLoader``
+check_exists (:155)    ``check_exists`` — file_id -> file_name | None
+search (:167)          ``search`` — ANN over the code store, exact
+                       refine on the collection, output fields joined
+delete (:180)          ``delete`` — expr rewrite of the collection
+                       (K7) + ``delete_from_index`` on the code store
+drop_collection (:185) ``drop_collection``
+=====================  ==============================================
+
+plus the maintenance surface a lake-backed store needs and a vector
+database hides behind its daemon: ``stats`` (``index_stats``) and
+``compact`` (``compact_index``).
+
+Scale shape: every method delegates to the audited operators — the
+collection never shuffles for inserts (pure appends), searches scan
+dim bytes/vector with the float column entering only through the
+bounded refine join, deletes are broadcast anti-join rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class VectorCollectionClient:
+    """One object binding a CHUNK-schema collection + a persisted SQ8
+    code index under ``root_path`` (``collection.parquet`` +
+    ``index/``). ``dim`` and the pinned ``(vmin, vdiff)`` range are
+    the index DDL parameters (train-free, so the index exists before
+    any data — the reference's create-index-at-DDL contract);
+    ``id_col``/``vec_col`` default to the chunk schema's
+    (qa_id, dense_embedding)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_path: str,
+        dim: int = 16,
+        vmin: float = -1.0,
+        vmax: float = 1.0,
+        id_col: str = "qa_id",
+        vec_col: str = "dense_embedding",
+    ):
+        import numpy as np
+
+        from .operators.search import build_sq8_index
+        from .sinks.parquet_sink import create_collection_if_not_exists
+
+        self.spark = spark
+        self.root_path = root_path
+        self.collection_path = f"{root_path}/collection.parquet"
+        self.index_path = f"{root_path}/index"
+        self.dim = int(dim)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._params = (
+            np.full(self.dim, float(vmin)),
+            np.full(self.dim, float(vmax) - float(vmin)),
+        )
+        created = create_collection_if_not_exists(
+            spark, self.collection_path
+        )
+        if created or not self._index_exists():
+            # train-free DDL-time index build over the (possibly
+            # empty) collection — pinned ranges need no sample
+            build_sq8_index(
+                self._collection().select(id_col, vec_col),
+                self.index_path,
+                vec_col=vec_col,
+                corpus_id=id_col,
+                params=self._params,
+            )
+
+    # -- internals --------------------------------------------------
+
+    def _collection(self) -> DataFrame:
+        return self.spark.read.parquet(self.collection_path)
+
+    def _index_exists(self) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{self.index_path}/sq8_params.parquet"
+        )
+        return bool(
+            p.getFileSystem(self.spark._jsc.hadoopConfiguration()).exists(p)
+        )
+
+    # -- the reference surface ---------------------------------------
+
+    def insert(self, rows: DataFrame) -> None:
+        """Append CHUNK-schema rows to the collection and their codes
+        to the index (milvus_connector.py:101-111 — one call lands
+        data AND keeps the index current; no retrain, the SQ8 upsert
+        contract). The batch is localCheckpointed so its lineage runs
+        once for both writes."""
+        from .operators.search import upsert_sq8_index
+
+        batch = rows.localCheckpoint(eager=True)
+        batch.write.mode("append").parquet(self.collection_path)
+        upsert_sq8_index(
+            self.index_path,
+            batch.select(self.id_col, self.vec_col),
+            vec_col=self.vec_col,
+            corpus_id=self.id_col,
+        )
+
+    def bulk_insert(self, loader, files: list[str]) -> bool:
+        """K5 (milvus_connector.py:112-153): submit written parquet
+        files through a ``VectorDBBulkLoader`` (injected — tests use a
+        fake, production wires a real import client) and poll to
+        completion."""
+        return bool(loader.load(files))
+
+    def check_exists(self, file_id: int):
+        """file_id -> its file_name, or None
+        (milvus_connector.py:155-165) — the dedup-before-work lookup
+        the ingest loop runs per file."""
+        row = (
+            self._collection()
+            .filter(F.col("file_id") == int(file_id))
+            .select("file_name")
+            .first()
+        )
+        return row["file_name"] if row is not None else None
+
+    def search(
+        self,
+        query_vectors: list[list[float]],
+        top_k: int = 5,
+        metric: str = "L2",
+        refine_factor: int = 4,
+        allowed_ids: DataFrame | None = None,
+        output_fields: tuple[str, ...] = ("file_id", "file_name"),
+    ) -> DataFrame:
+        """ANN over the code store with exact refine on the collection
+        (milvus_connector.py:167-178: query vectors in, top_k hits
+        with output fields out). ``allowed_ids`` is the scalar
+        pre-filter; ``refine_factor`` sizes the candidate set
+        (refine_k = refine_factor × top_k). Output: (query_id,
+        <id_col>, score, rank, *output_fields)."""
+        from .operators.search import sq8_topk_index
+
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+            f"query_id long, {self.vec_col} array<float>",
+        )
+        coll = self._collection()
+        hits = sq8_topk_index(
+            self.spark,
+            self.index_path,
+            qdf,
+            k=top_k,
+            metric=metric,
+            corpus_id=self.id_col,
+            query_vec=self.vec_col,
+            refine=coll.select(self.id_col, self.vec_col),
+            refine_k=max(top_k, refine_factor * top_k),
+            vec_col=self.vec_col,
+            allowed_ids=allowed_ids,
+        )
+        fields = [f for f in output_fields if f != self.id_col]
+        if not fields:
+            return hits
+        return hits.join(
+            coll.select(self.id_col, *fields), self.id_col
+        ).select("query_id", self.id_col, "score", "rank", *fields)
+
+    def delete(self, expr: str) -> int:
+        """DELETE WHERE over collection AND index
+        (milvus_connector.py:180-183): the matching ids drive a
+        broadcast anti-join rewrite of both stores — ids are computed
+        (and localCheckpointed, bounded by the match set) BEFORE the
+        collection rewrite so the index delete never re-reads
+        replaced files. Returns rows deleted."""
+        from .operators.metrics import _swap_dirs, delete_from_index
+
+        coll = self._collection()
+        ids = (
+            coll.filter(expr)
+            .select(self.id_col)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        n = ids.count()
+        if n == 0:
+            return 0
+        staged = self.collection_path + ".compact"
+        coll.filter(f"NOT ({expr})").write.mode("overwrite").parquet(
+            staged
+        )
+        _swap_dirs(self.spark, self.collection_path, staged)
+        delete_from_index(
+            self.spark, self.index_path, ids, id_col=self.id_col
+        )
+        return n
+
+    def drop_collection(self) -> bool:
+        """K8 (milvus_connector.py:185-187): remove the collection and
+        its index."""
+        from .sinks.parquet_sink import drop_collection
+
+        a = drop_collection(self.spark, self.collection_path)
+        b = drop_collection(self.spark, self.index_path)
+        return bool(a or b)
+
+    # -- maintenance (the part a daemon-backed store hides) ----------
+
+    def stats(self) -> DataFrame:
+        """Per-relation rows/files/partition-skew (``index_stats``)."""
+        from .operators.metrics import index_stats
+
+        return index_stats(self.spark, self.index_path)
+
+    def compact(self) -> DataFrame:
+        """Merge append segments (``compact_index``); returns the
+        post-compaction stats report."""
+        from .operators.metrics import compact_index
+
+        return compact_index(self.spark, self.index_path)

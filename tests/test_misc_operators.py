@@ -187,8 +187,11 @@ def test_harness_contract():
         # ranges + symmetric integer code-space scoring)
         "semdedup_survivors",
         # r15: physical store layout report (file/segment counts a
-        # SQL oracle over the logical tables cannot see)
+        # SQL oracle over the logical tables cannot see) and the
+        # client-facade lifecycle (store mutation side effects;
+        # its search arithmetic is hash-checked via the sq8 seats)
         "index_stats_report",
+        "collection_client_e2e",
     }
     # the gate samples the first-50 registry prefix; r15's rotation
     # (__spark_entry__._R15_WINDOW) declares it explicitly — the
@@ -208,7 +211,8 @@ def test_harness_contract():
     # rows-only back-fill)
     win_rows_only = [n for n in e._R15_WINDOW if n not in sqls]
     assert win_rows_only == [
-        "index_stats_report", "ivfadc_topk_refined", "ann_topk_bucketed"
+        "index_stats_report", "collection_client_e2e",
+        "ivfadc_topk_refined",
     ]
     assert e._R15_WINDOW[-3:] == win_rows_only
 

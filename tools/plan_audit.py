@@ -268,6 +268,35 @@ CHECKS = {
          and "SortMergeJoin" not in s),
         ("no cartesian", lambda s: "CartesianProduct" not in s),
     ],
+    "sq8_topk_filtered": [
+        # Milvus-style scalar pre-filter: the allowed-id set must
+        # broadcast LEFT-SEMI into the code scan (the store never
+        # shuffles for the filter), before the single Arrow scoring
+        # map; refine joins stay broadcast
+        ("filter set broadcasts left-semi into the code scan",
+         lambda s: "BroadcastHashJoin" in s and "LeftSemi" in s),
+        ("one Arrow scoring map over the filtered codes",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 1),
+        ("no store-sized shuffle join",
+         lambda s: "SortMergeJoin" not in s),
+        ("no cartesian", lambda s: "CartesianProduct" not in s),
+    ],
+    "hybrid_rrf_index": [
+        # store-backed dense+sparse fusion: the sparse leg must keep
+        # its bucket-partition pruning inside the composed plan, and
+        # nothing may degrade to a cartesian; the full-outer fusion
+        # join runs on <= Q x k rows per side (vanishing), so its
+        # join strategy is unconstrained
+        ("sparse leg keeps postings partition pruning",
+         lambda s: "PartitionFilters" in s
+         and "token_bucket" in s.split("PartitionFilters", 1)[1][:200]),
+        ("dense leg scores in one Arrow map",
+         lambda s: len(__import__("re").findall(
+             r"^\(\d+\) (?:Python)?MapInArrow", s, 8)) == 1),
+        ("no cartesian", lambda s: "CartesianProduct" not in s
+         and "BroadcastNestedLoopJoin" not in s),
+    ],
     "bm25_topk_index": [
         # the persisted-BM25 search: bucket-pruned postings scan with
         # tf AND the denormalized dl riding each row — so the scoring
