@@ -7244,11 +7244,12 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # OLDEST, computed from the committed CORRECTNESS_r*.json files —
 # after r14's rotation that is the r11-record cohort (15
 # oracle-bearing), then the r12-record cohort in registry order up
-# to the 47-slot oracle budget (26 of its 47 fit after the six (a)
-# seats — hybrid_rrf_index, the sixth, fuses the two persisted-store
-# legs and composes their oracle SQL verbatim; the remainder
-# stays covered by tools/oracle_check.py + tests/test_oracle_window.py
-# at both gate SFs every round).
+# to the 47-slot oracle budget (25 of its 47 fit after the seven (a)
+# seats — hybrid_rrf_index fuses the two persisted-store legs and
+# composes their oracle SQL verbatim; sq8_topk_filtered is the
+# Milvus-style scalar pre-filter over the same pinned arithmetic; the
+# remainder stays covered by tools/oracle_check.py +
+# tests/test_oracle_window.py at both gate SFs every round).
 # (c) rows-only entries sit at the window TAIL per r10 ADVICE — this
 # round: the new index_stats_report (no record — policy (a) outranks
 # seniority), collection_client_e2e (new: the MyMilvusClient-surface

@@ -287,6 +287,15 @@ def _swap_dirs(spark, live: str, staged: str) -> None:
     fs.delete(bak_p, True)
 
 
+def _size_proportional_parts(df: DataFrame) -> int:
+    """Output file count for an UNPARTITIONED relation rewrite: the
+    READ partition count after Spark's file packing is data-size-
+    proportional (maxPartitionBytes bundles), so reusing it keeps
+    compacted files at scan-friendly sizes instead of a coalesce(1)
+    that would serialize a corpus-sized relation through one task."""
+    return max(1, int(df.rdd.getNumPartitions()))
+
+
 def compact_index(spark, index_path: str) -> DataFrame:
     """Segment compaction for the append-only persisted index stores —
     the operational action ``index_stats``'s growing ``n_files``
@@ -328,7 +337,9 @@ def compact_index(spark, index_path: str) -> DataFrame:
             continue
         df = spark.read.parquet(p)
         if part_col not in df.columns:
-            df.coalesce(1).write.mode("overwrite").parquet(p + ".compact")
+            df.coalesce(_size_proportional_parts(df)).write.mode(
+                "overwrite"
+            ).parquet(p + ".compact")
         else:
             nparts = df.select(part_col).distinct().count()
             (
@@ -364,9 +375,10 @@ def compact_index(spark, index_path: str) -> DataFrame:
         p = f"{index_path}/{rel}.parquet"
         if not exists(p):
             continue
-        spark.read.parquet(p).dropDuplicates().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(p + ".compact")
+        df = spark.read.parquet(p)
+        df.dropDuplicates().coalesce(
+            _size_proportional_parts(df)
+        ).write.mode("overwrite").parquet(p + ".compact")
         _swap_dirs(spark, p, p + ".compact")
     return index_stats(spark, index_path)
 
@@ -480,17 +492,17 @@ def delete_from_index(
                 .parquet(codes_p + ".compact")
             )
         else:
-            keep.coalesce(1).write.mode("overwrite").parquet(
-                codes_p + ".compact"
-            )
+            keep.coalesce(_size_proportional_parts(df)).write.mode(
+                "overwrite"
+            ).parquet(codes_p + ".compact")
         _swap_dirs(spark, codes_p, codes_p + ".compact")
     for rel in ("signatures", "bands"):
         p = f"{index_path}/{rel}.parquet"
         if not exists(p):
             continue
         df = spark.read.parquet(p)
-        kept(df, id_col).coalesce(1).write.mode("overwrite").parquet(
-            p + ".compact"
-        )
+        kept(df, id_col).coalesce(
+            _size_proportional_parts(df)
+        ).write.mode("overwrite").parquet(p + ".compact")
         _swap_dirs(spark, p, p + ".compact")
     return index_stats(spark, index_path)
