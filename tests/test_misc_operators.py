@@ -1744,3 +1744,72 @@ def test_delete_from_index_matches_rebuild(spark, tmp_path):
     )
     rest = {r["vec_id"] for r in sq8_topk_index(spark, sq, q, k=40).collect()}
     assert rest == set(range(40)) - {5, 6}
+
+
+def test_compact_and_delete_on_ivf_partitioned_codes(spark, tmp_path):
+    """compact_index / delete_from_index over a list_id-PARTITIONED
+    code store (IVFADC/IVF_SQ8 layout): the partition scheme survives
+    the rewrite (one file per list directory), searches return
+    identical results after compaction, and deleted ids vanish while
+    partition pruning stays intact."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        compact_index,
+        delete_from_index,
+        index_stats,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfsq8,
+        build_ivfsq8_index,
+        upsert_ivfsq8_index,
+    )
+
+    rng = np.random.default_rng(9)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 0.3, dim)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_maint")
+    nlist, _ = build_ivfsq8_index(
+        emb.filter(F.col("vec_id") < 30), path, nlist=4, seed=7,
+        params=(np.full(dim, -1.0), np.full(dim, 2.0)),
+    )
+    upsert_ivfsq8_index(path, emb.filter(F.col("vec_id") >= 30))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in ann_topk_ivfsq8(
+                spark, path, q, k=10, metric="L2", nprobe=nlist,
+                symmetric=True,
+            ).collect()
+        )
+
+    before = run()
+    stats = {
+        r["relation"]: r for r in compact_index(spark, path).collect()
+    }
+    assert stats["codes"]["n_rows"] == 60
+    assert stats["codes"]["n_files"] == stats["codes"]["n_partitions"]
+    assert run() == before
+    # partition pruning still plans after the rewrite
+    plan = ann_topk_ivfsq8(
+        spark, path, q, k=3, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    dead = spark.createDataFrame(
+        [(r[1],) for r in before[:2]], "vec_id long"
+    )
+    delete_from_index(spark, path, dead, id_col="vec_id")
+    after = run()
+    gone = {row["vec_id"] for row in dead.collect()}
+    assert {t[1] for t in after}.isdisjoint(gone)
+    assert {
+        r["relation"]: r for r in index_stats(spark, path).collect()
+    }["codes"]["n_rows"] == 58
