@@ -1558,6 +1558,7 @@ def sparse_topk_index(
     k: int = DEFAULT_TOP_K,
     max_doc_freq: int | None = DEFAULT_SPARSE_MAX_DOC_FREQ,
     doc_id: str = "doc_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a ``build_sparse_index`` store: identical scoring (and
     df-cap semantics) to ``sparse_topk_inverted``, but the corpus-wide
@@ -1602,8 +1603,16 @@ def sparse_topk_index(
         if not toks:
             return _empty()
     buckets = sorted({tok_bucket[t] for t in toks})
-    cp = store.filter(
-        F.col("token_bucket").isin(buckets) & F.col("token").isin(toks)
+    # allowed_ids = the Milvus-style scalar PRE-filter (see
+    # _apply_allowed): restricts the pruned postings scan before any
+    # scoring, so the top-k are the best among the allowed
+    cp = _apply_allowed(
+        store.filter(
+            F.col("token_bucket").isin(buckets)
+            & F.col("token").isin(toks)
+        ),
+        allowed_ids,
+        doc_id,
     )
     q = F.broadcast(
         query_postings.select(
@@ -1637,6 +1646,7 @@ def bm25_topk_index(
     b: float = 0.75,
     max_doc_freq: int | None = None,
     doc_id: str = "doc_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 over a ``build_sparse_index(store_doc_stats=True)`` store —
     the persisted lexical leg (the reference's SPARSE_INVERTED_INDEX
@@ -1731,8 +1741,17 @@ def bm25_topk_index(
             "token",
         )
     )
-    cp = store.filter(
-        F.col("token_bucket").isin(buckets) & F.col("token").isin(toks)
+    # scalar PRE-filter on the pruned postings scan (_apply_allowed);
+    # the df/idf statistics stay CORPUS statistics by design — BM25
+    # under a filter still weights terms by their corpus rarity (the
+    # Lucene/Milvus filtered-search behavior)
+    cp = _apply_allowed(
+        store.filter(
+            F.col("token_bucket").isin(buckets)
+            & F.col("token").isin(toks)
+        ),
+        allowed_ids,
+        doc_id,
     )
     tf = F.col("weight").cast("double")
     norm = tf + F.lit(float(k1)) * (

@@ -2134,3 +2134,65 @@ def test_allowed_ids_prefilter_pq_opq_ivf_stores(
         ).collect()
     }
     assert got_ivf == want
+
+
+def test_allowed_ids_prefilter_sparse_and_bm25_stores(spark, tmp_path):
+    """The scalar pre-filter on the lexical stores: filtered results
+    equal the same search over a store built from only the allowed
+    docs' postings (sparse IP exactly; BM25 keeps CORPUS statistics
+    by design, so its equality target is the full-store scores
+    restricted to allowed docs)."""
+    from embedding_to_vectordatabase_spark.operators.search import (
+        bm25_topk_index,
+        build_sparse_index,
+        sparse_topk_index,
+    )
+
+    post = spark.createDataFrame(
+        [
+            (f"d{i}", t, 1.0 + (i + j) % 3)
+            for i in range(12)
+            for j, t in enumerate(["alpha", "beta", "gamma"])
+        ],
+        "doc_id string, token string, weight double",
+    )
+    allowed = spark.createDataFrame(
+        [(f"d{i}",) for i in range(0, 12, 2)], "doc_id string"
+    )
+    full = str(tmp_path / "sp_full")
+    only = str(tmp_path / "sp_only")
+    build_sparse_index(post, full, num_buckets=4, store_doc_stats=True)
+    build_sparse_index(
+        post.join(allowed, "doc_id", "left_semi"), only,
+        num_buckets=4, store_doc_stats=True,
+    )
+    qp = spark.createDataFrame(
+        [("q1", "alpha", 1.0), ("q1", "gamma", 2.0)],
+        "query_id string, token string, weight double",
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in rows
+    )
+    got = key(
+        sparse_topk_index(
+            spark, full, qp, k=20, allowed_ids=allowed
+        ).collect()
+    )
+    want = key(sparse_topk_index(spark, only, qp, k=20).collect())
+    assert got == want and got
+    assert all(int(d[1:]) % 2 == 0 for _, d, _, _ in got)
+
+    qt = qp.select("query_id", "token")
+    bm = key(
+        bm25_topk_index(spark, full, qt, k=20, allowed_ids=allowed).collect()
+    )
+    assert bm and all(int(d[1:]) % 2 == 0 for _, d, _, _ in bm)
+    # BM25 keeps corpus stats: scores equal the unfiltered search's
+    # scores for the surviving docs, re-ranked
+    unfiltered = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in bm25_topk_index(spark, full, qt, k=50).collect()
+    }
+    for qid, d, s, _ in bm:
+        assert unfiltered[(qid, d)] == s
