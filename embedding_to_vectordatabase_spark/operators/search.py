@@ -4189,6 +4189,141 @@ def upsert_ivfsq8_index(
     )
 
 
+def rebalance_ivfsq8_index(
+    spark,
+    index_path: str,
+    nlist: int | None = None,
+    seed: int = 42,
+    train_cap: int | None = None,
+) -> int:
+    """Rebalance an IVF_SQ8 store's inverted lists WITHOUT the
+    original vectors — the maintenance move a long upsert drift
+    eventually needs (new data far from the build-time sample routes
+    into a few overweight lists, visible as ``index_stats``
+    skew_ratio, and an overweight list defeats nprobe pruning).
+    Possible precisely because SQ8 codes are DECODABLE: x̂ = vmin +
+    c·(vdiff/255) reconstructs every vector to ≤½-step error, so the
+    coarse quantizer retrains on a bounded decoded sample and ONE
+    map-only pass re-routes every code row (decode → assign under
+    the store's recorded metric → same code bytes, new list_id).
+    PQ/IVFADC stores cannot do this (their codes are residuals
+    AGAINST the old lists); for them rebalancing is a rebuild.
+
+    The code payload is byte-identical after the move, so full-probe
+    search results are UNCHANGED (asserted in tests) — only the
+    partition layout (and with it low-nprobe recall) improves. The
+    rewrite stages and FS-rename-swaps like ``compact_index``.
+    Returns the effective nlist."""
+    import math
+
+    import numpy as np
+
+    cent_old = _load_ivf_centroids(spark, index_path)
+    vmin, vdiff = load_sq8_params(spark, index_path)
+    metric = _load_ivf_meta(spark, index_path)
+    dim = len(vmin)
+    k = int(nlist) if nlist is not None else len(cent_old)
+    cap = train_cap if train_cap is not None else max(k * 50, 4096)
+    codes_p = f"{index_path}/codes.parquet"
+    codes = spark.read.parquet(codes_p)
+
+    # bounded head-of-every-partition sample of CODE rows (the
+    # _spread_sample contract for a binary column), decoded on the
+    # driver — one tiny job, no full pass
+    cores = spark.sparkContext.defaultParallelism
+    per_part = max(1, math.ceil(cap / max(cores, 1)))
+
+    def _heads(batches):
+        taken = 0
+        for rb in batches:
+            if taken >= per_part:
+                break
+            take = min(per_part - taken, rb.num_rows)
+            yield rb.slice(0, take)
+            taken += take
+
+    head_rows = (
+        codes.select("sq8_code")
+        .mapInArrow(_heads, "sq8_code binary")
+        .limit(cap)
+        .collect()
+    )
+    if not head_rows:
+        raise ValueError(f"empty code store under {index_path}")
+    C = np.stack(
+        [
+            np.frombuffer(bytes(r["sq8_code"]), dtype=np.uint8)
+            for r in head_rows
+        ]
+    ).astype(np.float64)
+    s = vdiff / 255.0
+    X = vmin[None, :] + C * s[None, :]
+    cent = _lloyd(X, k, seed)
+
+    # ONE map-only re-route pass: decode + assign, code bytes kept
+    bc = spark.sparkContext.broadcast(
+        (cent, np.asarray(vmin), np.asarray(vdiff), metric)
+    )
+    cid_cols = [c for c in codes.columns if c not in ("list_id", "sq8_code")]
+    cid = cid_cols[0]
+    cid_type = codes.schema[cid].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(cid, cid_type, False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("sq8_code", T.BinaryType(), False),
+        ]
+    )
+
+    def reroute(batches):
+        import numpy as np
+
+        cent_b = bc.value[0].astype(np.float32)
+        vmin_b = bc.value[1].astype(np.float32)
+        s_b = (bc.value[2] / 255.0).astype(np.float32)
+        met = bc.value[3]
+        cm = cent_b.T
+        c2 = (cent_b**2).sum(axis=1)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            Cb = _pa_codes(
+                rb.column(rb.schema.get_field_index("sq8_code")), dim
+            ).astype(np.float32)
+            Xb = vmin_b[None, :] + Cb * s_b[None, :]
+            if met == "IP":
+                a = (Xb @ cm).argmax(axis=1)
+            else:
+                a = (c2[None, :] - np.float32(2.0) * (Xb @ cm)).argmin(
+                    axis=1
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(cid)),
+                    pa.array(a.astype(np.int32), type=pa.int32()),
+                    rb.column(rb.schema.get_field_index("sq8_code")),
+                ],
+                names=[cid, "list_id", "sq8_code"],
+            )
+
+    rerouted = codes.select(cid, "sq8_code").mapInArrow(
+        reroute, out_schema
+    )
+    rerouted.repartition(max(len(cent), 1), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(codes_p + ".compact")
+    from .metrics import _swap_dirs
+
+    _swap_dirs(spark, codes_p, codes_p + ".compact")
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids.parquet"
+    )
+    return len(cent)
+
+
 def ann_topk_ivfsq8(
     spark,
     index_path: str,

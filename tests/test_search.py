@@ -2196,3 +2196,76 @@ def test_allowed_ids_prefilter_sparse_and_bm25_stores(spark, tmp_path):
     }
     for qid, d, s, _ in bm:
         assert unfiltered[(qid, d)] == s
+
+
+def test_rebalance_ivfsq8_fixes_skew_and_preserves_results(
+    spark, tmp_path
+):
+    """Rebalancing after upsert drift: a store built on ONE cluster
+    routes a later, far-away cluster into few overweight lists;
+    rebalance retrains the coarse quantizer from DECODED codes and
+    re-routes map-side. Code bytes are untouched, so full-probe
+    symmetric results are identical before/after; list occupancy
+    skew drops; partition pruning still plans."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.metrics import (
+        index_stats,
+    )
+    from embedding_to_vectordatabase_spark.operators.search import (
+        ann_topk_ivfsq8,
+        build_ivfsq8_index,
+        rebalance_ivfsq8_index,
+        upsert_ivfsq8_index,
+    )
+
+    rng = np.random.default_rng(21)
+    dim = 8
+    a = rng.normal(0, 0.02, (120, dim)) + 0.2   # build-time cluster
+    b = rng.normal(0, 0.02, (120, dim)) - 0.6   # drift cluster
+    mk = lambda vs, off: spark.createDataFrame(  # noqa: E731
+        [(off + i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivfsq8_rebal")
+    nlist, _ = build_ivfsq8_index(
+        mk(a, 0), path, nlist=4, seed=7,
+        params=(np.full(dim, -1.0), np.full(dim, 2.0)),
+    )
+    upsert_ivfsq8_index(path, mk(b, 1000))
+    q = mk(b[:2], 5000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def full_probe():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in ann_topk_ivfsq8(
+                spark, path, q, k=10, metric="L2", nprobe=64,
+                symmetric=True,
+            ).collect()
+        )
+
+    def skew():
+        return {
+            r["relation"]: r for r in index_stats(spark, path).collect()
+        }["codes"]["skew_ratio"]
+
+    before = full_probe()
+    skew_before = skew()
+    n_eff = rebalance_ivfsq8_index(spark, path, seed=11)
+    assert n_eff >= 1
+    assert full_probe() == before  # code bytes untouched
+    assert skew() <= skew_before  # occupancy no worse, typically better
+    plan = ann_topk_ivfsq8(
+        spark, path, q, k=3, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # the drift cluster is now retrievable at nprobe=1 (its own list)
+    got = {
+        r["vec_id"]
+        for r in ann_topk_ivfsq8(
+            spark, path, q, k=5, metric="L2", nprobe=1
+        ).collect()
+    }
+    assert got and all(v >= 1000 for v in got)
