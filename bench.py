@@ -134,7 +134,38 @@ BENCH_NOTES = {
         "lists them - the 2-of-3 headline rule can stay quiet while "
         "one section runs on a degraded box (the r11 round6 block), "
         "so cross-round per-query diffs must exclude entries marked "
-        "degraded instead of trusting the run-level flag."
+        "degraded instead of trusting the run-level flag. r15 adds "
+        "the bounded retry (VERDICT r14 item 2): point probes settle "
+        "1 s and re-probe once when out of band, and single-shot "
+        "scans re-MEASURE once keeping the cleaner-probed sample "
+        "(probed_scan) - entries still marked degraded failed that "
+        "retry (committed r14 artifact carried 14 such entries; the "
+        "committed r15 artifact carries 2)."
+    ),
+    "sq8_scan_r15": (
+        "r15 (VERDICT r14 item 3): the asymmetric SQ8/IVF_SQ8 scan "
+        "kernel moved from float64 to float32 (the refine stage is "
+        "exact and stage-1 ranking approximate by contract) - "
+        "pq_family.wall_sec.sq8_scan dropped 13.96 s (r14) -> ~1.0-"
+        "1.4 s on the same 52.5k-vector fixture. Cross-round sq8 "
+        "diffs must not read that drop as a fixture change. The "
+        "encode side moved float32 -> float64 for SQL parity "
+        "(sq8 stores carry an 'enc: f64' cache key)."
+    ),
+    "pq_family_recall_r15": (
+        "r15 (VERDICT r14 item 1): refined_recall_at_5 per family is "
+        "THE usability number (numerically equal to candidate recall "
+        "at refine_k=100 - the exact re-rank surfaces any retained "
+        "true-top-5 member). m_sweep_flat_pq states the m/bytes and "
+        "refine_k trade on the near-tie hard fixture: PQ reads "
+        "0.13-0.43 at refine_k=100 and up to 0.9 at m=64 + "
+        "refine_k=1000, while SQ8/IVF_SQ8 (dim bytes) saturate at "
+        "1.0 - the fixture's exact top-5 among thousands of cluster "
+        "siblings turns on noise an m-byte code cannot retain, so "
+        "the byte budget (or refine_k), not the quantizer design, is "
+        "the knob. Each recall point moves in 1/30 steps "
+        "(recall_granularity) - single-hit deltas are sampling "
+        "noise."
     ),
     "bench_vs_baseline": (
         "BENCH_QUERIES is unchanged from round 5, but the SCALARS "
