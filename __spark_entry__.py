@@ -4802,6 +4802,45 @@ def _q_collection_client_e2e(spark, sf_dir):
     )
 
 
+def _q_semantic_contamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination flags
+    (operators/dedup.py:semantic_contamination_flags — the semantic
+    complement of the 8-gram ``decontaminate``): per corpus vector,
+    the max cosine against the benchmark set (vec_id < 5) and the
+    contaminated verdict at threshold 0.35. One broadcast of the
+    benchmark matrix, one BLAS matmul per Arrow batch, map-only. The
+    oracle computes the same max-cosine in SQL (the o4 dot/norm
+    helpers) with the same 6dp round before the threshold compare."""
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        semantic_contamination_flags,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 5)
+    return semantic_contamination_flags(emb, bench, threshold=0.35)
+
+
+_SQL_SEMANTIC_CONTAM = f"""
+WITH b AS (
+  SELECT embedding AS be FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT c.vec_id,
+         MAX(
+           {_dot_sql('c.embedding', 'be')}
+           / (CASE WHEN {_norm_sql('c.embedding')} = 0 THEN 1
+                   ELSE {_norm_sql('c.embedding')} END
+              * CASE WHEN {_norm_sql('be')} = 0 THEN 1
+                     ELSE {_norm_sql('be')} END)
+         ) AS mc
+  FROM embeddings c, b
+  GROUP BY c.vec_id
+)
+SELECT vec_id, ROUND(mc, 6) AS max_cosine,
+       ROUND(mc, 6) >= 0.35 AS contaminated
+FROM scored
+"""
+
+
 def _q_index_stats_report(spark, sf_dir):
     """Operational report over a persisted index store
     (operators/metrics.py:index_stats — r14 VERDICT item 9): build a
@@ -7224,6 +7263,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
             "FROM qc q, codes c WHERE c.vec_id % 3 = 0",
         ),
     ),
+    ("semantic_contamination", _q_semantic_contamination,
+     _SQL_SEMANTIC_CONTAM),
 ]
 
 # The external correctness gate samples a bounded (50-entry) prefix of the
@@ -7244,7 +7285,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # OLDEST, computed from the committed CORRECTNESS_r*.json files —
 # after r14's rotation that is the r11-record cohort (15
 # oracle-bearing), then the r12-record cohort in registry order up
-# to the 47-slot oracle budget (25 of its 47 fit after the seven (a)
+# to the 47-slot oracle budget (24 of its 47 fit after the eight (a)
 # seats — hybrid_rrf_index fuses the two persisted-store legs and
 # composes their oracle SQL verbatim; sq8_topk_filtered is the
 # Milvus-style scalar pre-filter over the same pinned arithmetic; the
@@ -7265,6 +7306,7 @@ _R15_WINDOW: list[str] = [
     "minhash_probe_index",
     "hybrid_rrf_index",
     "sq8_topk_filtered",
+    "semantic_contamination",
     # (b) oldest latest-driver-record first: the r11-record cohort...
     "s1_jsonl_scan",
     "s4_file_name",
@@ -7306,7 +7348,6 @@ _R15_WINDOW: list[str] = [
     "st_running_counts",
     "dense_topk_quantized",
     "dedup_spans",
-    "bm25_topk",
     # (c) rows-only at the window TAIL by policy (see above)
     "index_stats_report",
     "collection_client_e2e",

@@ -840,6 +840,96 @@ def near_dedup_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination flags — the embedding-space
+    complement of the 8-gram ``contamination_flags`` (paraphrased or
+    re-worded eval items share no exact n-grams but sit next to the
+    benchmark in embedding space; modern pipelines run both). Per
+    corpus row: the max cosine against ANY benchmark embedding,
+    rounded to 6 dp via F.round (the PROVEN cross-engine pairing with
+    SQL ROUND — numpy's half-even rint would diverge from DuckDB at
+    exact half-ulp boundaries), and contaminated = max_cosine ≥
+    threshold on the rounded value.
+
+    Scale shape: the benchmark is eval-set-sized by contract, so its
+    row-normalized matrix BROADCASTS and each Arrow batch scores with
+    ONE BLAS matmul — map-only, zero shuffles, the corpus is read
+    once. Output: (<id_col>, max_cosine double, contaminated bool).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from .search import _pa_matrix, _query_matrix
+
+    _, B = _query_matrix(benchmark, id_col, bench_vec_col)
+    bn = np.linalg.norm(B, axis=1)
+    bn[bn == 0] = 1.0
+    Bn = (B / bn[:, None]).T  # (dim, nbench)
+    bc = corpus.sparkSession.sparkContext.broadcast(Bn)
+    cid_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, cid_type, False),
+            T.StructField("__mc", T.DoubleType(), False),
+        ]
+    )
+    thr = float(threshold)
+
+    def score(batches):
+        Bn_b = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _pa_matrix(
+                rb.column(rb.schema.get_field_index(vec_col))
+            )
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            mx = ((X / xn[:, None]) @ Bn_b).max(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(id_col)),
+                    pa.array(mx, type=pa.float64()),
+                ],
+                names=[id_col, "__mc"],
+            )
+
+    raw = corpus.select(id_col, vec_col).mapInArrow(score, out_schema)
+    mc = F.round(F.col("__mc"), 6)
+    return raw.select(
+        id_col,
+        mc.alias("max_cosine"),
+        (mc >= F.lit(thr)).alias("contaminated"),
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Corpus rows surviving semantic decontamination (all original
+    columns kept) — ``semantic_contamination_flags`` as a filter, the
+    embedding-space twin of ``decontaminate``."""
+    flags = semantic_contamination_flags(
+        corpus, benchmark, vec_col, id_col, bench_vec_col, threshold
+    ).filter("contaminated")
+    return corpus.join(
+        flags.select(id_col), id_col, "left_anti"
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -926,3 +926,52 @@ def test_dedup_against_index_intra_batch(spark, tmp_path):
         ).collect()
     }
     assert strict == {10, 12}  # 11 drops against smaller-id 10
+
+
+def test_semantic_decontamination(spark):
+    """Embedding-space decontamination: corpus rows whose max cosine
+    against the benchmark set clears the threshold are flagged and
+    filtered; a paraphrase-like near-duplicate embedding is caught
+    while orthogonal rows survive; zero-norm rows score 0 and
+    survive."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.dedup import (
+        decontaminate_semantic,
+        semantic_contamination_flags,
+    )
+
+    b1 = np.array([1.0, 0.0, 0.0, 0.0])
+    b2 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = [
+        (1, [float(x) for x in b1 * 2.0]),      # scaled copy -> cos 1
+        (2, [0.95, 0.05, 0.0, 0.0]),            # near b1
+        (3, [0.0, 0.0, 1.0, 0.0]),              # orthogonal
+        (4, [0.0, 0.0, 0.0, 0.0]),              # zero norm
+        (5, [0.0, -1.0, 0.0, 0.0]),             # anti-parallel b2
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    bench = spark.createDataFrame(
+        [(10, [float(x) for x in b1]), (11, [float(x) for x in b2])],
+        "vec_id long, embedding array<float>",
+    )
+    flags = {
+        r["vec_id"]: (r["max_cosine"], r["contaminated"])
+        for r in semantic_contamination_flags(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert flags[1] == (1.0, True)
+    assert flags[2][1] is True and flags[2][0] > 0.99
+    assert flags[3] == (0.0, False)
+    assert flags[4] == (0.0, False)
+    assert flags[5][1] is False and flags[5][0] <= 0.0
+    kept = {
+        r["vec_id"]
+        for r in decontaminate_semantic(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert kept == {3, 4, 5}
