@@ -76,3 +76,51 @@ def test_mock_embedder_contract(text):
     _, [sparse] = client.embed_hybrid([text])
     assert len(sparse) == 4
     assert all(isinstance(k, int) and 0 < v <= 1.0 for k, v in sparse.items())
+
+
+def test_sq8_symmetric_weights_identity_property():
+    """Property behind the SQ8 value oracles: for ANY per-dim ranges
+    and vectors, the (bias − 2·C@W + (C²)@extra) scoring shape with
+    the symmetric weights equals the direct integer code-space
+    squared-L2 EXACTLY in float64 (every partial ≤ dim·255² < 2⁵³, so
+    accumulation order cannot matter) — no fixture-tuned constants in
+    the kernel algebra."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _sq8_code_batch,
+        _sq8_symmetric_weights,
+    )
+
+    floats = st.floats(
+        min_value=-50.0, max_value=50.0,
+        allow_nan=False, allow_infinity=False, width=32,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        dim=st.integers(min_value=1, max_value=24),
+        n=st.integers(min_value=1, max_value=12),
+        q=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**16),
+        lo=floats,
+        span=st.floats(min_value=1e-3, max_value=100.0,
+                       allow_nan=False, allow_infinity=False),
+    )
+    def case(dim, n, q, seed, lo, span):
+        rng = np.random.default_rng(seed)
+        vmin = np.full(dim, float(lo))
+        vdiff = np.full(dim, float(span))
+        X = rng.uniform(lo - span, lo + 2 * span, (n, dim))
+        Q = rng.uniform(lo - span, lo + 2 * span, (q, dim))
+        scale = 255.0 / vdiff
+        C = _sq8_code_batch(X, vmin, scale).astype(np.float64)
+        CQ = _sq8_code_batch(Q, vmin, scale).astype(np.float64)
+        W, bias, extra = _sq8_symmetric_weights(Q, vmin, vdiff)
+        S = bias[None, :] - 2.0 * (C @ W) + ((C**2) @ extra)[:, None]
+        direct = ((C[:, None, :] - CQ[None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(S, direct), (S - direct)
+
+    case()
