@@ -4212,8 +4212,13 @@ def rebalance_ivfsq8_index(
     The code payload is byte-identical after the move, so full-probe
     search results are UNCHANGED (asserted in tests) — only the
     partition layout (and with it low-nprobe recall) improves. The
-    rewrite stages and FS-rename-swaps like ``compact_index``.
-    Returns the effective nlist."""
+    rewrite stages and FS-rename-swaps like ``compact_index``; note
+    the consistency window here spans TWO stores (codes swap, then
+    centroids overwrite) — a concurrent low-nprobe search in that
+    window probes old centroids against new list ids. Run it as the
+    offline maintenance step it is (or behind a table-format
+    transaction in a production deployment). Returns the effective
+    nlist."""
     import math
 
     import numpy as np
