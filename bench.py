@@ -2885,6 +2885,63 @@ def main() -> None:
                         "build_cached": mpt_meta["cached"],
                     }
 
+                # IVFADC at the width-aware AUTO DEFAULT m (r15
+                # VERDICT item 3): m=None now resolves to
+                # max(16, dim//16) (= 64 at dim 1024), so a defaults
+                # caller lands on the measured-good byte budget —
+                # this point records what the new default buys on the
+                # same fixture/ground truth vs the m=16 anchor,
+                # extending the sweep from flat-PQ to IVFADC.
+                from embedding_to_vectordatabase_spark.operators.search import (  # noqa: E501
+                    _auto_pq_m,
+                )
+
+                m_auto = _auto_pq_m(DIM)
+                ivfadc_auto = None
+                if time_left() > 150:
+                    progress(
+                        f"pq m-sweep: ivfadc m={m_auto} (auto default)"
+                    )
+                    adc_a_path = os.path.join(
+                        SCRATCH, f"ivfadc_m{m_auto}"
+                    )
+                    adc_a_meta = ensure_index(
+                        adc_a_path,
+                        {"kind": "ivfadc", "nlist": 64, "m": m_auto,
+                         "seed": 7, "train_cap": 4000,
+                         "fixture": "hard_half"},
+                        lambda: build_ivfadc_index(
+                            pq_corpus, adc_a_path, nlist=64,
+                            m=m_auto, seed=7, train_cap=4000,
+                        ),
+                    )
+                    adc_a_cand, adc_a_sec, ann_calib["ivfadc_m_auto"] = (
+                        probed_scan(
+                            lambda: topk_ids(
+                                ann_topk_ivfadc(
+                                    spark, adc_a_path, qdf, k=RK,
+                                    metric="IP", nprobe=8,
+                                )
+                            )
+                        )
+                    )
+                    ivfadc_auto = {
+                        "m": m_auto,
+                        "bytes_per_vec": m_auto,
+                        "refined_recall_at_5": pq_recall(adc_a_cand),
+                        "refined_recall_at_5_boundary": pq_recall(
+                            adc_a_cand, boundary_qids
+                        ),
+                        "build_sec": adc_a_meta["build_sec"],
+                        "search_sec": adc_a_sec,
+                        "build_cached": adc_a_meta["cached"],
+                    }
+                else:
+                    skip(
+                        "pq_family:ivfadc_m_auto",
+                        "bench deadline (needs 150 s)",
+                    )
+
                 # (a) reconstruction error, driver-side on a fixed
                 # 2000-vector eval sample (deterministic given the
                 # seeded quantizers)
@@ -3012,6 +3069,11 @@ def main() -> None:
                     # turns when m=16 under-recalls (r14 item 1's
                     # sweep ask); filled above, m=16 recall set here
                     "m_sweep_flat_pq": m_sweep,
+                    # the WIDTH-AWARE DEFAULT (r15 item 3): what a
+                    # caller omitting m now gets at this dim, and the
+                    # IVFADC leg of the sweep at that budget
+                    "auto_default_m": m_auto,
+                    "ivfadc_m_auto": ivfadc_auto,
                     "candidate_recall_at_100": {
                         "flat_adc": pq_recall(flat_cand),
                         "ivfadc": pq_recall(adc_cand),

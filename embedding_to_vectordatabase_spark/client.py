@@ -181,10 +181,18 @@ class VectorCollectionClient:
     def delete(self, expr: str) -> int:
         """DELETE WHERE over collection AND index
         (milvus_connector.py:180-183): the matching ids drive a
-        broadcast anti-join rewrite of both stores — ids are computed
-        (and localCheckpointed, bounded by the match set) BEFORE the
-        collection rewrite so the index delete never re-reads
-        replaced files. Returns rows deleted."""
+        broadcast anti-join rewrite of BOTH stores — the SAME id set,
+        so the two removals are identical by construction. The
+        collection is rewritten via left_anti on the ids (NOT via
+        ``NOT (expr)``, whose three-valued logic silently drops rows
+        where the predicate evaluates to NULL — those rows match
+        neither branch). Order: index delete FIRST, collection swap
+        second — a crash in between leaves the ids gone from the
+        index but still in the collection, which a retried
+        ``delete(expr)`` fully repairs (the ids are recomputed from
+        the intact collection); the reverse order would strand
+        deleted ids permanently searchable in the index because the
+        retry would find zero matches. Returns rows deleted."""
         from .operators.metrics import _swap_dirs, delete_from_index
 
         coll = self._collection()
@@ -197,14 +205,16 @@ class VectorCollectionClient:
         n = ids.count()
         if n == 0:
             return 0
-        staged = self.collection_path + ".compact"
-        coll.filter(f"NOT ({expr})").write.mode("overwrite").parquet(
-            staged
-        )
-        _swap_dirs(self.spark, self.collection_path, staged)
         delete_from_index(
             self.spark, self.index_path, ids, id_col=self.id_col
         )
+        staged = self.collection_path + ".compact"
+        (
+            coll.join(F.broadcast(ids), self.id_col, "left_anti")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        _swap_dirs(self.spark, self.collection_path, staged)
         return n
 
     def drop_collection(self) -> bool:

@@ -1932,18 +1932,23 @@ def _probe_minhash_index(
     m = spark.read.parquet(f"{index_path}/meta.parquet").first()
     # the batch's shingle + permutation pipeline runs once: bands are
     # the sig-slice hash of the same signatures the verify stage uses.
-    # localCheckpoint, NOT persist: persist() registers the plan in
-    # the session CacheManager, which only unpersist() releases — and
-    # the returned (lazy) plan references these signatures, so the
-    # operator can't unpersist before returning; every probe in the
-    # documented recurring ingest-refresh loop would pin another cache
-    # entry for the session lifetime (r15 ADVICE). A localCheckpoint
-    # materializes the bounded batch eagerly (blocks freed by the
-    # ContextCleaner when the caller drops the result) and keeps the
-    # probe plan shape — batch broadcasts, store scans once — intact.
-    batch_sigs = minhash_signatures(
+    # The batch is contract-bounded (the reference's probe unit is the
+    # ingest micro-batch, <=1k docs — embed_to_milvus.py:87-89 checks
+    # per batch), so its signatures are computed ONCE and collected
+    # into a driver-local relation: every downstream use (band
+    # derivation, both broadcast joins) then reads an in-memory
+    # LocalRelation. Versus persist(): no CacheManager entry pinned
+    # for the session lifetime (r14 ADVICE). Versus the r15
+    # localCheckpoint: no eager block-write barrier serializing ahead
+    # of the probe plan (the r15 bench point read the probe slower
+    # than the union re-sign it replaces), and the broadcasts build
+    # from local rows without launching a job.
+    sig_plan = minhash_signatures(
         new_docs, text_col, id_col, m["n"], m["num_perm"], m["hash_fn"]
-    ).localCheckpoint(eager=True)
+    )
+    batch_sigs = spark.createDataFrame(
+        sig_plan.collect(), schema=sig_plan.schema
+    )
     pb = minhash_bands_from_signatures(
         batch_sigs, m["num_perm"], m["bands"], m["hash_fn"]
     ).select("band", "bucket", F.col("doc_id").alias("__new_id"))

@@ -2365,10 +2365,44 @@ def point_query(
 # ---------------------------------------------------------------------------
 
 
+def _auto_pq_m(dim: int) -> int:
+    """Width-aware default PQ segment count: target max(16, dim//16)
+    bytes — bytes/dim >= 1/16, the budget the committed m-sweep
+    measures as usable (dim-1024 refined recall@5: 0.13 at m=16 but
+    0.9 at m=64+refine; the byte budget, not the algorithm, is the
+    recall knob) — clamped to the largest divisor of ``dim`` so
+    subspaces stay equal-width, and to ``dim`` itself for tiny
+    vectors."""
+    target = min(dim, max(16, dim // 16))
+    return max(d for d in range(1, target + 1) if dim % d == 0)
+
+
+def _resolve_pq_m(dim: int, m: int | None) -> int:
+    """Resolve an explicit-or-default m against the vector width, and
+    warn loudly when an EXPLICIT m underspends the byte budget
+    (bytes/dim < 1/32): a defaults-era caller at dim 1024 silently
+    got the measured-inadequate 8-byte point (r15 verdict #3)."""
+    import warnings
+
+    if m is None:
+        return _auto_pq_m(dim)
+    if m * 32 < dim:
+        warnings.warn(
+            f"PQ m={m} spends {m} bytes on dim-{dim} vectors "
+            f"(bytes/dim < 1/32): the committed m-sweep measures "
+            f"refined recall@5 ~0.07-0.13 at this budget on hard "
+            f"fixtures; use m~dim//16 (the auto default when m is "
+            f"omitted), raise refine_k, or prefer SQ8 at this width",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+    return m
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
-    m: int = 8,
+    m: int | None = None,
     nbits: int = 8,
     seed: int = 42,
     train_fraction: float | None = None,
@@ -2376,11 +2410,14 @@ def pq_train(
     train_cap: int | None = None,
 ) -> "np.ndarray":
     """Train PQ codebooks: split the vector into ``m`` subspaces and
-    k-means each to ``2**nbits`` centroids. ONE bounded spread sample
-    feeds all m sub-quantizers (the IVF trainer's sampling contract —
-    heads of every partition, never a full pass), each trained with
-    the shared fixed-iteration Lloyd at seed+j so the codebooks are
-    deterministic. Returns an (m, ksub, dsub) float64 array."""
+    k-means each to ``2**nbits`` centroids. ``m=None`` (the default)
+    resolves width-aware to ``max(16, dim//16)`` bytes — see
+    ``_auto_pq_m``; an explicit under-budget m warns. ONE bounded
+    spread sample feeds all m sub-quantizers (the IVF trainer's
+    sampling contract — heads of every partition, never a full pass),
+    each trained with the shared fixed-iteration Lloyd at seed+j so
+    the codebooks are deterministic. Returns an (m, ksub, dsub)
+    float64 array."""
     import numpy as np
 
     if nbits < 1 or nbits > 8:
@@ -2395,6 +2432,7 @@ def pq_train(
         n_corpus,
     )
     dim = X.shape[1]
+    m = _resolve_pq_m(dim, m)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -2710,7 +2748,7 @@ def build_pq_index(
     index_path: str,
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
-    m: int = 8,
+    m: int | None = None,
     nbits: int = 8,
     seed: int = 42,
     train_fraction: float | None = None,
@@ -2810,7 +2848,7 @@ def _train_ivfadc(
     corpus: DataFrame,
     vec_col: str,
     nlist: int,
-    m: int,
+    m: int | None,
     nbits: int,
     seed: int,
     train_fraction: float | None,
@@ -2840,6 +2878,7 @@ def _train_ivfadc(
         n_corpus,
     )
     dim = X.shape[1]
+    m = _resolve_pq_m(dim, m)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -2869,15 +2908,21 @@ def _write_ivf_meta(spark, index_path: str, metric: str) -> None:
 
 def _load_ivf_meta(spark, index_path: str) -> str:
     """Index metric off the meta store; stores built before the meta
-    existed assigned by L2 — that stays their contract."""
-    try:
-        return str(
-            spark.read.parquet(f"{index_path}/ivf_meta.parquet").first()[
-                "metric"
-            ]
-        )
-    except Exception:
+    existed assigned by L2 — that stays their contract. Only a
+    MISSING meta store falls back to L2 (checked explicitly, like
+    ``_index_exists``); a genuine read error propagates — swallowing
+    it would silently reroute an IP store's upsert/rebalance
+    assignment to L2 with no signal (r15 ADVICE)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/ivf_meta.parquet")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return "L2"
+    return str(
+        spark.read.parquet(f"{index_path}/ivf_meta.parquet").first()[
+            "metric"
+        ]
+    )
 
 
 def _ivfadc_encode(
@@ -2963,7 +3008,7 @@ def build_ivfadc_index(
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
     nlist: int = 64,
-    m: int = 8,
+    m: int | None = None,
     nbits: int = 8,
     seed: int = 42,
     train_fraction: float | None = None,
@@ -3284,7 +3329,7 @@ def ann_topk_ivfadc(
 def opq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
-    m: int = 8,
+    m: int | None = None,
     nbits: int = 8,
     seed: int = 42,
     n_iter: int = 5,
@@ -3314,6 +3359,7 @@ def opq_train(
         seed, train_fraction, n_corpus,
     )
     dim = X.shape[1]
+    m = _resolve_pq_m(dim, m)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -3464,7 +3510,7 @@ def build_opq_index(
     index_path: str,
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
-    m: int = 8,
+    m: int | None = None,
     nbits: int = 8,
     seed: int = 42,
     n_iter: int = 5,

@@ -80,6 +80,26 @@ def test_client_lifecycle(spark, tmp_path):
     assert c3.check_exists(7) is None
 
 
+def test_client_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """delete(expr) where expr evaluates to NULL on some rows (the
+    always-NULL 'id' column) must keep those rows: a NOT(expr)
+    rewrite drops them silently (NULL fails both branches of
+    three-valued logic), while the left_anti-on-ids rewrite removes
+    exactly the matched ids — identical to the index removal
+    (r15 ADVICE, medium)."""
+    c = VectorCollectionClient(spark, str(tmp_path / "nd"), dim=8)
+    c.insert(_rows(spark, range(0, 10)))
+    # 'id' is NULL on every row: the OR is NULL for file_id >= 3
+    assert c.delete("id = 999 OR file_id < 3") == 3
+    assert c._collection().count() == 7
+    assert c.check_exists(5) == "file_5.pdf"
+    stats = {r["relation"]: r for r in c.stats().collect()}
+    assert stats["codes"]["n_rows"] == 7
+    # an all-NULL predicate matches nothing and deletes nothing
+    assert c.delete("id = 1") == 0
+    assert c._collection().count() == 7
+
+
 def test_client_bulk_insert_poll(spark, tmp_path):
     from embedding_to_vectordatabase_spark.sinks.parquet_sink import (
         VectorDBBulkLoader,

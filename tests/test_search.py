@@ -2269,3 +2269,65 @@ def test_rebalance_ivfsq8_fixes_skew_and_preserves_results(
         ).collect()
     }
     assert got and all(v >= 1000 for v in got)
+
+
+def test_load_ivf_meta_missing_vs_broken(spark, tmp_path):
+    """_load_ivf_meta falls back to "L2" ONLY when the meta store is
+    absent (pre-meta stores assigned by L2 — their contract); a store
+    that exists but cannot be read must RAISE, not silently reroute
+    an IP store's assignment to L2 (r15 ADVICE, low)."""
+    import pytest as _pytest
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _load_ivf_meta,
+    )
+
+    missing = str(tmp_path / "no_such_index")
+    assert _load_ivf_meta(spark, missing) == "L2"
+
+    broken = tmp_path / "broken_index" / "ivf_meta.parquet"
+    broken.mkdir(parents=True)
+    (broken / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with _pytest.raises(Exception):
+        _load_ivf_meta(spark, str(tmp_path / "broken_index"))
+
+
+def test_pq_auto_m_width_aware(spark):
+    """m=None resolves width-aware: max(16, dim//16) bytes clamped to
+    a divisor of dim — a defaults caller at a contract-width dim no
+    longer gets the measured-inadequate 8/16-byte point (r15 verdict
+    #3); an explicit under-budget m warns instead of failing."""
+    import warnings
+
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _auto_pq_m,
+        pq_train,
+    )
+
+    assert _auto_pq_m(1024) == 64
+    assert _auto_pq_m(768) == 48
+    assert _auto_pq_m(256) == 16
+    assert _auto_pq_m(64) == 16
+    assert _auto_pq_m(8) == 8       # tiny dims clamp to dim
+    assert _auto_pq_m(100) == 10    # divisor clamp (<= max(16, 6))
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(0, 1, 64)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(emb, seed=7)  # auto: dim 64 -> m 16
+    assert books.shape[0] == 16
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pq_train(emb, m=1, seed=7)  # 1 byte / 64 dims: under budget
+        assert any("bytes/dim" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pq_train(emb, m=4, seed=7)  # 4/64 = 1/16: fine, no warning
+        assert not any("bytes/dim" in str(x.message) for x in w)
