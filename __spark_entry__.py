@@ -4492,6 +4492,114 @@ FROM p
 """
 
 
+def _q_av_sample_stats(spark, sf_dir):
+    """Sample-PLANE audio decode over REAL bytes (r15 VERDICT item 7
+    — the av_meta_decode recipe one level deeper): the query
+    synthesizes complete 16-bit PCM WAV files — header AND data
+    chunk, the data chunk a repeated (A, -B) sample pair with A/B/
+    pair-count derived from document attributes via NATIVE hex→unhex
+    exprs (negative samples exercise two's-complement LE encoding;
+    doc_id%5==0 rows pin A at full scale +32767 so clipping is
+    non-trivially present) — then ``decode_wav_samples``
+    (operators/multimodal.py) recovers exact integer sample stats
+    from the binary column inside mapInPandas. The oracle computes
+    the same closed-form arithmetic directly (the alternating pattern
+    has exact n/peak/sum-of-squares/clip-count), so a hash match
+    proves the sample bytes round-tripped through the RIFF walk and
+    the numpy decode. rms/clip_frac are the one-native-expression
+    derivations the operator docstring promises, 6-dp-rounded on both
+    engines (the semantic_contamination precedent)."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    def _le(c, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(
+                        F.shiftright(c.cast("long"), 8 * k).bitwiseAND(
+                            F.lit(255)
+                        )
+                    ),
+                    2,
+                    "0",
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(32)) + 4).alias("__p"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(32767))
+        .otherwise(F.pmod(F.col("n_chars") * 31, F.lit(32000)))
+        .alias("__a"),
+        F.pmod(F.col("doc_id") * 17, F.lit(32768)).alias("__bmag"),
+    )
+    data_size = F.col("__p") * 4  # P pairs x 2 samples x 2 bytes
+    unit_hex = F.concat(
+        _le(F.col("__a"), 2),  # +A, LE i16
+        _le(F.pmod(F.lit(65536) - F.col("__bmag"), F.lit(65536)), 2),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le(data_size + 36, 4),
+        F.lit("57415645"),                 # 'WAVE'
+        F.lit("666D742010000000"),         # 'fmt ' + size 16
+        F.lit("0100"),                     # PCM
+        F.lit("0100"),                     # mono
+        _le(F.lit(16000), 4),              # sample rate
+        _le(F.lit(32000), 4),              # byte rate
+        F.lit("0200"),                     # block align
+        F.lit("1000"),                     # 16 bits/sample
+        F.lit("64617461"),                 # 'data'
+        _le(data_size, 4),
+        F.expr("repeat(__unit, __p)"),     # the sample plane
+    )
+    media = d.withColumn("__unit", unit_hex).select(
+        "doc_id", F.unhex(wav_hex).alias("payload")
+    )
+    out = decode_wav_samples(media).select(
+        "doc_id", "n_samples", "peak_abs", "sum_sq", "n_clipped"
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "peak_abs",
+        "sum_sq",
+        "n_clipped",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+        F.round(F.col("n_clipped") / F.col("n_samples"), 6).alias(
+            "clip_frac"
+        ),
+    )
+
+
+_SQL_AV_SAMPLE_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 32 + 4 AS pr,
+         CASE WHEN doc_id % 5 = 0 THEN 32767
+              ELSE (n_chars * 31) % 32000 END AS a,
+         (doc_id * 17) % 32768 AS bmag
+  FROM documents)
+SELECT doc_id,
+       CAST(2 * pr AS BIGINT) AS n_samples,
+       CAST(GREATEST(a, bmag) AS BIGINT) AS peak_abs,
+       CAST(pr * (a * a + bmag * bmag) AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN a = 32767 THEN pr ELSE 0 END AS BIGINT)
+           AS n_clipped,
+       ROUND(SQRT((pr * (a * a + bmag * bmag))
+                  / CAST(2 * pr AS DOUBLE)), 6) AS rms,
+       ROUND((CASE WHEN a = 32767 THEN pr ELSE 0 END)
+             / CAST(2 * pr AS DOUBLE), 6) AS clip_frac
+FROM p
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Rows-only: the fake featurizer is a numpy kernel (deterministic,
     golden-tested in tests/test_multimodal.py)."""
@@ -7243,6 +7351,8 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("ivfsq8_topk_refined", _q_ivfsq8_topk_refined, _SQL_SQ8_TOPK),
     ("bm25_topk_index", _q_bm25_topk_index, _SQL_BM25_TOPK),
     ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
+    # --- r16 additions ---
+    ("av_sample_stats", _q_av_sample_stats, _SQL_AV_SAMPLE_STATS),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
     ("collection_client_e2e", _q_collection_client_e2e, None),

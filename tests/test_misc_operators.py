@@ -1813,3 +1813,131 @@ def test_compact_and_delete_on_ivf_partitioned_codes(spark, tmp_path):
     assert {
         r["relation"]: r for r in index_stats(spark, path).collect()
     }["codes"]["n_rows"] == 58
+
+
+def _golden_wav_pcm(samples, bits=16, declared_data_size=None,
+                    fmt_code=1, ch=1, sr=8000):
+    """WAV with an ACTUAL sample plane: `samples` are signed ints for
+    bits=16, raw unsigned bytes for bits=8 (the RIFF 8-bit quirk)."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sr, sr * block, block, bits)
+    dsz = len(data) if declared_data_size is None else declared_data_size
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", dsz) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_samples_golden():
+    """Exact integer stats off the PCM data chunk: 16-bit two's
+    complement LE including both full-scale rails, the 8-bit
+    unsigned-midpoint-128 quirk, truncated/odd data chunks, and the
+    non-integer-PCM refusal (r15 verdict #7)."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_wav_samples,
+    )
+
+    s = [100, -200, 32767, -32768, 0]
+    got = parse_wav_samples(_golden_wav_pcm(s))
+    assert got == (
+        5,
+        32768,
+        100 * 100 + 200 * 200 + 32767 * 32767 + 32768 * 32768,
+        2,
+    )
+    # 8-bit: unsigned with midpoint 128 -> centered [-128, 0, 127]
+    got8 = parse_wav_samples(_golden_wav_pcm([0, 128, 255], bits=8))
+    assert got8 == (3, 128, 128 * 128 + 0 + 127 * 127, 2)
+    # declared data size overruns the payload: clamp to present bytes
+    got_tr = parse_wav_samples(
+        _golden_wav_pcm([1000, -1000], declared_data_size=4096)
+    )
+    assert got_tr == (2, 1000, 2 * 1000 * 1000, 0)
+    # odd byte count at 16 bits: truncate to whole samples
+    raw = _golden_wav_pcm([7, 9])
+    assert parse_wav_samples(raw[:-1]) == (1, 7, 49, 0)
+    # IEEE-float WAV (fmt code 3) and 24-bit refuse with NULLs
+    assert parse_wav_samples(
+        _golden_wav_pcm([1, 2], fmt_code=3)
+    ) == (None,) * 4
+    assert parse_wav_samples(
+        _golden_wav_pcm([0, 0, 0, 0, 0, 0], bits=8, declared_data_size=6)
+        .replace(b"\x08\x00" + b"data", b"\x18\x00" + b"data")
+    ) == (None,) * 4
+    # empty data chunk: all-zero stats, not NULL
+    assert parse_wav_samples(_golden_wav_pcm([])) == (0, 0, 0, 0)
+    # non-WAV bytes
+    assert parse_wav_samples(b"\x00" * 64) == (None,) * 4
+
+
+def test_parse_wav_samples_property_exact_and_hostile():
+    """Property 1: for ANY 16-bit sample list, synthesis -> parse
+    reproduces the pure-python stats exactly (no numpy dtype
+    overflow/sign trap). Property 2: ANY byte blob — including ones
+    opening with RIFF/WAVE — never raises; it returns either
+    all-NULL or internally-consistent stats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_wav_samples,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), max_size=200
+        )
+    )
+    def exact_case(samples):
+        got = parse_wav_samples(_golden_wav_pcm(samples))
+        assert got == (
+            len(samples),
+            max((abs(s) for s in samples), default=0),
+            sum(s * s for s in samples),
+            sum(1 for s in samples if s >= 32767 or s <= -32768),
+        )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300), st.booleans())
+    def hostile_case(blob, riff_prefix):
+        payload = (b"RIFF\xff\xff\xff\xffWAVE" + blob) if riff_prefix else blob
+        got = parse_wav_samples(payload)
+        if got[0] is None:
+            assert got == (None,) * 4
+        else:
+            n, peak, sum_sq, n_clip = got
+            assert 0 <= n_clip <= n and sum_sq >= 0 and peak >= 0
+            assert sum_sq <= n * peak * peak
+
+    exact_case()
+    hostile_case()
+
+
+def test_decode_wav_samples_operator(spark):
+    """The Spark leg: decode_wav_samples appends exact stats via
+    map-only mapInPandas; junk rows survive with NULLs."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    rows = [
+        (1, bytearray(_golden_wav_pcm([5, -5, 32767]))),
+        (2, bytearray(b"not audio at all")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_wav_samples(df).collect()}
+    assert got[1]["n_samples"] == 3
+    assert got[1]["peak_abs"] == 32767
+    assert got[1]["sum_sq"] == 25 + 25 + 32767 * 32767
+    assert got[1]["n_clipped"] == 1
+    assert got[2]["n_samples"] is None and got[3]["sum_sq"] is None
+    assert len(got) == 3
