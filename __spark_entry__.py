@@ -4903,7 +4903,9 @@ def _q_collection_client_e2e(spark, sf_dir):
         .orderBy("vec_id")
         .collect()
     ]
-    return client.search(qvecs, top_k=5).select(
+    # expr-filtered search (r16): the reference's search-param expr
+    # derives allowed_ids from the collection before the ANN scan
+    return client.search(qvecs, top_k=5, expr="file_id % 2 = 0").select(
         "query_id", "qa_id",
         F.round("score", 6).alias("score"), "rank", "file_id",
         "file_name",

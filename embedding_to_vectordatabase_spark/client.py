@@ -143,14 +143,23 @@ class VectorCollectionClient:
         metric: str = "L2",
         refine_factor: int = 4,
         allowed_ids: DataFrame | None = None,
+        expr: str | None = None,
         output_fields: tuple[str, ...] = ("file_id", "file_name"),
     ) -> DataFrame:
         """ANN over the code store with exact refine on the collection
         (milvus_connector.py:167-178: query vectors in, top_k hits
-        with output fields out). ``allowed_ids`` is the scalar
-        pre-filter; ``refine_factor`` sizes the candidate set
-        (refine_k = refine_factor × top_k). Output: (query_id,
-        <id_col>, score, rank, *output_fields)."""
+        with output fields out). ``expr`` is the reference's
+        Milvus-style boolean filter (the search-param dict's ``expr``
+        key, milvus_connector.py:167-178 — the P10 expression surface):
+        it derives the allowed id set from the COLLECTION before the
+        ANN call, so the pre-filter rides the scalar ``allowed_ids``
+        plumbing (broadcast left-semi into the code scan BEFORE
+        top-k — filtered semantics, not post-filtered recall loss).
+        ``allowed_ids`` remains the direct id-set form; when both are
+        given the filters intersect (ids must satisfy both).
+        ``refine_factor`` sizes the candidate set (refine_k =
+        refine_factor × top_k). Output: (query_id, <id_col>, score,
+        rank, *output_fields)."""
         from .operators.search import sq8_topk_index
 
         qdf = self.spark.createDataFrame(
@@ -158,6 +167,15 @@ class VectorCollectionClient:
             f"query_id long, {self.vec_col} array<float>",
         )
         coll = self._collection()
+        if expr is not None:
+            expr_ids = coll.filter(expr).select(self.id_col)
+            allowed_ids = (
+                expr_ids
+                if allowed_ids is None
+                else allowed_ids.select(
+                    F.col(allowed_ids.columns[0]).alias(self.id_col)
+                ).join(expr_ids, self.id_col, "left_semi")
+            )
         hits = sq8_topk_index(
             self.spark,
             self.index_path,
