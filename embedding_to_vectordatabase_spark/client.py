@@ -61,7 +61,6 @@ class VectorCollectionClient:
 
         self.spark = spark
         self.root_path = root_path
-        self.collection_path = f"{root_path}/collection.parquet"
         self.index_path = f"{root_path}/index"
         self.dim = int(dim)
         self.id_col = id_col
@@ -85,6 +84,19 @@ class VectorCollectionClient:
             )
 
     # -- internals --------------------------------------------------
+
+    @property
+    def collection_path(self) -> str:
+        """The collection resolves through the root manifest
+        (``..store``): ``delete`` stages its rewrite to a versioned
+        dir and flips one manifest file, so a concurrent reader sees
+        the old collection or the new one — never a half-renamed
+        path (legacy ``collection.parquet`` when no manifest
+        exists, i.e. every pre-manifest store and every fresh
+        DDL)."""
+        from .store import rel_path
+
+        return rel_path(self.spark, self.root_path, "collection")
 
     def _collection(self) -> DataFrame:
         return self.spark.read.parquet(self.collection_path)
@@ -211,7 +223,8 @@ class VectorCollectionClient:
         the intact collection); the reverse order would strand
         deleted ids permanently searchable in the index because the
         retry would find zero matches. Returns rows deleted."""
-        from .operators.metrics import _swap_dirs, delete_from_index
+        from .operators.metrics import delete_from_index
+        from .store import publish, staged_rel_dir
 
         coll = self._collection()
         ids = (
@@ -226,13 +239,13 @@ class VectorCollectionClient:
         delete_from_index(
             self.spark, self.index_path, ids, id_col=self.id_col
         )
-        staged = self.collection_path + ".compact"
+        staged = staged_rel_dir("collection")
         (
             coll.join(F.broadcast(ids), self.id_col, "left_anti")
             .write.mode("overwrite")
-            .parquet(staged)
+            .parquet(f"{self.root_path}/{staged}")
         )
-        _swap_dirs(self.spark, self.collection_path, staged)
+        publish(self.spark, self.root_path, {"collection": staged})
         return n
 
     def drop_collection(self) -> bool:
@@ -242,6 +255,15 @@ class VectorCollectionClient:
 
         a = drop_collection(self.spark, self.collection_path)
         b = drop_collection(self.spark, self.index_path)
+        # everything else under the root goes too — retired versioned
+        # collection dirs, a legacy dir an early generation left
+        # behind, the manifest — so a re-created collection starts
+        # from a clean legacy layout, like a fresh DDL
+        jvm = self.spark._jvm
+        rp = jvm.org.apache.hadoop.fs.Path(self.root_path)
+        fs = rp.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(rp):
+            fs.delete(rp, True)
         return bool(a or b)
 
     # -- maintenance (the part a daemon-backed store hides) ----------

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..store import current_rel as _crel
+from ..store import pin_index_path as _pin
 from ..functions.vector import dense_cosine
 
 # df-pruning cap: shingles appearing in more docs than this are stop
@@ -1846,22 +1848,22 @@ def build_minhash_index(
     ).persist()
     try:
         sigs.write.mode("overwrite").parquet(
-            f"{index_path}/signatures.parquet"
+            _crel(index_path, "signatures")
         )
         minhash_bands_from_signatures(
             sigs, num_perm, bands, hash_fn
         ).select("band", "bucket", "doc_id").write.mode(
             "overwrite"
-        ).parquet(f"{index_path}/bands.parquet")
+        ).parquet(_crel(index_path, "bands"))
     finally:
         sigs.unpersist()
     spark.createDataFrame(
         [(int(n), int(num_perm), int(bands), hash_fn)],
         "n int, num_perm int, bands int, hash_fn string",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/meta.parquet"
+        _crel(index_path, "meta")
     )
-    return spark.read.parquet(f"{index_path}/signatures.parquet").count()
+    return spark.read.parquet(_crel(index_path, "signatures")).count()
 
 
 def upsert_minhash_index(
@@ -1881,9 +1883,9 @@ def upsert_minhash_index(
     return value can skip both (the streaming gate does; pair with
     ``compact_index`` to bound the file count either way)."""
     spark = new_docs.sparkSession
-    m = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    m = spark.read.parquet(_crel(index_path, "meta")).first()
     n_before = (
-        spark.read.parquet(f"{index_path}/signatures.parquet").count()
+        spark.read.parquet(_crel(index_path, "signatures")).count()
         if count_appended
         else 0
     )
@@ -1892,19 +1894,19 @@ def upsert_minhash_index(
     ).persist()
     try:
         sigs.write.mode("append").parquet(
-            f"{index_path}/signatures.parquet"
+            _crel(index_path, "signatures")
         )
         minhash_bands_from_signatures(
             sigs, m["num_perm"], m["bands"], m["hash_fn"]
         ).select("band", "bucket", "doc_id").write.mode(
             "append"
-        ).parquet(f"{index_path}/bands.parquet")
+        ).parquet(_crel(index_path, "bands"))
     finally:
         sigs.unpersist()
     if not count_appended:
         return -1
     n_after = spark.read.parquet(
-        f"{index_path}/signatures.parquet"
+        _crel(index_path, "signatures")
     ).count()
     return n_after - n_before
 
@@ -1929,7 +1931,7 @@ def _probe_minhash_index(
     BEFORE any signature is touched, and the signatures store scans
     once semi-joined by the broadcast candidates. Nothing corpus-sized
     ever shuffles."""
-    m = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    m = spark.read.parquet(_crel(index_path, "meta")).first()
     # the batch's shingle + permutation pipeline runs once: bands are
     # the sig-slice hash of the same signatures the verify stage uses.
     # The batch is contract-bounded (the reference's probe unit is the
@@ -1953,7 +1955,7 @@ def _probe_minhash_index(
         batch_sigs, m["num_perm"], m["bands"], m["hash_fn"]
     ).select("band", "bucket", F.col("doc_id").alias("__new_id"))
     cand = (
-        spark.read.parquet(f"{index_path}/bands.parquet")
+        spark.read.parquet(_crel(index_path, "bands"))
         .join(F.broadcast(pb), ["band", "bucket"])
         .select(F.col("doc_id").alias("__old_id"), "__new_id")
         .dropDuplicates()
@@ -1979,7 +1981,7 @@ def _probe_minhash_index(
         )
         cand = cand.unionByName(self_cand).dropDuplicates()
     old_sig_src = spark.read.parquet(
-        f"{index_path}/signatures.parquet"
+        _crel(index_path, "signatures")
     ).select("doc_id", "sig")
     if intra_batch:
         # intra-batch "old" docs live in the batch, not the store
@@ -2014,6 +2016,7 @@ def _probe_minhash_index(
     )
 
 
+@_pin
 def minhash_probe_index(
     spark,
     index_path: str,
@@ -2044,6 +2047,7 @@ def minhash_probe_index(
     )
 
 
+@_pin
 def dedup_against_index(
     spark,
     index_path: str,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..store import load_manifest, publish, rel_path, staged_rel_dir
 from ..util import ts_micros
 
 
@@ -219,9 +220,10 @@ def index_stats(spark, index_path: str) -> DataFrame:
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    mf = load_manifest(spark, index_path)
     frames = []
     for rel, part_col in _INDEX_RELATIONS:
-        p = f"{index_path}/{rel}.parquet"
+        p = rel_path(spark, index_path, rel, mf)
         jpath = jvm.org.apache.hadoop.fs.Path(p)
         if not jpath.getFileSystem(conf).exists(jpath):
             continue
@@ -320,36 +322,45 @@ def compact_index(spark, index_path: str) -> DataFrame:
       after an at-least-once double-upsert, where they are benign
       for probes but pure waste.
 
-    Each rewrite stages to ``<relation>.parquet.compact`` and swaps
-    via FS rename (see ``_swap_dirs``). Tiny relations (meta,
-    centroids, params) are left alone. Returns the ``index_stats``
-    report AFTER compaction."""
+    Each rewrite stages to a fresh versioned directory; ALL staged
+    relations then flip in ONE manifest publish (``..store``), so a
+    concurrent search resolving postings+df_stats+corpus_stats (or
+    codes+centroids) sees the pre-compaction store or the
+    post-compaction store, never a mixed generation (r15 verdict #4
+    — the per-relation ``_swap_dirs`` windows, closed). Tiny
+    relations (meta, centroids, params) are left alone. Returns the
+    ``index_stats`` report AFTER compaction."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    mf = load_manifest(spark, index_path)
+    staged: dict[str, str] = {}
 
     def exists(p: str) -> bool:
         jp = jvm.org.apache.hadoop.fs.Path(p)
         return jp.getFileSystem(conf).exists(jp)
 
+    def stage(rel: str) -> str:
+        staged[rel] = staged_rel_dir(rel)
+        return f"{index_path}/{staged[rel]}"
+
     for rel, part_col in (("postings", "token_bucket"), ("codes", "list_id")):
-        p = f"{index_path}/{rel}.parquet"
+        p = rel_path(spark, index_path, rel, mf)
         if not exists(p):
             continue
         df = spark.read.parquet(p)
         if part_col not in df.columns:
             df.coalesce(_size_proportional_parts(df)).write.mode(
                 "overwrite"
-            ).parquet(p + ".compact")
+            ).parquet(stage(rel))
         else:
             nparts = df.select(part_col).distinct().count()
             (
                 df.repartition(max(int(nparts), 1), part_col)
                 .write.mode("overwrite")
                 .partitionBy(part_col)
-                .parquet(p + ".compact")
+                .parquet(stage(rel))
             )
-        _swap_dirs(spark, p, p + ".compact")
-    p = f"{index_path}/df_stats.parquet"
+    p = rel_path(spark, index_path, "df_stats", mf)
     if exists(p):
         df = spark.read.parquet(p)
         merged = df.groupBy("token_bucket", "token").agg(
@@ -360,26 +371,27 @@ def compact_index(spark, index_path: str) -> DataFrame:
             merged.repartition(max(int(nparts), 1), "token_bucket")
             .write.mode("overwrite")
             .partitionBy("token_bucket")
-            .parquet(p + ".compact")
+            .parquet(stage("df_stats"))
         )
-        _swap_dirs(spark, p, p + ".compact")
-    p = f"{index_path}/corpus_stats.parquet"
+    p = rel_path(spark, index_path, "corpus_stats", mf)
     if exists(p):
         df = spark.read.parquet(p)
         df.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_dl").cast("double").alias("total_dl"),
-        ).coalesce(1).write.mode("overwrite").parquet(p + ".compact")
-        _swap_dirs(spark, p, p + ".compact")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            stage("corpus_stats")
+        )
     for rel in ("signatures", "bands"):
-        p = f"{index_path}/{rel}.parquet"
+        p = rel_path(spark, index_path, rel, mf)
         if not exists(p):
             continue
         df = spark.read.parquet(p)
         df.dropDuplicates().coalesce(
             _size_proportional_parts(df)
-        ).write.mode("overwrite").parquet(p + ".compact")
-        _swap_dirs(spark, p, p + ".compact")
+        ).write.mode("overwrite").parquet(stage(rel))
+    if staged:
+        publish(spark, index_path, staged)
     return index_stats(spark, index_path)
 
 
@@ -409,14 +421,22 @@ def delete_from_index(
     Dense stores (codes): the quantizers (centroids/codebooks/params)
     are NOT retrained — deletion only removes rows, the standard
     IVF/PQ delete semantics. Returns the post-delete ``index_stats``
-    report. Each rewrite stages + FS-rename-swaps like
-    ``compact_index``."""
+    report. Every rewrite stages to a versioned directory and ALL of
+    them flip in ONE manifest publish, exactly like
+    ``compact_index`` — postings and the df/corpus stats derived
+    from them are never readable as a mixed generation."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    mf = load_manifest(spark, index_path)
+    staged: dict[str, str] = {}
 
     def exists(p: str) -> bool:
         jp = jvm.org.apache.hadoop.fs.Path(p)
         return jp.getFileSystem(conf).exists(jp)
+
+    def stage(rel: str) -> str:
+        staged[rel] = staged_rel_dir(rel)
+        return f"{index_path}/{staged[rel]}"
 
     ids = F.broadcast(
         doc_ids.select(F.col(doc_ids.columns[0]).alias("__del_id"))
@@ -428,7 +448,7 @@ def delete_from_index(
             ids, df[col] == F.col("__del_id"), "left_anti"
         )
 
-    post_p = f"{index_path}/postings.parquet"
+    post_p = rel_path(spark, index_path, "postings", mf)
     if exists(post_p):
         df = spark.read.parquet(post_p)
         keep = kept(df, id_col)
@@ -437,11 +457,14 @@ def delete_from_index(
             keep.repartition(max(int(nparts), 1), "token_bucket")
             .write.mode("overwrite")
             .partitionBy("token_bucket")
-            .parquet(post_p + ".compact")
+            .parquet(stage("postings"))
         )
-        _swap_dirs(spark, post_p, post_p + ".compact")
-        retained = spark.read.parquet(post_p)
-        if exists(f"{index_path}/df_stats.parquet"):
+        # derived stats rebuild from the STAGED retained postings (not
+        # yet published — the whole group flips together)
+        retained = spark.read.parquet(
+            f"{index_path}/{staged['postings']}"
+        )
+        if exists(rel_path(spark, index_path, "df_stats", mf)):
             merged = (
                 retained.groupBy("token_bucket", "token")
                 .agg(F.count("*").alias("df"))
@@ -452,14 +475,9 @@ def delete_from_index(
                 merged.repartition(max(int(np2), 1), "token_bucket")
                 .write.mode("overwrite")
                 .partitionBy("token_bucket")
-                .parquet(f"{index_path}/df_stats.parquet.compact")
+                .parquet(stage("df_stats"))
             )
-            _swap_dirs(
-                spark,
-                f"{index_path}/df_stats.parquet",
-                f"{index_path}/df_stats.parquet.compact",
-            )
-        if exists(f"{index_path}/corpus_stats.parquet") and (
+        if exists(rel_path(spark, index_path, "corpus_stats", mf)) and (
             "dl" in retained.columns
         ):
             (
@@ -471,14 +489,9 @@ def delete_from_index(
                 )
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(f"{index_path}/corpus_stats.parquet.compact")
+                .parquet(stage("corpus_stats"))
             )
-            _swap_dirs(
-                spark,
-                f"{index_path}/corpus_stats.parquet",
-                f"{index_path}/corpus_stats.parquet.compact",
-            )
-    codes_p = f"{index_path}/codes.parquet"
+    codes_p = rel_path(spark, index_path, "codes", mf)
     if exists(codes_p):
         df = spark.read.parquet(codes_p)
         cid = id_col if id_col in df.columns else "vec_id"
@@ -489,20 +502,20 @@ def delete_from_index(
                 keep.repartition(max(int(nparts), 1), "list_id")
                 .write.mode("overwrite")
                 .partitionBy("list_id")
-                .parquet(codes_p + ".compact")
+                .parquet(stage("codes"))
             )
         else:
             keep.coalesce(_size_proportional_parts(df)).write.mode(
                 "overwrite"
-            ).parquet(codes_p + ".compact")
-        _swap_dirs(spark, codes_p, codes_p + ".compact")
+            ).parquet(stage("codes"))
     for rel in ("signatures", "bands"):
-        p = f"{index_path}/{rel}.parquet"
+        p = rel_path(spark, index_path, rel, mf)
         if not exists(p):
             continue
         df = spark.read.parquet(p)
         kept(df, id_col).coalesce(
             _size_proportional_parts(df)
-        ).write.mode("overwrite").parquet(p + ".compact")
-        _swap_dirs(spark, p, p + ".compact")
+        ).write.mode("overwrite").parquet(stage(rel))
+    if staged:
+        publish(spark, index_path, staged)
     return index_stats(spark, index_path)

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..store import current_rel as _crel
+from ..store import pin_index_path as _pin
 from ..functions.vector import (
     dense_cosine,
     dense_ip,
@@ -1097,7 +1099,7 @@ def build_ivf_index(
         [(i, [float(x) for x in cent[i]]) for i in range(nlist_eff)],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/centroids.parquet"
+        _crel(index_path, "centroids")
     )
     cm = cent.T
     c2 = (cent**2).sum(axis=1)
@@ -1106,7 +1108,7 @@ def build_ivf_index(
     corpus.select(
         F.col(corpus_id),
         nearest_list(F.col(corpus_vec)).alias("list_id"),
-    ).write.mode("overwrite").parquet(f"{index_path}/assignments.parquet")
+    ).write.mode("overwrite").parquet(_crel(index_path, "assignments"))
     return nlist_eff
 
 
@@ -1134,7 +1136,7 @@ def upsert_ivf_index(
 
     spark = new_vectors.sparkSession
     cent_rows = (
-        spark.read.parquet(f"{index_path}/centroids.parquet")
+        spark.read.parquet(_crel(index_path, "centroids"))
         .orderBy("list_id")
         .collect()
     )
@@ -1149,10 +1151,11 @@ def upsert_ivf_index(
     new_vectors.select(
         F.col(corpus_id),
         nearest_list(F.col(corpus_vec)).alias("list_id"),
-    ).write.mode("append").parquet(f"{index_path}/assignments.parquet")
+    ).write.mode("append").parquet(_crel(index_path, "assignments"))
     return n
 
 
+@_pin
 def ann_topk_ivf_index(
     spark,
     index_path: str,
@@ -1179,7 +1182,7 @@ def ann_topk_ivf_index(
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; use IP|COSINE|L2")
     cent_rows = (
-        spark.read.parquet(f"{index_path}/centroids.parquet")
+        spark.read.parquet(_crel(index_path, "centroids"))
         .orderBy("list_id")
         .collect()
     )
@@ -1189,7 +1192,7 @@ def ann_topk_ivf_index(
     npb = min(nprobe, len(cent))
     probe_lists = _probe_lists_udf(cm, c2, npb)
 
-    assignments = spark.read.parquet(f"{index_path}/assignments.parquet")
+    assignments = spark.read.parquet(_crel(index_path, "assignments"))
     c = _apply_allowed(corpus, allowed_ids, corpus_id).join(
         assignments, corpus_id
     ).withColumnRenamed("list_id", "__list")
@@ -1381,12 +1384,12 @@ def build_sparse_index(
     # row count off the just-written parquet FOOTERS — a .count() on
     # the input would re-execute the whole postings lineage (often a
     # corpus-wide explode) purely for this return value
-    n = spark.read.parquet(f"{index_path}/postings.parquet").count()
+    n = spark.read.parquet(_crel(index_path, "postings")).count()
     spark.createDataFrame(
         [(int(num_buckets), bool(store_doc_stats))],
         "num_buckets int, doc_stats boolean",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/meta.parquet"
+        _crel(index_path, "meta")
     )
     return num_buckets, n
 
@@ -1429,14 +1432,14 @@ def _write_sparse_segment(
         staged.select(
             *out_cols, "token_bucket"
         ).write.mode(mode).partitionBy("token_bucket").parquet(
-            f"{index_path}/postings.parquet"
+            _crel(index_path, "postings")
         )
         staged.groupBy("token_bucket", "token").agg(
             F.count("*").alias("df")
         ).select("token", "df", "token_bucket").write.mode(
             mode
         ).partitionBy("token_bucket").parquet(
-            f"{index_path}/df_stats.parquet"
+            _crel(index_path, "df_stats")
         )
         if store_doc_stats:
             staged.agg(
@@ -1445,7 +1448,7 @@ def _write_sparse_segment(
                     "total_dl"
                 ),
             ).coalesce(1).write.mode(mode).parquet(
-                f"{index_path}/corpus_stats.parquet"
+                _crel(index_path, "corpus_stats")
             )
     finally:
         staged.unpersist()
@@ -1477,7 +1480,7 @@ def upsert_sparse_index(
     doesn't consume the return value can skip both (r15; pair with
     ``compact_index`` to keep the file count bounded either way)."""
     spark = new_postings.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    meta = spark.read.parquet(_crel(index_path, "meta")).first()
     nb = int(meta["num_buckets"])
     store_doc_stats = bool(
         meta["doc_stats"] if "doc_stats" in meta.asDict() else False
@@ -1488,7 +1491,7 @@ def upsert_sparse_index(
     # appended-row count from parquet FOOTERS (metadata-only reads)
     # rather than a .count() that re-executes the batch lineage
     n_before = (
-        spark.read.parquet(f"{index_path}/postings.parquet").count()
+        spark.read.parquet(_crel(index_path, "postings")).count()
         if count_appended
         else 0
     )
@@ -1499,7 +1502,7 @@ def upsert_sparse_index(
     if not count_appended:
         return -1
     n_after = spark.read.parquet(
-        f"{index_path}/postings.parquet"
+        _crel(index_path, "postings")
     ).count()
     return n_after - n_before
 
@@ -1511,7 +1514,7 @@ def _sparse_token_buckets(spark, index_path: str, toks: list):
     to drift), one driver-side job over the tiny list. Shared by the
     IP and BM25 searches over the store."""
     nb = int(
-        spark.read.parquet(f"{index_path}/meta.parquet").first()[
+        spark.read.parquet(_crel(index_path, "meta")).first()[
             "num_buckets"
         ]
     )
@@ -1539,7 +1542,7 @@ def _sum_df_segments(spark, index_path: str, toks: list, tok_bucket):
     list."""
     buckets = sorted({tok_bucket[t] for t in toks})
     seg = (
-        spark.read.parquet(f"{index_path}/df_stats.parquet")
+        spark.read.parquet(_crel(index_path, "df_stats"))
         .filter(
             F.col("token_bucket").isin(buckets)
             & F.col("token").isin(toks)
@@ -1551,6 +1554,7 @@ def _sum_df_segments(spark, index_path: str, toks: list, tok_bucket):
     return {r["token"]: int(r["df"]) for r in seg}
 
 
+@_pin
 def sparse_topk_index(
     spark,
     index_path: str,
@@ -1580,7 +1584,7 @@ def sparse_topk_index(
         query_postings.select("token").distinct().collect()
     )
     toks = sorted({r["token"] for r in tok_rows})
-    store = spark.read.parquet(f"{index_path}/postings.parquet")
+    store = spark.read.parquet(_crel(index_path, "postings"))
 
     def _empty():
         # schema-faithful empty result (doc_id keeps the STORE's type)
@@ -1637,6 +1641,7 @@ def sparse_topk_index(
     )
 
 
+@_pin
 def bm25_topk_index(
     spark,
     index_path: str,
@@ -1669,7 +1674,7 @@ def bm25_topk_index(
     double, rank int)."""
     import math
 
-    meta = spark.read.parquet(f"{index_path}/meta.parquet").first()
+    meta = spark.read.parquet(_crel(index_path, "meta")).first()
     if not bool(
         meta["doc_stats"] if "doc_stats" in meta.asDict() else False
     ):
@@ -1679,7 +1684,7 @@ def bm25_topk_index(
         )
     tok_rows = query_terms.select("token").distinct().collect()
     toks = sorted({r["token"] for r in tok_rows})
-    store = spark.read.parquet(f"{index_path}/postings.parquet")
+    store = spark.read.parquet(_crel(index_path, "postings"))
     empty = (
         query_terms.select("query_id")
         .limit(0)
@@ -1700,7 +1705,7 @@ def bm25_topk_index(
         return empty
     buckets = sorted({tok_bucket[t] for t in toks})
     stats = (
-        spark.read.parquet(f"{index_path}/corpus_stats.parquet")
+        spark.read.parquet(_crel(index_path, "corpus_stats"))
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tdl"))
         .first()
     )
@@ -2720,7 +2725,7 @@ def _write_pq_codebooks(
     spark.createDataFrame(
         rows, "sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/pq_codebooks.parquet"
+        _crel(index_path, "pq_codebooks")
     )
 
 
@@ -2730,7 +2735,7 @@ def load_pq_codebooks(spark, index_path: str) -> "np.ndarray":
     import numpy as np
 
     rows = (
-        spark.read.parquet(f"{index_path}/pq_codebooks.parquet")
+        spark.read.parquet(_crel(index_path, "pq_codebooks"))
         .orderBy("sub", "code")
         .collect()
     )
@@ -2773,7 +2778,7 @@ def build_pq_index(
     _write_pq_codebooks(corpus.sparkSession, index_path, books)
     pq_encode(corpus, books, vec_col, corpus_id).write.mode(
         "overwrite"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return books.shape[0], books.shape[1]
 
 
@@ -2795,15 +2800,16 @@ def upsert_pq_index(
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
-    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
+    n0 = spark.read.parquet(_crel(index_path, "codes")).count()
     pq_encode(new_vectors, books, vec_col, corpus_id).write.mode(
         "append"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return (
-        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+        spark.read.parquet(_crel(index_path, "codes")).count() - n0
     )
 
 
+@_pin
 def pq_topk_index(
     spark,
     index_path: str,
@@ -2826,7 +2832,7 @@ def pq_topk_index(
     scalar PRE-filter on the code scan (see ``_apply_allowed``)."""
     books = load_pq_codebooks(spark, index_path)
     codes = _apply_allowed(
-        spark.read.parquet(f"{index_path}/codes.parquet"),
+        spark.read.parquet(_crel(index_path, "codes")),
         allowed_ids, corpus_id,
     )
     return pq_topk(
@@ -2902,7 +2908,7 @@ def _write_ivf_meta(spark, index_path: str, metric: str) -> None:
     spark.createDataFrame(
         [(metric,)], "metric string"
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/ivf_meta.parquet"
+        _crel(index_path, "ivf_meta")
     )
 
 
@@ -2914,12 +2920,12 @@ def _load_ivf_meta(spark, index_path: str) -> str:
     it would silently reroute an IP store's upsert/rebalance
     assignment to L2 with no signal (r15 ADVICE)."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/ivf_meta.parquet")
+    p = jvm.org.apache.hadoop.fs.Path(_crel(index_path, "ivf_meta"))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return "L2"
     return str(
-        spark.read.parquet(f"{index_path}/ivf_meta.parquet").first()[
+        spark.read.parquet(_crel(index_path, "ivf_meta")).first()[
             "metric"
         ]
     )
@@ -3053,14 +3059,14 @@ def build_ivfadc_index(
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/centroids.parquet"
+        _crel(index_path, "centroids")
     )
     _write_pq_codebooks(spark, index_path, books)
     _write_ivf_meta(spark, index_path, metric)
     _ivfadc_encode(
         corpus, cent, books, vec_col, corpus_id, metric
     ).write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{index_path}/codes.parquet"
+        _crel(index_path, "codes")
     )
     return len(cent), books.shape[1]
 
@@ -3070,7 +3076,7 @@ def _load_ivf_centroids(spark, index_path: str) -> "np.ndarray":
     import numpy as np
 
     rows = (
-        spark.read.parquet(f"{index_path}/centroids.parquet")
+        spark.read.parquet(_crel(index_path, "centroids"))
         .orderBy("list_id")
         .collect()
     )
@@ -3099,17 +3105,18 @@ def upsert_ivfadc_index(
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
-    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
+    n0 = spark.read.parquet(_crel(index_path, "codes")).count()
     _ivfadc_encode(
         new_vectors, cent, books, vec_col, corpus_id, metric
     ).write.mode("append").partitionBy("list_id").parquet(
-        f"{index_path}/codes.parquet"
+        _crel(index_path, "codes")
     )
     return (
-        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+        spark.read.parquet(_crel(index_path, "codes")).count() - n0
     )
 
 
+@_pin
 def ann_topk_ivfadc(
     spark,
     index_path: str,
@@ -3209,7 +3216,7 @@ def ann_topk_ivfadc(
     bc = spark.sparkContext.broadcast((qids, probes, luts, biases))
     kk1 = max(k, refine_k or 0)
     descending = metric == "IP"
-    codes = spark.read.parquet(f"{index_path}/codes.parquet").filter(
+    codes = spark.read.parquet(_crel(index_path, "codes")).filter(
         F.col("list_id").isin(probed)
     )
     qid_field = queries.schema[query_id].dataType
@@ -3539,12 +3546,12 @@ def build_opq_index(
         [(i, [float(x) for x in R[i]]) for i in range(len(R))],
         "row_idx int, row array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/opq_rotation.parquet"
+        _crel(index_path, "opq_rotation")
     )
     _write_pq_codebooks(spark, index_path, books)
     opq_encode(corpus, R, books, vec_col, corpus_id).write.mode(
         "overwrite"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return books.shape[0], books.shape[1]
 
 
@@ -3553,7 +3560,7 @@ def load_opq_rotation(spark, index_path: str) -> "np.ndarray":
     import numpy as np
 
     rows = (
-        spark.read.parquet(f"{index_path}/opq_rotation.parquet")
+        spark.read.parquet(_crel(index_path, "opq_rotation"))
         .orderBy("row_idx")
         .collect()
     )
@@ -3578,15 +3585,16 @@ def upsert_opq_index(
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
-    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
+    n0 = spark.read.parquet(_crel(index_path, "codes")).count()
     opq_encode(new_vectors, R, books, vec_col, corpus_id).write.mode(
         "append"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return (
-        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+        spark.read.parquet(_crel(index_path, "codes")).count() - n0
     )
 
 
+@_pin
 def opq_topk_index(
     spark,
     index_path: str,
@@ -3611,7 +3619,7 @@ def opq_topk_index(
     R = load_opq_rotation(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
     codes = _apply_allowed(
-        spark.read.parquet(f"{index_path}/codes.parquet"),
+        spark.read.parquet(_crel(index_path, "codes")),
         allowed_ids, corpus_id,
     )
     return opq_topk(
@@ -3968,11 +3976,11 @@ def build_sq8_index(
         ],
         "dim_idx int, vmin double, vdiff double",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/sq8_params.parquet"
+        _crel(index_path, "sq8_params")
     )
     sq8_encode(corpus, vmin, vdiff, vec_col, corpus_id).write.mode(
         "overwrite"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return len(vmin)
 
 
@@ -3981,7 +3989,7 @@ def load_sq8_params(spark, index_path: str):
     import numpy as np
 
     rows = (
-        spark.read.parquet(f"{index_path}/sq8_params.parquet")
+        spark.read.parquet(_crel(index_path, "sq8_params"))
         .orderBy("dim_idx")
         .collect()
     )
@@ -4007,15 +4015,16 @@ def upsert_sq8_index(
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
-    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
+    n0 = spark.read.parquet(_crel(index_path, "codes")).count()
     sq8_encode(new_vectors, vmin, vdiff, vec_col, corpus_id).write.mode(
         "append"
-    ).parquet(f"{index_path}/codes.parquet")
+    ).parquet(_crel(index_path, "codes"))
     return (
-        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+        spark.read.parquet(_crel(index_path, "codes")).count() - n0
     )
 
 
+@_pin
 def sq8_topk_index(
     spark,
     index_path: str,
@@ -4037,7 +4046,7 @@ def sq8_topk_index(
     ``sq8_train``+``sq8_encode``+``sq8_topk`` at the same seed
     (asserted in tests). ``symmetric`` as in ``sq8_topk``."""
     vmin, vdiff = load_sq8_params(spark, index_path)
-    codes = spark.read.parquet(f"{index_path}/codes.parquet")
+    codes = spark.read.parquet(_crel(index_path, "codes"))
     return sq8_topk(
         codes, queries, vmin, vdiff,
         k=k, metric=metric, corpus_id=corpus_id, query_id=query_id,
@@ -4109,19 +4118,19 @@ def build_ivfsq8_index(
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/centroids.parquet"
+        _crel(index_path, "centroids")
     )
     spark.createDataFrame(
         [(i, float(vmin[i]), float(vdiff[i])) for i in range(dim)],
         "dim_idx int, vmin double, vdiff double",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/sq8_params.parquet"
+        _crel(index_path, "sq8_params")
     )
     _write_ivf_meta(spark, index_path, metric)
     _ivfsq8_encode(
         corpus, cent, vmin, vdiff, vec_col, corpus_id, metric
     ).write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{index_path}/codes.parquet"
+        _crel(index_path, "codes")
     )
     return len(cent), dim
 
@@ -4224,14 +4233,14 @@ def upsert_ivfsq8_index(
     # batch lineage — the documented ingest shape derives batches
     # from expensive pipelines (review finding r14, matching the
     # sparse/minhash upserts)
-    n0 = spark.read.parquet(f"{index_path}/codes.parquet").count()
+    n0 = spark.read.parquet(_crel(index_path, "codes")).count()
     _ivfsq8_encode(
         new_vectors, cent, vmin, vdiff, vec_col, corpus_id, metric
     ).write.mode("append").partitionBy("list_id").parquet(
-        f"{index_path}/codes.parquet"
+        _crel(index_path, "codes")
     )
     return (
-        spark.read.parquet(f"{index_path}/codes.parquet").count() - n0
+        spark.read.parquet(_crel(index_path, "codes")).count() - n0
     )
 
 
@@ -4257,14 +4266,13 @@ def rebalance_ivfsq8_index(
 
     The code payload is byte-identical after the move, so full-probe
     search results are UNCHANGED (asserted in tests) — only the
-    partition layout (and with it low-nprobe recall) improves. The
-    rewrite stages and FS-rename-swaps like ``compact_index``; note
-    the consistency window here spans TWO stores (codes swap, then
-    centroids overwrite) — a concurrent low-nprobe search in that
-    window probes old centroids against new list ids. Run it as the
-    offline maintenance step it is (or behind a table-format
-    transaction in a production deployment). Returns the effective
-    nlist."""
+    partition layout (and with it low-nprobe recall) improves. Both
+    relations stage to fresh versioned dirs and flip in ONE manifest
+    publish (``..store``), so a concurrent search resolves the old
+    (codes, centroids) pair or the new one, never old centroids
+    against new list ids — the r15 two-store consistency window,
+    closed. Still single-maintainer by contract. Returns the
+    effective nlist."""
     import math
 
     import numpy as np
@@ -4275,7 +4283,7 @@ def rebalance_ivfsq8_index(
     dim = len(vmin)
     k = int(nlist) if nlist is not None else len(cent_old)
     cap = train_cap if train_cap is not None else max(k * 50, 4096)
-    codes_p = f"{index_path}/codes.parquet"
+    codes_p = _crel(index_path, "codes")
     codes = spark.read.parquet(codes_p)
 
     # bounded head-of-every-partition sample of CODE rows (the
@@ -4360,21 +4368,30 @@ def rebalance_ivfsq8_index(
     rerouted = codes.select(cid, "sq8_code").mapInArrow(
         reroute, out_schema
     )
+    # stage BOTH relations to fresh versioned dirs, then ONE manifest
+    # publish — a concurrent reader resolves (old codes, old
+    # centroids) or (new, new), never the mixed pair the r15 verdict
+    # documented as this operator's consistency window
+    from ..store import publish, staged_rel_dir
+
+    codes_stage = staged_rel_dir("codes")
+    cent_stage = staged_rel_dir("centroids")
     rerouted.repartition(max(len(cent), 1), "list_id").write.mode(
         "overwrite"
-    ).partitionBy("list_id").parquet(codes_p + ".compact")
-    from .metrics import _swap_dirs
-
-    _swap_dirs(spark, codes_p, codes_p + ".compact")
+    ).partitionBy("list_id").parquet(f"{index_path}/{codes_stage}")
     spark.createDataFrame(
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/centroids.parquet"
+        f"{index_path}/{cent_stage}"
+    )
+    publish(
+        spark, index_path, {"codes": codes_stage, "centroids": cent_stage}
     )
     return len(cent)
 
 
+@_pin
 def ann_topk_ivfsq8(
     spark,
     index_path: str,
@@ -4441,7 +4458,7 @@ def ann_topk_ivfsq8(
     descending = metric == "IP"
 
     qid_field = queries.schema[query_id].dataType
-    codes = spark.read.parquet(f"{index_path}/codes.parquet").filter(
+    codes = spark.read.parquet(_crel(index_path, "codes")).filter(
         F.col("list_id").isin(probed)
     )
     cid_field = codes.schema[corpus_id].dataType
