@@ -7409,6 +7409,85 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 # facade lifecycle), and ivfadc_topk_refined RE-SEATED (its encode now
 # routes by the recorded store metric and the build writes ivf_meta —
 # changed after its r14 record).
+# r16 rotation — now MECHANICAL: tools/window_report.py reads every
+# CORRECTNESS_r*.json and emits (query, last_green_round, staleness,
+# oracle, src_hash) into WINDOW_REPORT.json; this list is assembled
+# from that table (r15 verdict #9). Policy unchanged:
+# (a) new/changed-this-round oracles lead — av_sample_stats is the
+# new r16 oracle (WAV sample-plane decode); minhash_probe_index's
+# probe internals changed again (localCheckpoint → driver-local
+# relation); sparse/bm25/sq8/ivfsq8/hybrid re-seat because EVERY
+# persisted-store read now resolves through the versioned-relation
+# manifest layer (store.py) — the code under their records changed
+# even where results must not.
+# (b) the stalest oracle cohort per the report: all 23 r12-record
+# seats, then 3 r13 seats (minhash_lsh_pairs, simhash_pairs_md5,
+# image_meta_decode — the cohort VERDICT r15 item 5 named).
+# (c) rows-only at the tail (r10 ADVICE): changed-this-round first
+# (collection_client_e2e gained expr search + manifest delete;
+# index_stats_report resolves through the manifest; pq/ivfadc
+# refined read manifest-resolved codes), then the stalest r10/r11/
+# r12 rows-only seats.
+_R16_WINDOW: list[str] = [
+    # (a) new/changed-this-round oracles first
+    "av_sample_stats",
+    "minhash_probe_index",
+    "sparse_topk_index",
+    "bm25_topk_index",
+    "sq8_topk_refined",
+    "ivfsq8_topk_refined",
+    "sq8_topk_filtered",
+    "hybrid_rrf_index",
+    # (b) stalest oracle cohort (r12 records, registry order)
+    "bm25_topk",
+    "dup_clusters",
+    "near_dedup_representatives",
+    "st_minhash_dedup",
+    "peak_concurrency",
+    "dup_source_matrix",
+    "embedding_dispersion",
+    "corpus_curate_minhash",
+    "containment_pairs",
+    "conversion_time",
+    "rolling_active_users",
+    "event_transitions",
+    "rank_normalize_nchars",
+    "variant_props_stats",
+    "w1_row_numbers_scalable",
+    "s2_row_range",
+    "j1_registry_matched",
+    "j1_registry_unmatched",
+    "j2_anti_ingested",
+    "auto_join_hot_agg",
+    "variant_nested_stats",
+    "pmi_collocations",
+    "word_entropy",
+    # ...and the three stalest r13 oracle seats
+    "minhash_lsh_pairs",
+    "simhash_pairs_md5",
+    "image_meta_decode",
+    # (c) rows-only at the window TAIL: changed-this-round first...
+    "collection_client_e2e",
+    "index_stats_report",
+    "pq_topk_refined",
+    "ivfadc_topk_refined",
+    # ...then the stalest rows-only cohorts (r10/r11/r12 records)
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_similarity_join_mllib",
+    "t1_chunk_recursive",
+    "t2_semantic_chunks",
+    "multimodal_features",
+    "ingest_chunks",
+    "sketch_distinct_users",
+    "semdedup_survivors",
+    "t1_chunk_recursive_prod",
+    "sketch_value_quantiles",
+    "cms_user_counts",
+]
+
+# r15 window kept for provenance documentation; no longer feeds
+# _registry_order().
 _R15_WINDOW: list[str] = [
     # (a) new/changed-this-round oracles first
     "sq8_topk_refined",
@@ -7526,7 +7605,7 @@ _R14_WINDOW: list[str] = [
 ]
 
 def _registry_order() -> list[tuple[str, Callable, str | None]]:
-    rank = {n: i for i, n in enumerate(_R15_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R16_WINDOW)}
     head = sorted(
         (e for e in _REGISTRY_ENTRIES if e[0] in rank),
         key=lambda e: rank[e[0]],

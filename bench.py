@@ -1229,6 +1229,130 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001 — advisory, never fatal
             skip("stream_ingest_neardup_gated", repr(e))
+        # GATE COST MODEL (r15 VERDICT item 2): the uncosted point
+        # above prices the gate against a FREE mock embedder, which
+        # is the one regime the gate was never built for — in the
+        # reference the embed leg is a GPU server (m3_server.py:12-19,
+        # 128-sentence batches; tei_req.py:12, 64-text HTTP
+        # sub-batches) and the gate's value is the embed cost the
+        # dropped docs never pay. These runs give the mock a per-text
+        # wall floor (IngestConfig.mock_cost_floor_s) and measure
+        # gated_over_plain at 0% and ~50% near-dup rates at the SAME
+        # floor: r=0% isolates pure gate overhead (probe+upsert with
+        # nothing to drop), r=50% states the payoff, and the pair
+        # solves the break-even dup rate r* = overhead / (embed+chunk
+        # cost per doc) of the linear cost model.
+        try:
+            if time_left() < 240:
+                raise TimeoutError(
+                    "bench deadline - skipping gate cost model"
+                )
+            progress("gate cost model: floored embeds at 0%/50% dup")
+            from embedding_to_vectordatabase_spark.operators.dedup import (  # noqa: E501,F811
+                build_minhash_index,
+            )
+
+            # self-sufficient standing corpus (the uncosted point may
+            # have been skipped): even-id half under prefixed ids
+            standing = corpus.filter(F.col("doc_id") % 2 == 0).select(
+                F.concat(F.lit("std "), F.col("title")).alias("title"),
+                "content",
+            )
+            COST_FLOOR_S = 0.02  # per text; GPU-endpoint scale, not free
+
+            def _stream_batch_floored(batch_df, registry):
+                docs_b = batch_df.withColumn(
+                    "row_no",
+                    F.regexp_extract("title", r"(\d+)", 1).cast("long"),
+                ).withColumn("doc_id", F.col("row_no"))
+                chunks, _ = _ingest_plan(
+                    docs_b,
+                    registry,
+                    config=IngestConfig(
+                        chunk_size=400, overlap=50, dense_dim=16,
+                        mock_cost_floor_s=COST_FLOOR_S,
+                    ),
+                )
+                return chunks.select(
+                    "file_id", "block_id", "file_name", "content"
+                )
+
+            def _run_stream(out_name, ckpt_name, gate_path):
+                out_p = os.path.join(SCRATCH, out_name)
+                ck_p = os.path.join(SCRATCH, ckpt_name)
+                shutil.rmtree(out_p, ignore_errors=True)
+                shutil.rmtree(ck_p, ignore_errors=True)
+                t0 = time.time()
+                qf = stream_ingest_jsonl(
+                    spark, stream_src, out_p, ck_p,
+                    registry=stream_registry,
+                    batch_fn=_stream_batch_floored,
+                    max_files_per_trigger=8,
+                    neardup_index_path=gate_path,
+                    neardup_threshold=0.8,
+                )
+                qf.awaitTermination(
+                    int(max(30.0, min(240.0, time_left() - 20)))
+                )
+                return round(time.time() - t0, 3)
+
+            # plain (no gate), floored — the denominator
+            plain_f_sec = _run_stream(
+                "stream_out_f_plain", "stream_ckpt_f_plain", None
+            )
+            # r = 0%: EMPTY standing store — probe/upsert overhead
+            # with nothing to drop
+            gate0_store = os.path.join(SCRATCH, "stream_gate_mh_r0")
+            shutil.rmtree(gate0_store, ignore_errors=True)
+            build_minhash_index(
+                standing.limit(0), gate0_store, text_col="content",
+                id_col="title", n=3, num_perm=64, bands=16,
+            )
+            gate0_sec = _run_stream(
+                "stream_out_f_r0", "stream_ckpt_f_r0", gate0_store
+            )
+            # r = ~50%: the SAME standing store as the uncosted point
+            # (even-id half under prefixed ids)
+            gate50_store = os.path.join(SCRATCH, "stream_gate_mh_r50")
+            shutil.rmtree(gate50_store, ignore_errors=True)
+            build_minhash_index(
+                standing, gate50_store, text_col="content",
+                id_col="title", n=3, num_perm=64, bands=16,
+            )
+            gate50_sec = _run_stream(
+                "stream_out_f_r50", "stream_ckpt_f_r50", gate50_store
+            )
+            r0 = round(gate0_sec / max(plain_f_sec, 1e-9), 3)
+            r50 = round(gate50_sec / max(plain_f_sec, 1e-9), 3)
+            # linear model: gated(r) = overhead + (1-r)*work;
+            # break-even r* where gated(r*) = plain = work
+            overhead_sec = round(gate0_sec - plain_f_sec, 3)
+            breakeven = round(
+                overhead_sec / max(plain_f_sec, 1e-9), 3
+            )
+            throughput["stream_gate_cost_model"] = {
+                "cost_floor_s_per_text": COST_FLOOR_S,
+                "plain_floored_sec": plain_f_sec,
+                "gated_floored_sec_dup0": gate0_sec,
+                "gated_floored_sec_dup50": gate50_sec,
+                "gated_over_plain_dup0": r0,
+                "gated_over_plain_dup50": r50,
+                "gate_overhead_sec": overhead_sec,
+                "breakeven_dup_rate": breakeven,
+                "calib_ms": point_probe(),
+                "note": (
+                    "with the model boundary priced (0.02 s/text "
+                    "floor), dup0 states pure gate overhead and "
+                    "dup50 the payoff; the gate pays for itself "
+                    "whenever the near-dup rate exceeds "
+                    "breakeven_dup_rate under the linear cost model "
+                    "- at a free embedder (the uncosted point above) "
+                    "no dup rate can, which measured the wrong "
+                    "regime (r15 verdict #2)"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — advisory, never fatal
+            skip("stream_gate_cost_model", repr(e))
         # LARGER-VOLUME amortization point (VERDICT r10 item 6): the
         # 2-batch pair above exposes a ~1 s/micro-batch fixed cost
         # that dominates at sf0.1's tiny per-batch volume. This point

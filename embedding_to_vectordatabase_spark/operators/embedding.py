@@ -52,17 +52,33 @@ class EmbeddingClient(Protocol):
 class MockEmbeddingClient:
     """Deterministic embedder: RNG seeded from sha1(text); emits an
     L2-normalized ``dim``-float dense vector and an ``nnz``-entry
-    sparse map with token ids < 250k and weights in (0, 1]."""
+    sparse map with token ids < 250k and weights in (0, 1].
 
-    def __init__(self, dim: int = DENSE_DIM, nnz: int = SPARSE_NNZ):
+    ``cost_floor_s``: optional per-TEXT wall cost (time.sleep) so
+    local benchmarks can price the model boundary the mock replaces —
+    the reference embeds through a GPU server in 128-sentence batches
+    (baai_m3_simple_server/m3_server.py:12-19) behind 64-text HTTP
+    sub-batches (embedding_model/tei_req.py:12), where per-text cost
+    is milliseconds, not free; a dedup gate's value is exactly the
+    texts it stops from paying that cost (r15 verdict #2)."""
+
+    def __init__(
+        self,
+        dim: int = DENSE_DIM,
+        nnz: int = SPARSE_NNZ,
+        cost_floor_s: float = 0.0,
+    ):
         self.dim = dim
         self.nnz = nnz
+        self.cost_floor_s = float(cost_floor_s)
 
     def _seed(self, text: str) -> int:
         h = hashlib.sha1((text or "").encode("utf-8")).digest()
         return struct.unpack("<Q", h[:8])[0]
 
     def embed(self, texts: list[str]) -> list[list[float]]:
+        if self.cost_floor_s and texts:
+            time.sleep(self.cost_floor_s * len(texts))
         out = []
         for t in texts:
             rng = np.random.default_rng(self._seed(t))
@@ -149,10 +165,10 @@ class HttpEmbeddingClient:
         return dense, sparse
 
 
-def _client_factory(kind: str, dim: int):
+def _client_factory(kind: str, dim: int, cost_floor_s: float = 0.0):
     # resolved inside the executor task so no client object is pickled
     if kind == "mock":
-        return MockEmbeddingClient(dim=dim)
+        return MockEmbeddingClient(dim=dim, cost_floor_s=cost_floor_s)
     raise NotImplementedError(
         "HTTP embedding needs a live model server; construct "
         "HttpEmbeddingClient yourself and pass client_kind='mock' in tests"
@@ -165,6 +181,7 @@ def embed_text(
     client_kind: str = "mock",
     dim: int = DENSE_DIM,
     hybrid: bool = True,
+    mock_cost_floor_s: float = 0.0,
 ) -> DataFrame:
     """Append dense_embedding (+ sparse_embedding when hybrid) columns
     via one Arrow-batched mapInPandas stage. Map-only: no shuffle (an
@@ -190,7 +207,7 @@ def embed_text(
     out_schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client = _client_factory(client_kind, dim)
+        client = _client_factory(client_kind, dim, mock_cost_floor_s)
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
             if hybrid:

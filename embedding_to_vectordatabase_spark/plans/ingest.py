@@ -43,6 +43,9 @@ class IngestConfig:
     overlap: int = DEFAULT_OVERLAP
     client_kind: str = "mock"
     dense_dim: int = 1024
+    # per-text wall cost for the MOCK embedder only: lets benchmarks
+    # price the model boundary (see MockEmbeddingClient.cost_floor_s)
+    mock_cost_floor_s: float = 0.0
     placeholders: dict = field(
         default_factory=lambda: {
             # P8 constants (embed_to_milvus.py:111-121)
@@ -113,7 +116,8 @@ def ingest(
     ).withColumnRenamed("chunk", "content")
 
     embedded = embed_text(
-        chunks, "content", cfg.client_kind, cfg.dense_dim, hybrid=True
+        chunks, "content", cfg.client_kind, cfg.dense_dim, hybrid=True,
+        mock_cost_floor_s=cfg.mock_cost_floor_s,
     )
 
     ph = cfg.placeholders
