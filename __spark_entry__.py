@@ -4600,6 +4600,113 @@ FROM p
 """
 
 
+def _q_bmp_pixel_stats(spark, sf_dir):
+    """Pixel-PLANE image decode over REAL bytes (the av_sample_stats
+    recipe on the image leg): the query synthesizes complete
+    uncompressed 24-bit BMPs — header AND pixel rows, each row an
+    alternating pair of BGR pixels derived from document attributes,
+    with the spec's 4-byte row padding (widths 1..5 sweep all four
+    stride remainders) — then ``decode_bmp_pixels``
+    (operators/multimodal.py) recovers exact per-channel integer
+    sums from the binary column. The oracle computes the closed-form
+    arithmetic directly; a decoder that folded padding bytes into
+    the plane, mixed up the BGR order, or mis-stepped the stride
+    hash-mismatches immediately."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    def _le(c, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(
+                        F.shiftright(c.cast("long"), 8 * k).bitwiseAND(
+                            F.lit(255)
+                        )
+                    ),
+                    2,
+                    "0",
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("n_chars"), F.lit(5)) + 1).alias("__w"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("__h"),
+        F.pmod(F.col("doc_id"), F.lit(256)).alias("__b0"),
+        F.pmod(F.col("n_chars"), F.lit(256)).alias("__g0"),
+        F.pmod(F.col("doc_id") * 3, F.lit(256)).alias("__r0"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).alias("__b1"),
+        F.pmod(F.col("n_chars") * 5, F.lit(256)).alias("__g1"),
+        F.pmod(F.col("doc_id") * 11, F.lit(256)).alias("__r1"),
+    )
+    stride = (F.floor((F.col("__w") * 3 + 3) / 4) * 4).cast("int")
+    px0 = F.concat(
+        _le(F.col("__b0"), 1), _le(F.col("__g0"), 1), _le(F.col("__r0"), 1)
+    )
+    px1 = F.concat(
+        _le(F.col("__b1"), 1), _le(F.col("__g1"), 1), _le(F.col("__r1"), 1)
+    )
+    d2 = (
+        d.withColumn("__stride", stride)
+        .withColumn("__unit", F.concat(px0, px1))
+        .withColumn(
+            "__row_hex",
+            F.concat(
+                F.expr(
+                    "substring(repeat(__unit, (__w + 1) div 2), 1, __w * 6)"
+                ),
+                F.expr("repeat('00', __stride - __w * 3)"),
+            ),
+        )
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),                               # 'BM'
+        _le(F.lit(54) + F.col("__h") * F.col("__stride"), 4),
+        F.lit("00000000"),                           # reserved
+        F.lit("36000000"),                           # data offset 54
+        F.lit("28000000"),                           # DIB header 40
+        _le(F.col("__w"), 4),
+        _le(F.col("__h"), 4),
+        F.lit("0100"),                               # planes
+        F.lit("1800"),                               # 24 bpp
+        F.lit("00000000"),                           # BI_RGB
+        _le(F.col("__h") * F.col("__stride"), 4),    # image size
+        F.lit("00000000" * 4),                       # ppm/palette
+        F.expr("repeat(__row_hex, __h)"),            # the pixel plane
+    )
+    media = d2.select("doc_id", F.unhex(bmp_hex).alias("payload"))
+    return decode_bmp_pixels(media).select(
+        "doc_id", "n_pixels", "sum_r", "sum_g", "sum_b", "max_channel"
+    )
+
+
+_SQL_BMP_PIXEL_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         n_chars % 5 + 1 AS w,
+         doc_id % 4 + 1 AS h,
+         doc_id % 256 AS b0,
+         n_chars % 256 AS g0,
+         (doc_id * 3) % 256 AS r0,
+         (doc_id * 7) % 256 AS b1,
+         (n_chars * 5) % 256 AS g1,
+         (doc_id * 11) % 256 AS r1
+  FROM documents)
+SELECT doc_id,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(h * (((w + 1) // 2) * r0 + (w // 2) * r1) AS BIGINT) AS sum_r,
+       CAST(h * (((w + 1) // 2) * g0 + (w // 2) * g1) AS BIGINT) AS sum_g,
+       CAST(h * (((w + 1) // 2) * b0 + (w // 2) * b1) AS BIGINT) AS sum_b,
+       CAST(CASE WHEN w >= 2 THEN GREATEST(b0, g0, r0, b1, g1, r1)
+                 ELSE GREATEST(b0, g0, r0) END AS BIGINT) AS max_channel
+FROM p
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Rows-only: the fake featurizer is a numpy kernel (deterministic,
     golden-tested in tests/test_multimodal.py)."""
@@ -7355,6 +7462,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("minhash_probe_index", _q_minhash_probe_index, _SQL_MINHASH_PROBE),
     # --- r16 additions ---
     ("av_sample_stats", _q_av_sample_stats, _SQL_AV_SAMPLE_STATS),
+    ("bmp_pixel_stats", _q_bmp_pixel_stats, _SQL_BMP_PIXEL_STATS),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
     ("collection_client_e2e", _q_collection_client_e2e, None),
@@ -7431,6 +7539,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
 _R16_WINDOW: list[str] = [
     # (a) new/changed-this-round oracles first
     "av_sample_stats",
+    "bmp_pixel_stats",
     "minhash_probe_index",
     "sparse_topk_index",
     "bm25_topk_index",
@@ -7483,7 +7592,6 @@ _R16_WINDOW: list[str] = [
     "semdedup_survivors",
     "t1_chunk_recursive_prod",
     "sketch_value_quantiles",
-    "cms_user_counts",
 ]
 
 # r15 window kept for provenance documentation; no longer feeds

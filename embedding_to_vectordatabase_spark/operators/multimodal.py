@@ -216,14 +216,117 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Pixel-plane image decode requires PIL/opencv — not in this
-    container (header metadata has a real in-container path: see
-    ``decode_image``)."""
+    """Pixel-plane decode of COMPRESSED images requires PIL/opencv —
+    not in this container. Uncompressed 24-bit BMP has a real
+    in-container path (``decode_bmp_pixels``: raw BGR bytes, no
+    codec); header metadata likewise (``decode_image``)."""
     raise NotImplementedError(
-        "pixel decode needs PIL/opencv on the cluster; "
-        "use decode_image (header parse) or extract_media_features "
+        "compressed pixel decode needs PIL/opencv on the cluster; "
+        "use decode_bmp_pixels (exact, uncompressed 24-bit BMP), "
+        "decode_image (header parse) or extract_media_features "
         "(deterministic fake) for plumbing tests"
     )
+
+
+def parse_bmp_pixels(payload: bytes):
+    """(n_pixels, sum_r, sum_g, sum_b, max_channel) computed over the
+    pixel plane of an UNCOMPRESSED 24-bit BMP — EXACT integer
+    arithmetic on raw BGR rows, no codec library (the
+    ``parse_wav_samples`` recipe on the image leg: BMP BI_RGB stores
+    pixels as plain bytes, so channel statistics are pure byte
+    sums — the brightness/contrast quality-gate a training pipeline
+    runs before paying for model-side featurization):
+
+    - file header: 'BM', pixel-data offset LE u32 @ +10;
+    - BITMAPINFOHEADER: width LE i32 @ +18, height LE i32 @ +22
+      (|height| rows; sign only flips row order, which sums ignore),
+      planes/bpp @ +26/+28, compression LE u32 @ +30 — only bpp 24 +
+      BI_RGB (0) decode, anything else returns all-NULL;
+    - rows are padded to 4-byte boundaries: stride = (3·width + 3)
+      & ~3. The walk reads exactly width×3 bytes per row and skips
+      the padding — a decoder that naively flattened the plane would
+      fold padding zeros into the sums (caught by the oracle's
+      closed form at widths where 3·width % 4 != 0);
+    - truncated payloads decode the complete rows present.
+
+    Sums are per-channel int64 (bounded by 255·n_pixels)."""
+    b = bytes(payload)
+    n = len(b)
+    if n < 34 or b[:2] != b"BM":
+        return None, None, None, None, None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0 or off >= n:
+        return None, None, None, None, None
+    stride = (3 * w + 3) & ~3
+    data = np.frombuffer(b, dtype=np.uint8, count=n - off, offset=off)
+    n_rows = min(h, len(data) // stride)
+    if n_rows == 0:
+        return 0, 0, 0, 0, 0
+    px = (
+        data[: n_rows * stride]
+        .reshape(n_rows, stride)[:, : 3 * w]
+        .reshape(n_rows, w, 3)
+        .astype(np.int64)
+    )
+    sums = px.sum(axis=(0, 1))  # BGR order on disk
+    return (
+        int(n_rows * w),
+        int(sums[2]),
+        int(sums[1]),
+        int(sums[0]),
+        int(px.max()),
+    )
+
+
+def decode_bmp_pixels(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Pixel-plane decode for uncompressed 24-bit BMP — REAL byte
+    parsing, in-container: appends (n_pixels long, sum_r long,
+    sum_g long, sum_b long, max_channel long) computed by
+    ``parse_bmp_pixels``. Non-BMP / compressed / non-24bpp payloads
+    get NULLs, the rows survive. Channel means are one native
+    expression away (sum_x / n_pixels) — exact integers stay the
+    contract, like ``decode_wav_samples``.
+
+    Plan shape: MAP-ONLY mapInPandas; one vectorized numpy
+    stride-walk per row, payload bytes never shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_pixels", T.LongType(), True),
+            T.StructField("sum_r", T.LongType(), True),
+            T.StructField("sum_g", T.LongType(), True),
+            T.StructField("sum_b", T.LongType(), True),
+            T.StructField("max_channel", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_bmp_pixels(b) if b is not None else (None,) * 5
+                for b in pdf[payload_col]
+            ]
+            cols = list(zip(*parsed)) if parsed else [[]] * 5
+            yield pdf.assign(
+                **{
+                    name: pd.array(
+                        [_fit(v, _I64_MAX) for v in cols[j]],
+                        dtype=pd.Int64Dtype(),
+                    )
+                    for j, name in enumerate(
+                        ("n_pixels", "sum_r", "sum_g", "sum_b",
+                         "max_channel")
+                    )
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
 
 
 _MP4_TOP_BOXES = (b"ftyp", b"styp", b"moov", b"mdat", b"free", b"wide", b"skip")

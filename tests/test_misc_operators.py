@@ -1941,3 +1941,101 @@ def test_decode_wav_samples_operator(spark):
     assert got[1]["n_clipped"] == 1
     assert got[2]["n_samples"] is None and got[3]["sum_sq"] is None
     assert len(got) == 3
+
+
+def _golden_bmp(w, h, pixels_bgr, bpp=24, compression=0):
+    """Uncompressed BMP bytes: `pixels_bgr` is a row-major list of
+    (b, g, r) tuples, len w*h; rows padded to 4-byte stride."""
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    rows = b""
+    for y in range(h):
+        row = b"".join(
+            bytes(pixels_bgr[y * w + x]) for x in range(w)
+        )
+        rows += row + b"\x00" * (stride - 3 * w)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+        h * stride, 0, 0, 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    return hdr + dib + rows
+
+
+def test_parse_bmp_pixels_golden_and_hostile():
+    """Exact channel sums off the raw BGR plane: padding is skipped
+    (widths with 3w % 4 != 0), truncated payloads decode complete
+    rows, non-24bpp/compressed refuse with NULLs, and arbitrary
+    blobs never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_bmp_pixels,
+    )
+
+    # 3x2, distinct pixels: sums are hand-checkable and the stride
+    # (3*3=9 -> 12) carries 3 padding bytes per row that must NOT
+    # fold into the sums
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9),
+          (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    got = parse_bmp_pixels(_golden_bmp(3, 2, px))
+    assert got == (
+        6,
+        sum(p[2] for p in px),
+        sum(p[1] for p in px),
+        sum(p[0] for p in px),
+        90,
+    )
+    # truncated: only the first (bottom) row present
+    full = _golden_bmp(3, 2, px)
+    one_row = full[: 54 + 12]
+    n, r, g, b, mx = parse_bmp_pixels(one_row)
+    assert n == 3 and (r, g, b) == (
+        3 + 6 + 9, 2 + 5 + 8, 1 + 4 + 7
+    )
+    # non-24bpp and compressed refuse
+    assert parse_bmp_pixels(
+        _golden_bmp(2, 1, [(0, 0, 0)] * 2, bpp=8)
+    ) == (None,) * 5
+    assert parse_bmp_pixels(
+        _golden_bmp(2, 1, [(0, 0, 0)] * 2, compression=1)
+    ) == (None,) * 5
+    assert parse_bmp_pixels(b"not a bitmap") == (None,) * 5
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def exact_case(w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        px2 = [tuple(int(v) for v in rng.integers(0, 256, 3))
+               for _ in range(w * h)]
+        got2 = parse_bmp_pixels(_golden_bmp(w, h, px2))
+        assert got2 == (
+            w * h,
+            sum(p[2] for p in px2),
+            sum(p[1] for p in px2),
+            sum(p[0] for p in px2),
+            max(v for p in px2 for v in p),
+        )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=200), st.booleans())
+    def hostile_case(blob, bm_prefix):
+        payload = (b"BM" + blob) if bm_prefix else blob
+        got3 = parse_bmp_pixels(payload)
+        if got3[0] is None:
+            assert got3 == (None,) * 5
+        else:
+            n3, r3, g3, b3, mx3 = got3
+            assert n3 >= 0 and min(r3, g3, b3) >= 0
+            assert max(r3, g3, b3) <= n3 * 255 and 0 <= mx3 <= 255
+
+    exact_case()
+    hostile_case()
