@@ -152,6 +152,28 @@ BENCH_NOTES = {
         "encode side moved float32 -> float64 for SQL parity "
         "(sq8 stores carry an 'enc: f64' cache key)."
     ),
+    "minhash_probe_r16": (
+        "r16 (VERDICT r15 item 1): the probe's batch signatures "
+        "materialize as a driver-local relation (collect of the "
+        "contract-bounded batch) instead of the r15 eager "
+        "localCheckpoint, removing the block-write barrier that ran "
+        "ahead of every probe plan - the r15 committed "
+        "minhash_index_250k point (probe 6.83 s vs union 5.90 s, "
+        "degraded-flagged) read the probe slower than the re-sign it "
+        "replaces. Cross-round probe diffs must account for the "
+        "materialization change; the r14-shape expectation "
+        "(probe_speedup_over_union_repass >= 2) is the done-line."
+    ),
+    "pq_defaults_r16": (
+        "r16 (VERDICT r15 item 3): pq_train/build_pq_index/"
+        "build_ivfadc_index/opq_train default m=None resolves "
+        "width-aware to max(16, dim//16) clamped to a divisor of dim "
+        "(dim 1024 -> m 64, the measured 0.9-recall point); explicit "
+        "m with bytes/dim < 1/32 warns. Bench sections pass m "
+        "explicitly, so committed points are unaffected; "
+        "pq_family.auto_default_m + ivfadc_m_auto record what a "
+        "defaults caller now gets."
+    ),
     "pq_family_recall_r15": (
         "r15 (VERDICT r14 item 1): refined_recall_at_5 per family is "
         "THE usability number (numerically equal to candidate recall "
