@@ -200,21 +200,34 @@ def test_harness_contract():
     # rows-only ones (so any window growth picks up hash-checkable
     # queries first)
     names = list(qs)
-    assert names[: len(e._R15_WINDOW)] == e._R15_WINDOW
-    assert len(e._R15_WINDOW) == 50
-    tail = names[len(e._R15_WINDOW):]
+    assert names[: len(e._R16_WINDOW)] == e._R16_WINDOW
+    assert len(e._R16_WINDOW) == 50
+    tail = names[len(e._R16_WINDOW):]
     tail_rows_only = [n for n in tail if n not in sqls]
     if tail_rows_only:
         assert tail[-len(tail_rows_only):] == tail_rows_only
-    # exactly three rows-only seats in the r15 window tail (the new
-    # index_stats_report, the ivfadc re-seat, the oldest-record
-    # rows-only back-fill)
-    win_rows_only = [n for n in e._R15_WINDOW if n not in sqls]
+    # the r16 window tail is the rows-only block, in the declared
+    # rotation order: changed-this-round seats first, then the
+    # stalest recorded cohorts (see WINDOW_REPORT.json)
+    win_rows_only = [n for n in e._R16_WINDOW if n not in sqls]
     assert win_rows_only == [
-        "index_stats_report", "collection_client_e2e",
+        "collection_client_e2e",
+        "index_stats_report",
+        "pq_topk_refined",
         "ivfadc_topk_refined",
+        "ann_topk_bucketed",
+        "ann_topk_ivf",
+        "ann_similarity_join_mllib",
+        "t1_chunk_recursive",
+        "t2_semantic_chunks",
+        "multimodal_features",
+        "ingest_chunks",
+        "sketch_distinct_users",
+        "semdedup_survivors",
+        "t1_chunk_recursive_prod",
+        "sketch_value_quantiles",
     ]
-    assert e._R15_WINDOW[-3:] == win_rows_only
+    assert e._R16_WINDOW[-len(win_rows_only):] == win_rows_only
 
 
 def test_clean_corpus_filters_and_dedups(spark):
