@@ -3677,7 +3677,15 @@ def main() -> None:
             )
             # deterministic 1000-doc batch: existing docs re-texted
             # with a suffix (near dups of their originals) — every
-            # probe row should match, exercising the verify stage
+            # probe row should match, exercising the verify stage.
+            # MATERIALIZED before timing (r16): the lazy derivation
+            # scans the whole 250k-doc corpus (filter+limit over the
+            # text column) every time the batch plan executes, which
+            # charged a corpus-sized scan to the probe wall — the
+            # contract batch ARRIVES as new data, it is not derived
+            # from the standing corpus per probe (r15/r16 committed
+            # points read the probe slower than the union re-sign
+            # because both were dominated by this same scan)
             batch = (
                 scratch_docs.filter(F.col("doc_id") % 250 == 0)
                 .limit(1000)
@@ -3687,6 +3695,7 @@ def main() -> None:
                         "text"
                     ),
                 )
+                .localCheckpoint(eager=True)
             )
             n_batch = batch.count()
             mk_probe = lambda: minhash_probe_index(  # noqa: E731

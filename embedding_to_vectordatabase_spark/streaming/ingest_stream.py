@@ -103,8 +103,17 @@ def stream_ingest_jsonl(
             )
             # one materialization feeds BOTH the upsert and the
             # ingest (the survivor set is micro-batch-bounded);
-            # blocks release when this batch closure returns
-            src = survivors.localCheckpoint(eager=True)
+            # blocks release when this batch closure returns. The
+            # checkpoint lands in however many partitions the gate's
+            # last shuffle left (often ONE under AQE coalescing) and
+            # its RDD-backed plan reports unknown size, so downstream
+            # parallelism guards cannot see it is tiny — respread the
+            # bounded batch HERE or the chunk/embed stages (the
+            # expensive model-boundary work the gate exists to save)
+            # serialize on one core (r16 bench finding: 6.5x wall)
+            src = survivors.localCheckpoint(eager=True).repartition(
+                spark.sparkContext.defaultParallelism
+            )
             # marker via the Hadoop FS API so the gate works on the
             # same filesystem family the index lives on (local/hdfs/
             # object store), not just the driver's local disk

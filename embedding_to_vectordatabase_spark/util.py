@@ -98,6 +98,23 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
         ):
             if df.rdd.getNumPartitions() >= target:
                 return df
+            # an RDD-backed input (localCheckpoint, createDataFrame)
+            # reports spark.sql.defaultSizeInBytes — UNKNOWN, read by
+            # the size triggers below as enormous — while AQE often
+            # leaves it in ONE coalesced partition. Without this, a
+            # checkpointed micro-batch serializes every expensive
+            # fan-out stage on one core: the r16 gated-stream bench
+            # measured the embed stage at 6.5x the plain wall for
+            # exactly this reason. Such inputs are bounded by the
+            # contract that checkpointed them, so respreading is the
+            # cheap, correct default.
+            if size >= _parse_bytes(
+                spark.conf.get(
+                    "spark.sql.defaultSizeInBytes",
+                    str((1 << 63) - 1),
+                )
+            ):
+                return df.repartition(target)
     except Exception:
         pass
     if size < target * _SMALL_INPUT_BYTES_PER_CORE:
