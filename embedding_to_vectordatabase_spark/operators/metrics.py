@@ -266,29 +266,6 @@ def index_stats(spark, index_path: str) -> DataFrame:
     return out
 
 
-def _swap_dirs(spark, live: str, staged: str) -> None:
-    """Replace ``live`` with ``staged`` via two FS renames (backup,
-    then promote) and delete the backup last — the windows where the
-    store is inconsistent are the two renames, not the whole rewrite,
-    and a crash leaves either the old store or a ``.bak`` to recover
-    from. Parquet has no atomic multi-file swap; a transactional
-    table format is the real answer at production scale — this is
-    the honest FS-level version of it."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    P = jvm.org.apache.hadoop.fs.Path
-    live_p, staged_p, bak_p = P(live), P(staged), P(live + ".bak")
-    fs = live_p.getFileSystem(conf)
-    if fs.exists(bak_p):
-        fs.delete(bak_p, True)
-    if not fs.rename(live_p, bak_p):
-        raise IOError(f"could not stage backup of {live}")
-    if not fs.rename(staged_p, live_p):
-        fs.rename(bak_p, live_p)  # roll back
-        raise IOError(f"could not promote compacted {staged}")
-    fs.delete(bak_p, True)
-
-
 def _size_proportional_parts(df: DataFrame) -> int:
     """Output file count for an UNPARTITIONED relation rewrite: the
     READ partition count after Spark's file packing is data-size-
@@ -327,7 +304,7 @@ def compact_index(spark, index_path: str) -> DataFrame:
     concurrent search resolving postings+df_stats+corpus_stats (or
     codes+centroids) sees the pre-compaction store or the
     post-compaction store, never a mixed generation (r15 verdict #4
-    — the per-relation ``_swap_dirs`` windows, closed). Tiny
+    — the per-relation FS-rename swap windows, closed). Tiny
     relations (meta, centroids, params) are left alone. Returns the
     ``index_stats`` report AFTER compaction."""
     jvm = spark._jvm
