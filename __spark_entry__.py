@@ -4707,6 +4707,143 @@ FROM p
 """
 
 
+def _q_png_pixel_stats(spark, sf_dir):
+    """FULL PNG pixel decode over REAL compressed bytes: the query
+    synthesizes complete non-interlaced 8-bit RGB PNGs — zlib-
+    compressed IDAT with the spec's per-scanline filters applied
+    forward, the filter TYPE cycling through all five per row — in a
+    map-only Arrow stage (payload generation needs stdlib zlib, which
+    native exprs cannot express; the operator under test is the
+    DECODER), then ``decode_png_pixels`` (operators/multimodal.py)
+    reverses the filters and the compression to recover exact
+    per-channel sums. The oracle computes the closed-form arithmetic
+    of the alternating-pixel pattern directly — a hash match proves
+    decompression, filter reversal (Sub/Up/Average/Paeth), and
+    channel order all round-tripped. Spec conformance of the filter
+    arithmetic itself is anchored by hand-worked RFC 2083 byte
+    streams in tests/test_misc_operators.py."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("n_chars"), F.lit(4)) + 1).alias("w"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("h"),
+        F.pmod(F.col("doc_id"), F.lit(256)).alias("r0"),
+        F.pmod(F.col("n_chars"), F.lit(256)).alias("g0"),
+        F.pmod(F.col("doc_id") * 3, F.lit(256)).alias("b0"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).alias("r1"),
+        F.pmod(F.col("n_chars") * 5, F.lit(256)).alias("g1"),
+        F.pmod(F.col("doc_id") * 11, F.lit(256)).alias("b1"),
+    )
+
+    def gen(batches):
+        import struct
+        import zlib
+
+        import pandas as _pd
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(
+                    ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+                )
+            )
+
+        def synth(w, h, p0, p1):
+            stride = w * 3
+            raw = bytearray()
+            prev = bytes(stride)
+            for y in range(h):
+                line = b"".join(
+                    bytes(p0 if x % 2 == 0 else p1) for x in range(w)
+                )
+                f = y % 5
+                enc = bytearray()
+                for i in range(stride):
+                    xv = line[i]
+                    a = line[i - 3] if i >= 3 else 0
+                    up = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    if f == 0:
+                        v = xv
+                    elif f == 1:
+                        v = (xv - a) & 0xFF
+                    elif f == 2:
+                        v = (xv - up) & 0xFF
+                    elif f == 3:
+                        v = (xv - ((a + up) >> 1)) & 0xFF
+                    else:
+                        p = a + up - c
+                        pa, pb, pc = (
+                            abs(p - a), abs(p - up), abs(p - c)
+                        )
+                        pr = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (up if pb <= pc else c)
+                        )
+                        v = (xv - pr) & 0xFF
+                    enc.append(v)
+                raw += bytes([f]) + bytes(enc)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            payloads = [
+                synth(
+                    int(r.w), int(r.h),
+                    (int(r.r0), int(r.g0), int(r.b0)),
+                    (int(r.r1), int(r.g1), int(r.b1)),
+                )
+                for r in pdf.itertuples()
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": _pd.Series(
+                        payloads, index=pdf.index, dtype=object
+                    ),
+                }
+            )
+
+    media = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_png_pixels(media).select(
+        "doc_id", "n_pixels", "sum_r", "sum_g", "sum_b", "max_channel"
+    )
+
+
+_SQL_PNG_PIXEL_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         n_chars % 4 + 1 AS w,
+         doc_id % 3 + 1 AS h,
+         doc_id % 256 AS r0,
+         n_chars % 256 AS g0,
+         (doc_id * 3) % 256 AS b0,
+         (doc_id * 7) % 256 AS r1,
+         (n_chars * 5) % 256 AS g1,
+         (doc_id * 11) % 256 AS b1
+  FROM documents)
+SELECT doc_id,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(h * (((w + 1) // 2) * r0 + (w // 2) * r1) AS BIGINT) AS sum_r,
+       CAST(h * (((w + 1) // 2) * g0 + (w // 2) * g1) AS BIGINT) AS sum_g,
+       CAST(h * (((w + 1) // 2) * b0 + (w // 2) * b1) AS BIGINT) AS sum_b,
+       CAST(CASE WHEN w >= 2 THEN GREATEST(r0, g0, b0, r1, g1, b1)
+                 ELSE GREATEST(r0, g0, b0) END AS BIGINT) AS max_channel
+FROM p
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Rows-only: the fake featurizer is a numpy kernel (deterministic,
     golden-tested in tests/test_multimodal.py)."""
@@ -7463,6 +7600,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     # --- r16 additions ---
     ("av_sample_stats", _q_av_sample_stats, _SQL_AV_SAMPLE_STATS),
     ("bmp_pixel_stats", _q_bmp_pixel_stats, _SQL_BMP_PIXEL_STATS),
+    ("png_pixel_stats", _q_png_pixel_stats, _SQL_PNG_PIXEL_STATS),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
     ("collection_client_e2e", _q_collection_client_e2e, None),
@@ -7540,6 +7678,7 @@ _R16_WINDOW: list[str] = [
     # (a) new/changed-this-round oracles first
     "av_sample_stats",
     "bmp_pixel_stats",
+    "png_pixel_stats",
     "minhash_probe_index",
     "sparse_topk_index",
     "bm25_topk_index",
@@ -7591,7 +7730,6 @@ _R16_WINDOW: list[str] = [
     "sketch_distinct_users",
     "semdedup_survivors",
     "t1_chunk_recursive_prod",
-    "sketch_value_quantiles",
 ]
 
 # r15 window kept for provenance documentation; no longer feeds

@@ -225,7 +225,6 @@ def test_harness_contract():
         "sketch_distinct_users",
         "semdedup_survivors",
         "t1_chunk_recursive_prod",
-        "sketch_value_quantiles",
     ]
     assert e._R16_WINDOW[-len(win_rows_only):] == win_rows_only
 
@@ -2052,3 +2051,197 @@ def test_parse_bmp_pixels_golden_and_hostile():
 
     exact_case()
     hostile_case()
+
+
+def _png_chunk(tag, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_wrap(w, h, raw_scanlines, ctype=2, depth=8, interlace=0):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _golden_png(w, h, pixels, ctype=2, filters=None):
+    """PNG bytes with ACTUAL pixels: applies the spec's per-row
+    filters forward (the decoder reverses them). `pixels` is a
+    row-major list of per-pixel tuples."""
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = b"".join(
+            bytes(p if isinstance(p, tuple) else (p,))
+            for p in pixels[y * w : (y + 1) * w]
+        )
+        f = filters[y]
+        enc = bytearray()
+        for i in range(stride):
+            x = line[i]
+            a = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 0xFF
+            elif f == 2:
+                v = (x - up) & 0xFF
+            elif f == 3:
+                v = (x - ((a + up) >> 1)) & 0xFF
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                v = (x - pr) & 0xFF
+            enc.append(v)
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    return _png_wrap(w, h, bytes(raw), ctype=ctype)
+
+
+def test_parse_png_pixels_hand_filtered_goldens():
+    """SPEC-conformance anchors: filtered scanline byte streams
+    hand-worked from RFC 2083 §6 (NOT produced by the test encoder,
+    so an encoder/decoder shared misreading cannot self-certify):
+    Sub+Up, Average, and Paeth on 2x2 grayscale images."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_png_pixels,
+    )
+
+    # pixels [[10,20],[30,255]]: row0 Sub -> 01 0a 0a, row1 Up -> 02 14 eb
+    p1 = _png_wrap(2, 2, bytes([1, 10, 10, 2, 20, 235]), ctype=0)
+    assert parse_png_pixels(p1) == (4, 315, 315, 315, 255)
+    # pixels [[10,20],[30,40]]: Average rows -> 03 0a 0f / 03 19 0f
+    p2 = _png_wrap(2, 2, bytes([3, 10, 15, 3, 25, 15]), ctype=0)
+    assert parse_png_pixels(p2) == (4, 100, 100, 100, 40)
+    # pixels [[1,2],[3,4]]: Paeth rows -> 04 01 01 / 04 02 01
+    p3 = _png_wrap(2, 2, bytes([4, 1, 1, 4, 2, 1]), ctype=0)
+    assert parse_png_pixels(p3) == (4, 10, 10, 10, 4)
+
+
+def test_parse_png_pixels_roundtrip_and_hostile():
+    """Round-trip across all five filters and color types 0/2/6;
+    refusal of palette/16-bit/interlaced; truncated or corrupt IDAT
+    yields NULLs; arbitrary blobs never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_png_pixels,
+    )
+
+    # RGB with one row per filter type: exact channel sums
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    w, h = 4, 5
+    px = [tuple(int(v) for v in rng.integers(0, 256, 3))
+          for _ in range(w * h)]
+    got = parse_png_pixels(
+        _golden_png(w, h, px, ctype=2, filters=[0, 1, 2, 3, 4])
+    )
+    assert got == (
+        w * h,
+        sum(p[0] for p in px),
+        sum(p[1] for p in px),
+        sum(p[2] for p in px),
+        max(v for p in px for v in p),
+    )
+    # RGBA: alpha excluded from sums and max
+    pxa = [(10, 20, 30, 255), (1, 2, 3, 200)]
+    gota = parse_png_pixels(_golden_png(2, 1, pxa, ctype=6,
+                                        filters=[4]))
+    assert gota == (2, 11, 22, 33, 30)
+    # refusals: palette (ctype 3), 16-bit, interlaced
+    assert parse_png_pixels(
+        _png_wrap(1, 1, bytes([0, 5]), ctype=3)
+    ) == (None,) * 5
+    assert parse_png_pixels(
+        _png_wrap(1, 1, bytes([0, 5]), ctype=0, depth=16)
+    ) == (None,) * 5
+    assert parse_png_pixels(
+        _png_wrap(1, 1, bytes([0, 5]), ctype=0, interlace=1)
+    ) == (None,) * 5
+    # truncated IDAT: strip the tail
+    good = _golden_png(3, 3, [(i, i, i) for i in range(9)], ctype=2)
+    assert parse_png_pixels(good[:-20]) == (None,) * 5
+    # header claims more rows than the stream holds
+    short = _png_wrap(2, 9, bytes([0, 1, 1, 0, 2, 2]), ctype=0)
+    assert parse_png_pixels(short) == (None,) * 5
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=6),
+        h=st.integers(min_value=1, max_value=6),
+        ctype=st.sampled_from([0, 2, 6]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def roundtrip(w, h, ctype, seed):
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        r = np.random.default_rng(seed)
+        pts = [tuple(int(v) for v in r.integers(0, 256, nch))
+               for _ in range(w * h)]
+        fs = [int(x) for x in r.integers(0, 5, h)]
+        n, sr, sg, sb, mx = parse_png_pixels(
+            _golden_png(w, h, pts, ctype=ctype, filters=fs)
+        )
+        assert n == w * h
+        if ctype == 0:
+            want = sum(p[0] for p in pts)
+            assert (sr, sg, sb) == (want, want, want)
+            assert mx == max(p[0] for p in pts)
+        else:
+            assert sr == sum(p[0] for p in pts)
+            assert sg == sum(p[1] for p in pts)
+            assert sb == sum(p[2] for p in pts)
+            assert mx == max(v for p in pts for v in p[:3])
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=300), st.booleans())
+    def hostile(blob, sig):
+        payload = (b"\x89PNG\r\n\x1a\n" + blob) if sig else blob
+        got2 = parse_png_pixels(payload)
+        if got2[0] is None:
+            assert got2 == (None,) * 5
+        else:
+            n2, r2, g2, b2, m2 = got2
+            assert 0 <= m2 <= 255 and max(r2, g2, b2) <= n2 * 255
+
+    roundtrip()
+    hostile()
+
+
+def test_decode_png_pixels_operator(spark):
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rows = [
+        (1, bytearray(_golden_png(2, 2, [(9, 8, 7)] * 4, ctype=2,
+                                  filters=[1, 4]))),
+        (2, bytearray(b"junk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_png_pixels(df).collect()}
+    assert got[1]["n_pixels"] == 4 and got[1]["sum_r"] == 36
+    assert got[1]["sum_g"] == 32 and got[1]["sum_b"] == 28
+    assert got[1]["max_channel"] == 9
+    assert got[2]["n_pixels"] is None and got[3]["sum_r"] is None
