@@ -4844,6 +4844,150 @@ FROM p
 """
 
 
+def _q_gif_pixel_stats(spark, sf_dir):
+    """FULL GIF pixel decode over REAL compressed bytes: the query
+    synthesizes complete GIF89a files — 2-color global palette,
+    alternating-index pixel rows, genuine variable-width LZW data
+    (encoded with a decoder-mirroring LZW encoder in a map-only Arrow
+    stage; LZW is not expressible in native exprs, and the operator
+    under test is the DECODER) — then ``decode_gif_pixels``
+    (operators/multimodal.py) runs the spec LZW (LSB-first packing,
+    CLEAR/END, table growth, the KwKwK rule) and palette lookup to
+    recover exact channel sums. The oracle computes the closed-form
+    pattern arithmetic; LZW spec conformance is anchored by a
+    hand-packed bitstream golden in tests/test_misc_operators.py."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("n_chars"), F.lit(6)) + 1).alias("w"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("h"),
+        F.pmod(F.col("doc_id"), F.lit(256)).alias("r0"),
+        F.pmod(F.col("n_chars"), F.lit(256)).alias("g0"),
+        F.pmod(F.col("doc_id") * 3, F.lit(256)).alias("b0"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).alias("r1"),
+        F.pmod(F.col("n_chars") * 5, F.lit(256)).alias("g1"),
+        F.pmod(F.col("doc_id") * 11, F.lit(256)).alias("b1"),
+    )
+
+    def gen(batches):
+        import struct
+
+        import pandas as _pd
+
+        def lzw(indices, mcs):
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            out = bytearray()
+            acc = nbits = 0
+            width = mcs + 1
+            dec_len = clear + 2
+
+            def emit(code):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt_code = clear + 2
+            buf = b""
+            m = 0
+            for ix in indices:
+                cand = buf + bytes([ix])
+                if cand in table:
+                    buf = cand
+                    continue
+                emit(table[buf])
+                m += 1
+                if m >= 2:
+                    dec_len += 1
+                    if dec_len == (1 << width) and width < 12:
+                        width += 1
+                if nxt_code < 4096:
+                    table[cand] = nxt_code
+                    nxt_code += 1
+                buf = bytes([ix])
+            if buf:
+                emit(table[buf])
+                m += 1
+                if m >= 2:
+                    dec_len += 1
+                    if dec_len == (1 << width) and width < 12:
+                        width += 1
+            emit(end)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def synth(w, h, p0, p1):
+            pal = bytes(p0) + bytes(p1)
+            idx = [x % 2 for x in range(w)] * h
+            data = lzw(idx, 2)
+            blocks = b""
+            for i in range(0, len(data), 255):
+                c = data[i : i + 255]
+                blocks += bytes([len(c)]) + c
+            return (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+                + pal
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + b"\x02" + blocks + b"\x00\x3b"
+            )
+
+        for pdf in batches:
+            payloads = [
+                synth(
+                    int(r.w), int(r.h),
+                    (int(r.r0), int(r.g0), int(r.b0)),
+                    (int(r.r1), int(r.g1), int(r.b1)),
+                )
+                for r in pdf.itertuples()
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": _pd.Series(
+                        payloads, index=pdf.index, dtype=object
+                    ),
+                }
+            )
+
+    media = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_gif_pixels(media).select(
+        "doc_id", "n_pixels", "sum_r", "sum_g", "sum_b", "max_channel"
+    )
+
+
+_SQL_GIF_PIXEL_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         n_chars % 6 + 1 AS w,
+         doc_id % 4 + 1 AS h,
+         doc_id % 256 AS r0,
+         n_chars % 256 AS g0,
+         (doc_id * 3) % 256 AS b0,
+         (doc_id * 7) % 256 AS r1,
+         (n_chars * 5) % 256 AS g1,
+         (doc_id * 11) % 256 AS b1
+  FROM documents)
+SELECT doc_id,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(h * (((w + 1) // 2) * r0 + (w // 2) * r1) AS BIGINT) AS sum_r,
+       CAST(h * (((w + 1) // 2) * g0 + (w // 2) * g1) AS BIGINT) AS sum_g,
+       CAST(h * (((w + 1) // 2) * b0 + (w // 2) * b1) AS BIGINT) AS sum_b,
+       CAST(CASE WHEN w >= 2 THEN GREATEST(r0, g0, b0, r1, g1, b1)
+                 ELSE GREATEST(r0, g0, b0) END AS BIGINT) AS max_channel
+FROM p
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Rows-only: the fake featurizer is a numpy kernel (deterministic,
     golden-tested in tests/test_multimodal.py)."""
@@ -7601,6 +7745,7 @@ _REGISTRY_ENTRIES: list[tuple[str, Callable, str | None]] = [
     ("av_sample_stats", _q_av_sample_stats, _SQL_AV_SAMPLE_STATS),
     ("bmp_pixel_stats", _q_bmp_pixel_stats, _SQL_BMP_PIXEL_STATS),
     ("png_pixel_stats", _q_png_pixel_stats, _SQL_PNG_PIXEL_STATS),
+    ("gif_pixel_stats", _q_gif_pixel_stats, _SQL_GIF_PIXEL_STATS),
     # --- r15 additions ---
     ("index_stats_report", _q_index_stats_report, None),
     ("collection_client_e2e", _q_collection_client_e2e, None),
@@ -7679,6 +7824,7 @@ _R16_WINDOW: list[str] = [
     "av_sample_stats",
     "bmp_pixel_stats",
     "png_pixel_stats",
+    "gif_pixel_stats",
     "minhash_probe_index",
     "sparse_topk_index",
     "bm25_topk_index",
@@ -7729,7 +7875,6 @@ _R16_WINDOW: list[str] = [
     "ingest_chunks",
     "sketch_distinct_users",
     "semdedup_survivors",
-    "t1_chunk_recursive_prod",
 ]
 
 # r15 window kept for provenance documentation; no longer feeds

@@ -657,6 +657,187 @@ def decode_av(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_px: int):
+    """GIF-variant LZW decode (GIF89a spec Appendix F): variable-width
+    codes packed LSB-first, CLEAR = 2^min resets the table, END =
+    CLEAR+1 stops, the code width grows as the table fills (capped at
+    12 bits), and an as-yet-undefined code means prev+prev[0] (the
+    KwKwK case). Returns the index stream (list of ints) truncated at
+    ``max_px``, or None on a malformed stream (width overflow, code
+    past table, missing prev)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return list(out[:max_px])
+            if code < len(table) and (code < clear or code > end):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if len(out) >= max_px:
+                return list(out[:max_px])
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return list(out[:max_px])
+
+
+def parse_gif_pixels(payload: bytes):
+    """(n_pixels, sum_r, sum_g, sum_b, max_channel) decoded from the
+    FIRST image of a non-interlaced GIF87a/89a — a full pixel decode
+    with the pure spec machinery (LSB-first variable-width LZW +
+    palette lookup), no codec library:
+
+    - logical screen descriptor supplies the global color table;
+      extension blocks (GCE, comments, application) skip via their
+      sub-block chains;
+    - the first image descriptor's local color table, if present,
+      overrides the global one; interlaced images return all-NULL
+      (honest — deinterlacing is a row permutation this stats kernel
+      doesn't need);
+    - LZW output is truncated/validated against the declared w*h;
+      short or malformed streams return NULL, the row survives;
+    - stats domain matches the BMP/PNG kernels: per-channel sums over
+      the palette-resolved RGB values (transparency is a render
+      concern, not a byte-stats one)."""
+    b = bytes(payload)
+    n = len(b)
+    if n < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None, None, None, None, None
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 0x07))
+        gct = b[i : i + sz]
+        i += sz
+    while i < n:
+        tag = b[i]
+        if tag == 0x21:  # extension: label + sub-block chain
+            i += 2
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif tag == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None, None, None, None, None
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            ipacked = b[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                sz = 3 * (2 << (ipacked & 0x07))
+                pal = b[i : i + sz]
+                i += sz
+            if (
+                ipacked & 0x40  # interlaced
+                or pal is None
+                or w <= 0
+                or h <= 0
+                or w * h > 64_000_000
+                or i >= n
+            ):
+                return None, None, None, None, None
+            min_code = b[i]
+            i += 1
+            if not (2 <= min_code <= 11):
+                return None, None, None, None, None
+            data = bytearray()
+            while i < n and b[i] != 0:
+                data += b[i + 1 : i + 1 + b[i]]
+                i += 1 + b[i]
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None, None, None, None, None
+            ncol = len(pal) // 3
+            if max(idx) >= ncol:
+                return None, None, None, None, None
+            arr = np.frombuffer(pal, dtype=np.uint8)[: ncol * 3]
+            rgb = arr.reshape(ncol, 3).astype(np.int64)
+            counts = np.bincount(
+                np.asarray(idx, dtype=np.int64), minlength=ncol
+            )
+            sums = counts @ rgb
+            used = rgb[counts > 0]
+            return (
+                int(w * h),
+                int(sums[0]),
+                int(sums[1]),
+                int(sums[2]),
+                int(used.max()) if used.size else 0,
+            )
+        elif tag == 0x3B:
+            break
+        else:
+            return None, None, None, None, None
+    return None, None, None, None, None
+
+
+def decode_gif_pixels(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Pixel-plane decode for non-interlaced GIF — a FULL in-container
+    decode (spec LZW + palette arithmetic, see ``parse_gif_pixels``):
+    appends the same (n_pixels, sum_r, sum_g, sum_b, max_channel)
+    columns as the BMP/PNG kernels. Unsupported variants (interlaced,
+    missing palette) and malformed streams get NULLs, rows survive.
+    MAP-ONLY mapInPandas; payload bytes never shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_pixels", T.LongType(), True),
+            T.StructField("sum_r", T.LongType(), True),
+            T.StructField("sum_g", T.LongType(), True),
+            T.StructField("sum_b", T.LongType(), True),
+            T.StructField("max_channel", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_gif_pixels(b) if b is not None else (None,) * 5
+                for b in pdf[payload_col]
+            ]
+            cols = list(zip(*parsed)) if parsed else [[]] * 5
+            yield pdf.assign(
+                **{
+                    name: pd.array(
+                        [_fit(v, _I64_MAX) for v in cols[j]],
+                        dtype=pd.Int64Dtype(),
+                    )
+                    for j, name in enumerate(
+                        ("n_pixels", "sum_r", "sum_g", "sum_b",
+                         "max_channel")
+                    )
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def decode_png_pixels(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:

@@ -224,7 +224,6 @@ def test_harness_contract():
         "ingest_chunks",
         "sketch_distinct_users",
         "semdedup_survivors",
-        "t1_chunk_recursive_prod",
     ]
     assert e._R16_WINDOW[-len(win_rows_only):] == win_rows_only
 
@@ -2244,4 +2243,200 @@ def test_decode_png_pixels_operator(spark):
     assert got[1]["n_pixels"] == 4 and got[1]["sum_r"] == 36
     assert got[1]["sum_g"] == 32 and got[1]["sum_b"] == 28
     assert got[1]["max_channel"] == 9
+    assert got[2]["n_pixels"] is None and got[3]["sum_r"] is None
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """GIF-variant LZW encoder that MIRRORS the decoder's table/width
+    state (the decoder defines entries one code behind the encoder,
+    so the emit width must follow the DECODER's growth schedule)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+    dec_len = clear + 2
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    buf = b""
+    m = 0
+    for ix in indices:
+        nxt = buf + bytes([ix])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        m += 1
+        if m >= 2:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        buf = bytes([ix])
+    if buf:
+        emit(table[buf])
+        m += 1
+        if m >= 2:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _golden_gif(w, h, palette, indices, min_code_size=2,
+                interlace=False, use_lct=False):
+    """GIF89a bytes with ACTUAL pixels: palette is a list of (r,g,b),
+    indices row-major."""
+    import struct
+
+    ncol_bits = max(1, (len(palette) - 1).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << ncol_bits) - len(palette))
+    pal_bytes = b"".join(bytes(p) for p in pal)
+    data = _gif_lzw_encode(indices, min_code_size)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    ipacked = (0x40 if interlace else 0) | (
+        (0x80 | (ncol_bits - 1)) if use_lct else 0
+    )
+    spacked = 0 if use_lct else (0x80 | (ncol_bits - 1))
+    out = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, spacked, 0, 0)
+        + (b"" if use_lct else pal_bytes)
+        # a graphic-control extension the walk must skip
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        + (pal_bytes if use_lct else b"")
+        + bytes([min_code_size]) + blocks + b"\x00\x3b"
+    )
+    return out
+
+
+def test_gif_lzw_hand_packed_golden():
+    """Spec anchor independent of the test encoder: a hand-packed
+    3-bit LSB-first stream [CLEAR=4, 1, 6, END=5] = bytes 8C 0B.
+    Code 6 is not yet defined when received (next table slot), so the
+    decoder must apply the KwKwK rule prev+prev[0] -> output
+    [1, 1, 1] (GIF89a Appendix F)."""
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    assert _gif_lzw_decode(bytes([0x8C, 0x0B]), 2, 10) == [1, 1, 1]
+    # the same stream without END, truncated: returns what it has
+    assert _gif_lzw_decode(bytes([0x8C]), 2, 10)[:1] == [1]
+    # a code past the table is malformed
+    assert _gif_lzw_decode(bytes([0xFC, 0x0B]), 2, 10) is None
+
+
+def test_parse_gif_pixels_golden_and_hostile():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        parse_gif_pixels,
+    )
+
+    pal = [(250, 10, 1), (3, 200, 30), (7, 8, 255), (0, 0, 0)]
+    idx = [0, 1, 2, 1, 0, 0]  # 3x2
+    got = parse_gif_pixels(_golden_gif(3, 2, pal, idx))
+    want = (
+        6,
+        sum(pal[i][0] for i in idx),
+        sum(pal[i][1] for i in idx),
+        sum(pal[i][2] for i in idx),
+        255,
+    )
+    assert got == want
+    # local color table overrides the global one
+    assert parse_gif_pixels(
+        _golden_gif(3, 2, pal, idx, use_lct=True)
+    ) == want
+    # interlaced refuses; truncated stream refuses
+    assert parse_gif_pixels(
+        _golden_gif(3, 2, pal, idx, interlace=True)
+    ) == (None,) * 5
+    full = _golden_gif(16, 16, pal, [1] * 256)
+    assert parse_gif_pixels(full[: len(full) - 12]) == (None,) * 5
+    assert parse_gif_pixels(b"GIF89a" + b"\x00" * 8) == (None,) * 5
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31),
+        ncol=st.sampled_from([2, 4, 7, 16]),
+    )
+    def roundtrip(w, h, seed, ncol):
+        import numpy as np
+
+        r = np.random.default_rng(seed)
+        pal2 = [tuple(int(v) for v in r.integers(0, 256, 3))
+                for _ in range(ncol)]
+        ix = [int(v) for v in r.integers(0, ncol, w * h)]
+        mcs = max(2, (ncol - 1).bit_length())
+        # LZW layer round-trips exactly (exercises growth + KwKwK)
+        assert _gif_lzw_decode(
+            _gif_lzw_encode(ix, mcs), mcs, w * h
+        ) == ix
+        n, sr, sg, sb, mx = parse_gif_pixels(
+            _golden_gif(w, h, pal2, ix, min_code_size=mcs)
+        )
+        assert n == w * h
+        assert sr == sum(pal2[i][0] for i in ix)
+        assert sg == sum(pal2[i][1] for i in ix)
+        assert sb == sum(pal2[i][2] for i in ix)
+        assert mx == max(v for i in set(ix) for v in pal2[i])
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=300), st.booleans())
+    def hostile(blob, sig):
+        payload = (b"GIF89a" + blob) if sig else blob
+        got2 = parse_gif_pixels(payload)
+        if got2[0] is None:
+            assert got2 == (None,) * 5
+        else:
+            n2, r2, g2, b2, m2 = got2
+            assert 0 <= m2 <= 255 and max(r2, g2, b2) <= n2 * 255
+
+    roundtrip()
+    hostile()
+
+
+def test_decode_gif_pixels_operator(spark):
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    rows = [
+        (1, bytearray(_golden_gif(2, 2, pal, [0, 1, 1, 0]))),
+        (2, bytearray(b"GIF89a???")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_gif_pixels(df).collect()}
+    assert got[1]["n_pixels"] == 4
+    assert (got[1]["sum_r"], got[1]["sum_g"], got[1]["sum_b"]) == (
+        10, 14, 18,
+    )
+    assert got[1]["max_channel"] == 6
     assert got[2]["n_pixels"] is None and got[3]["sum_r"] is None
