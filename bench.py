@@ -1208,17 +1208,30 @@ def main() -> None:
             )
 
             progress("stream ingest + near-dup gate (probe/upsert)")
-            gate_store = os.path.join(SCRATCH, "stream_gate_mh")
-            shutil.rmtree(gate_store, ignore_errors=True)
             standing = corpus.filter(F.col("doc_id") % 2 == 0).select(
                 F.concat(F.lit("std "), F.col("title")).alias("title"),
                 "content",
             )
             n_standing = standing.count()
-            build_minhash_index(
-                standing, gate_store, text_col="content",
-                id_col="title", n=3, num_perm=64, bands=16,
+            # the standing store builds ONCE into a pristine master
+            # (ensure_index-cached like the quantizers — r16 warm-run
+            # re-budget); each section run COPIES it, because the
+            # stream upserts survivors into its working copy and
+            # cross-doc matches against prior-run survivors would
+            # drift the drop counts if runs shared a mutated store
+            gate_master = os.path.join(SCRATCH, "stream_gate_mh_master")
+            gm_meta = ensure_index(
+                gate_master,
+                {"kind": "minhash_gate_master", "n": 3, "num_perm": 64,
+                 "bands": 16, "fixture": "sf_stream_standing"},
+                lambda: build_minhash_index(
+                    standing, gate_master, text_col="content",
+                    id_col="title", n=3, num_perm=64, bands=16,
+                ),
             )
+            gate_store = os.path.join(SCRATCH, "stream_gate_mh")
+            shutil.rmtree(gate_store, ignore_errors=True)
+            shutil.copytree(gate_master, gate_store)
             gate_out = os.path.join(SCRATCH, "stream_out_gated")
             gate_ckpt = os.path.join(SCRATCH, "stream_ckpt_gated")
             shutil.rmtree(gate_out, ignore_errors=True)
@@ -1247,6 +1260,8 @@ def main() -> None:
                 - n_standing
             )
             throughput["stream_ingest_neardup_gated"] = {
+                "build_sec": gm_meta["build_sec"],
+                "build_cached": gm_meta["cached"],
                 "wall_sec": gated_sec,
                 "plain_wall_sec": stream_sec,
                 "docs_in": n_stream_docs,
@@ -1296,7 +1311,10 @@ def main() -> None:
                 F.concat(F.lit("std "), F.col("title")).alias("title"),
                 "content",
             )
-            COST_FLOOR_S = 0.02  # per text; GPU-endpoint scale, not free
+            # per-text floor at GPU-endpoint scale (r16 re-budget:
+            # 0.012 keeps the priced regime while fitting the 85%
+            # warm-run budget guard; the floor is a recorded knob)
+            COST_FLOOR_S = 0.012
 
             def _stream_batch_floored(batch_df, registry):
                 docs_b = batch_df.withColumn(
@@ -1349,14 +1367,24 @@ def main() -> None:
             gate0_sec = _run_stream(
                 "stream_out_f_r0", "stream_ckpt_f_r0", gate0_store
             )
-            # r = ~50%: the SAME standing store as the uncosted point
-            # (even-id half under prefixed ids)
+            # r = ~50%: a fresh COPY of the cached pristine master
+            # (same standing corpus as the uncosted point; see the
+            # copy-not-share rationale there)
+            gate50_master = os.path.join(
+                SCRATCH, "stream_gate_mh_master"
+            )
+            g50_meta = ensure_index(
+                gate50_master,
+                {"kind": "minhash_gate_master", "n": 3, "num_perm": 64,
+                 "bands": 16, "fixture": "sf_stream_standing"},
+                lambda: build_minhash_index(
+                    standing, gate50_master, text_col="content",
+                    id_col="title", n=3, num_perm=64, bands=16,
+                ),
+            )
             gate50_store = os.path.join(SCRATCH, "stream_gate_mh_r50")
             shutil.rmtree(gate50_store, ignore_errors=True)
-            build_minhash_index(
-                standing, gate50_store, text_col="content",
-                id_col="title", n=3, num_perm=64, bands=16,
-            )
+            shutil.copytree(gate50_master, gate50_store)
             gate50_sec = _run_stream(
                 "stream_out_f_r50", "stream_ckpt_f_r50", gate50_store
             )
@@ -1370,6 +1398,9 @@ def main() -> None:
             )
             throughput["stream_gate_cost_model"] = {
                 "cost_floor_s_per_text": COST_FLOOR_S,
+                # master-store reuse flag only: the build debt is
+                # ledgered once, by stream_ingest_neardup_gated
+                "standing_store_cached": g50_meta["cached"],
                 "plain_floored_sec": plain_f_sec,
                 "gated_floored_sec_dup0": gate0_sec,
                 "gated_floored_sec_dup50": gate50_sec,

@@ -2075,7 +2075,7 @@ def _png_wrap(w, h, raw_scanlines, ctype=2, depth=8, interlace=0):
     )
 
 
-def _golden_png(w, h, pixels, ctype=2, filters=None):
+def _golden_png_px(w, h, pixels, ctype=2, filters=None):
     """PNG bytes with ACTUAL pixels: applies the spec's per-row
     filters forward (the decoder reverses them). `pixels` is a
     row-major list of per-pixel tuples."""
@@ -2154,7 +2154,7 @@ def test_parse_png_pixels_roundtrip_and_hostile():
     px = [tuple(int(v) for v in rng.integers(0, 256, 3))
           for _ in range(w * h)]
     got = parse_png_pixels(
-        _golden_png(w, h, px, ctype=2, filters=[0, 1, 2, 3, 4])
+        _golden_png_px(w, h, px, ctype=2, filters=[0, 1, 2, 3, 4])
     )
     assert got == (
         w * h,
@@ -2165,7 +2165,7 @@ def test_parse_png_pixels_roundtrip_and_hostile():
     )
     # RGBA: alpha excluded from sums and max
     pxa = [(10, 20, 30, 255), (1, 2, 3, 200)]
-    gota = parse_png_pixels(_golden_png(2, 1, pxa, ctype=6,
+    gota = parse_png_pixels(_golden_png_px(2, 1, pxa, ctype=6,
                                         filters=[4]))
     assert gota == (2, 11, 22, 33, 30)
     # refusals: palette (ctype 3), 16-bit, interlaced
@@ -2179,7 +2179,7 @@ def test_parse_png_pixels_roundtrip_and_hostile():
         _png_wrap(1, 1, bytes([0, 5]), ctype=0, interlace=1)
     ) == (None,) * 5
     # truncated IDAT: strip the tail
-    good = _golden_png(3, 3, [(i, i, i) for i in range(9)], ctype=2)
+    good = _golden_png_px(3, 3, [(i, i, i) for i in range(9)], ctype=2)
     assert parse_png_pixels(good[:-20]) == (None,) * 5
     # header claims more rows than the stream holds
     short = _png_wrap(2, 9, bytes([0, 1, 1, 0, 2, 2]), ctype=0)
@@ -2199,7 +2199,7 @@ def test_parse_png_pixels_roundtrip_and_hostile():
                for _ in range(w * h)]
         fs = [int(x) for x in r.integers(0, 5, h)]
         n, sr, sg, sb, mx = parse_png_pixels(
-            _golden_png(w, h, pts, ctype=ctype, filters=fs)
+            _golden_png_px(w, h, pts, ctype=ctype, filters=fs)
         )
         assert n == w * h
         if ctype == 0:
@@ -2233,7 +2233,7 @@ def test_decode_png_pixels_operator(spark):
     )
 
     rows = [
-        (1, bytearray(_golden_png(2, 2, [(9, 8, 7)] * 4, ctype=2,
+        (1, bytearray(_golden_png_px(2, 2, [(9, 8, 7)] * 4, ctype=2,
                                   filters=[1, 4]))),
         (2, bytearray(b"junk")),
         (3, None),
