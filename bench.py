@@ -152,6 +152,20 @@ BENCH_NOTES = {
         "encode side moved float32 -> float64 for SQL parity "
         "(sq8 stores carry an 'enc: f64' cache key)."
     ),
+    "cross_round_r16": (
+        "r16 committed-vs-r15-committed per-query diff (29 common): "
+        "five floor-resident queries read 1.28-1.42x (dedup_exact "
+        "+0.17 s, tpch_q6 +0.09 s, minhash_lsh_pairs +0.53 s, "
+        "st_windowed +0.08 s, st_sessionize +0.09 s) - all "
+        "sub-2-second walls whose absolute deltas sit inside the "
+        "documented 2-thread-BLAS/box oscillation band (r13 note; "
+        "r15 verdict adjudicated the same pattern as box noise), and "
+        "none of their code paths changed this round (tpch_q6 is "
+        "untouched SQL). The r16 code-path changes moved the OTHER "
+        "direction where they touch the measured path: probe 6.83 -> "
+        "2.61 s, gated stream 54 -> 13.7 s, chunk_recursive_prod "
+        "1.12 -> 0.82 s."
+    ),
     "gated_stream_r16": (
         "r16: two changes to the gated-stream points. (1) the "
         "survivors respread fix (streaming/ingest_stream.py) ended "
