@@ -4752,44 +4752,67 @@ def _q_png_pixel_stats(spark, sf_dir):
                 )
             )
 
-        def synth(w, h, p0, p1):
-            stride = w * 3
+        GRID = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+
+        def synth(w, h, p0, p1, interlaced):
+            # interlaced images carry the SAME pixels split into the
+            # Adam7 passes, so the closed-form oracle is unchanged —
+            # a hash match proves the pass-dimension arithmetic too
+            if interlaced:
+                groups = []
+                for x0, y0, dx, dy in GRID:
+                    xs = list(range(x0, w, dx))
+                    ys = list(range(y0, h, dy))
+                    if xs and ys:
+                        groups.append((xs, ys))
+            else:
+                groups = [(list(range(w)), list(range(h)))]
             raw = bytearray()
-            prev = bytes(stride)
-            for y in range(h):
-                line = b"".join(
-                    bytes(p0 if x % 2 == 0 else p1) for x in range(w)
-                )
-                f = y % 5
-                enc = bytearray()
-                for i in range(stride):
-                    xv = line[i]
-                    a = line[i - 3] if i >= 3 else 0
-                    up = prev[i]
-                    c = prev[i - 3] if i >= 3 else 0
-                    if f == 0:
-                        v = xv
-                    elif f == 1:
-                        v = (xv - a) & 0xFF
-                    elif f == 2:
-                        v = (xv - up) & 0xFF
-                    elif f == 3:
-                        v = (xv - ((a + up) >> 1)) & 0xFF
-                    else:
-                        p = a + up - c
-                        pa, pb, pc = (
-                            abs(p - a), abs(p - up), abs(p - c)
-                        )
-                        pr = (
-                            a
-                            if (pa <= pb and pa <= pc)
-                            else (up if pb <= pc else c)
-                        )
-                        v = (xv - pr) & 0xFF
-                    enc.append(v)
-                raw += bytes([f]) + bytes(enc)
-                prev = line
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            fcount = 0
+            for xs, ys in groups:
+                stride = len(xs) * 3
+                prev = bytes(stride)
+                for _y in ys:
+                    line = b"".join(
+                        bytes(p0 if x % 2 == 0 else p1) for x in xs
+                    )
+                    f = fcount % 5
+                    fcount += 1
+                    enc = bytearray()
+                    for i in range(stride):
+                        xv = line[i]
+                        a = line[i - 3] if i >= 3 else 0
+                        up = prev[i]
+                        c = prev[i - 3] if i >= 3 else 0
+                        if f == 0:
+                            v = xv
+                        elif f == 1:
+                            v = (xv - a) & 0xFF
+                        elif f == 2:
+                            v = (xv - up) & 0xFF
+                        elif f == 3:
+                            v = (xv - ((a + up) >> 1)) & 0xFF
+                        else:
+                            p = a + up - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - up), abs(p - c)
+                            )
+                            pr = (
+                                a
+                                if (pa <= pb and pa <= pc)
+                                else (up if pb <= pc else c)
+                            )
+                            v = (xv - pr) & 0xFF
+                        enc.append(v)
+                    raw += bytes([f]) + bytes(enc)
+                    prev = line
+            ihdr = struct.pack(
+                ">IIBBBBB", w, h, 8, 2, 0, 0,
+                1 if interlaced else 0,
+            )
             return (
                 b"\x89PNG\r\n\x1a\n"
                 + chunk(b"IHDR", ihdr)
@@ -4803,6 +4826,7 @@ def _q_png_pixel_stats(spark, sf_dir):
                     int(r.w), int(r.h),
                     (int(r.r0), int(r.g0), int(r.b0)),
                     (int(r.r1), int(r.g1), int(r.b1)),
+                    int(r.doc_id) % 2 == 1,
                 )
                 for r in pdf.itertuples()
             ]

@@ -336,6 +336,16 @@ def _png_unfilter(raw: "np.ndarray", h: int, stride: int, bpp: int):
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
 
+# Adam7 pass grid (x0, y0, dx, dy), ISO 15948 §8.2: an interlaced
+# image is SEVEN independent sub-images, each with its own scanlines
+# and filter bytes; pixel POSITIONS interleave but counts/sums/max
+# are position-invariant, so the stats kernel only needs each pass's
+# dimensions, never the interleave.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def parse_png_pixels(payload: bytes):
     """(n_pixels, sum_r, sum_g, sum_b, max_channel) decoded from a
@@ -344,10 +354,13 @@ def parse_png_pixels(payload: bytes):
     recipe extended to the compressed format every real image corpus
     actually contains):
 
-    - IHDR gives (w, h, bit depth, color type); only bit depth 8,
-      interlace 0, and color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-      6 (RGBA) decode — palette images and 16-bit depths return
-      all-NULL (the row survives);
+    - IHDR gives (w, h, bit depth, color type); only bit depth 8
+      and color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA)
+      decode — palette images and 16-bit depths return all-NULL (the
+      row survives). Adam7 interlacing DOES decode: each of the
+      seven passes is an independent sub-image unfiltered with its
+      own scanlines (``_ADAM7``), and the statistics sum over passes
+      because they are position-invariant;
     - all IDAT chunk payloads concatenate into ONE zlib stream
       (ISO 15948 §11.2.4); a corrupt/truncated stream or a wrong
       reconstructed size returns NULL rather than raising
@@ -372,7 +385,7 @@ def parse_png_pixels(payload: bytes):
     depth, ctype, _comp, _filt, interlace = b[24:29]
     nch = _PNG_CHANNELS.get(ctype)
     if (
-        depth != 8 or nch is None or interlace != 0
+        depth != 8 or nch is None or interlace not in (0, 1)
         or w <= 0 or h <= 0 or w * h > 64_000_000
     ):
         return None, None, None, None, None
@@ -386,34 +399,44 @@ def parse_png_pixels(payload: bytes):
         elif ctag == b"IEND":
             break
         i += 12 + clen  # len + tag + payload + crc
-    stride = w * nch
-    want = h * (1 + stride)
+    if interlace == 0:
+        passes = [(w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if wp > 0 and hp > 0:
+                passes.append((wp, hp))
+    want = sum(hp * (1 + wp * nch) for wp, hp in passes)
     try:
         raw = zlib.decompress(bytes(idat), bufsize=want)
     except Exception:  # noqa: BLE001 — corrupt stream => NULL row
         return None, None, None, None, None
     if len(raw) < want:
         return None, None, None, None, None
-    rec = _png_unfilter(
-        np.frombuffer(raw[:want], dtype=np.uint8), h, stride, nch
-    )
-    if rec is None:
-        return None, None, None, None, None
-    px = rec.reshape(h, w, nch).astype(np.int64)
-    if ctype == 0:
-        g = px[:, :, 0].sum()
-        sums = (g, g, g)
-        mx = px[:, :, 0].max() if px.size else 0
-    elif ctype == 4:
-        g = px[:, :, 0].sum()
-        sums = (g, g, g)
-        mx = px[:, :, 0].max() if px.size else 0
-    else:
-        sums = (
-            px[:, :, 0].sum(), px[:, :, 1].sum(), px[:, :, 2].sum()
+    tot = np.zeros(nch, dtype=np.int64)
+    mx = 0
+    pos = 0
+    for wp, hp in passes:
+        stride = wp * nch
+        seg = hp * (1 + stride)
+        rec = _png_unfilter(
+            np.frombuffer(raw[pos : pos + seg], dtype=np.uint8),
+            hp, stride, nch,
         )
-        mx = px[:, :, :3].max() if px.size else 0
-    return int(w * h), int(sums[0]), int(sums[1]), int(sums[2]), int(mx)
+        if rec is None:
+            return None, None, None, None, None
+        pos += seg
+        px = rec.reshape(hp, wp, nch).astype(np.int64)
+        tot += px.sum(axis=(0, 1))
+        vis = px[:, :, :1] if ctype in (0, 4) else px[:, :, :3]
+        mx = max(mx, int(vis.max()))
+    if ctype in (0, 4):
+        sums = (int(tot[0]), int(tot[0]), int(tot[0]))
+    else:
+        sums = (int(tot[0]), int(tot[1]), int(tot[2]))
+    return int(w * h), sums[0], sums[1], sums[2], int(mx)
 
 
 def decode_bmp_pixels(
@@ -713,9 +736,9 @@ def parse_gif_pixels(payload: bytes):
       extension blocks (GCE, comments, application) skip via their
       sub-block chains;
     - the first image descriptor's local color table, if present,
-      overrides the global one; interlaced images return all-NULL
-      (honest — deinterlacing is a row permutation this stats kernel
-      doesn't need);
+      overrides the global one; interlaced images decode identically
+      (GIF interlacing is a pure row permutation, and counts/sums/max
+      are permutation-invariant);
     - LZW output is truncated/validated against the declared w*h;
       short or malformed streams return NULL, the row survives;
     - stats domain matches the BMP/PNG kernels: per-channel sums over
@@ -751,9 +774,13 @@ def parse_gif_pixels(payload: bytes):
                 sz = 3 * (2 << (ipacked & 0x07))
                 pal = b[i : i + sz]
                 i += sz
+            # interlace (ipacked & 0x40) needs NO special handling
+            # here: GIF interlacing only REORDERS rows (GIF89a
+            # Appendix E), and every statistic this kernel computes
+            # (counts, channel sums, max) is permutation-invariant —
+            # the LZW stream still holds exactly w*h indices
             if (
-                ipacked & 0x40  # interlaced
-                or pal is None
+                pal is None
                 or w <= 0
                 or h <= 0
                 or w * h > 64_000_000

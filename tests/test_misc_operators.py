@@ -2175,9 +2175,11 @@ def test_parse_png_pixels_roundtrip_and_hostile():
     assert parse_png_pixels(
         _png_wrap(1, 1, bytes([0, 5]), ctype=0, depth=16)
     ) == (None,) * 5
+    # interlace now decodes (Adam7 passes); for a 1x1 image the
+    # single-pixel pass layout coincides with the plain layout
     assert parse_png_pixels(
         _png_wrap(1, 1, bytes([0, 5]), ctype=0, interlace=1)
-    ) == (None,) * 5
+    ) == (1, 5, 5, 5, 5)
     # truncated IDAT: strip the tail
     good = _golden_png_px(3, 3, [(i, i, i) for i in range(9)], ctype=2)
     assert parse_png_pixels(good[:-20]) == (None,) * 5
@@ -2370,10 +2372,11 @@ def test_parse_gif_pixels_golden_and_hostile():
     assert parse_gif_pixels(
         _golden_gif(3, 2, pal, idx, use_lct=True)
     ) == want
-    # interlaced refuses; truncated stream refuses
+    # interlaced decodes to the SAME stats: row reordering is
+    # invisible to permutation-invariant sums (GIF89a Appendix E)
     assert parse_gif_pixels(
         _golden_gif(3, 2, pal, idx, interlace=True)
-    ) == (None,) * 5
+    ) == want
     full = _golden_gif(16, 16, pal, [1] * 256)
     assert parse_gif_pixels(full[: len(full) - 12]) == (None,) * 5
     assert parse_gif_pixels(b"GIF89a" + b"\x00" * 8) == (None,) * 5
@@ -2440,3 +2443,97 @@ def test_decode_gif_pixels_operator(spark):
     )
     assert got[1]["max_channel"] == 6
     assert got[2]["n_pixels"] is None and got[3]["sum_r"] is None
+
+
+def _golden_png_adam7(w, h, pixels, ctype=2):
+    """Interlaced PNG bytes: pixels split into the seven Adam7
+    passes (ISO 15948 §8.2 grid), each pass its own filtered
+    scanline group with the filter type cycling 0..4 per row."""
+    grid = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = bytearray()
+    fcount = 0
+    for x0, y0, dx, dy in grid:
+        xs = list(range(x0, w, dx))
+        ys = list(range(y0, h, dy))
+        if not xs or not ys:
+            continue
+        stride = len(xs) * nch
+        prev = bytes(stride)
+        for y in ys:
+            line = b"".join(
+                bytes(
+                    pixels[y * w + x]
+                    if isinstance(pixels[y * w + x], tuple)
+                    else (pixels[y * w + x],)
+                )
+                for x in xs
+            )
+            f = fcount % 5
+            fcount += 1
+            enc = bytearray()
+            for i in range(stride):
+                xv = line[i]
+                a = line[i - nch] if i >= nch else 0
+                up = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if f == 0:
+                    v = xv
+                elif f == 1:
+                    v = (xv - a) & 0xFF
+                elif f == 2:
+                    v = (xv - up) & 0xFF
+                elif f == 3:
+                    v = (xv - ((a + up) >> 1)) & 0xFF
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pr = (
+                        a if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c)
+                    )
+                    v = (xv - pr) & 0xFF
+                enc.append(v)
+            raw += bytes([f]) + bytes(enc)
+            prev = line
+    return _png_wrap(w, h, bytes(raw), ctype=ctype, interlace=1)
+
+
+def test_parse_png_pixels_adam7_interlaced():
+    """Adam7-interlaced PNGs decode to IDENTICAL stats as their
+    plain encodings: the seven passes partition the pixels, each
+    unfiltered against its own scanline group — wrong pass-dimension
+    arithmetic would misalign every subsequent byte and diverge
+    immediately."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_png_pixels,
+    )
+
+    import numpy as np
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=19),
+        h=st.integers(min_value=1, max_value=19),
+        ctype=st.sampled_from([0, 2, 6]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def case(w, h, ctype, seed):
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        r = np.random.default_rng(seed)
+        pts = [tuple(int(v) for v in r.integers(0, 256, nch))
+               for _ in range(w * h)]
+        plain = parse_png_pixels(_golden_png_px(w, h, pts, ctype=ctype))
+        inter = parse_png_pixels(_golden_png_adam7(w, h, pts, ctype=ctype))
+        assert inter == plain and plain[0] == w * h
+
+    case()
+    # a deliberately short interlaced stream still refuses
+    full = _golden_png_adam7(9, 9, [(1, 2, 3)] * 81, ctype=2)
+    assert parse_png_pixels(full[:-25]) == (None,) * 5
