@@ -1,0 +1,228 @@
+"""Vectorized, bit-exact reimplementation of Spark's ``xxhash64`` SQL
+function over numpy uint64 lanes, and the signature kernels built on it.
+
+Why this exists (r17 optimization round): the row-local minhash/simhash
+spellings in ``operators.dedup`` evaluate their per-permutation work
+through Catalyst higher-order functions (``transform``/``aggregate``),
+which are interpreted per array element with boxing — the same cost
+class ``_pair_score_udf`` already measured at ~8k rows/s vs ~1M rows/s
+for a vectorized Arrow kernel. The 64-permutation minhash fold is the
+single largest term in the curate/minhash bench sections. These kernels
+compute the *identical integer values* (Spark's XXH64 variant,
+seed-chained exactly like the ``xxhash64(...)`` expression) so every
+downstream result — band buckets, est_jaccard, survivor sets — is
+bit-for-bit unchanged; equivalence is asserted against the native
+expression spelling in tests/test_dedup.py.
+
+Spark's XXH64 (sql/catalyst XXH64.java) hashes multi-argument calls by
+seed-chaining: ``xxhash64(a, b)`` = ``hash(b, seed=hash(a, seed=42))``,
+with LongType fields through ``hashLong`` and IntegerType literals
+through ``hashInt``. Both are small fixed formulas over 64-bit
+multiply/rotate/xor — exactly the shape numpy vectorizes well. uint64
+arithmetic in numpy wraps modulo 2^64 like Java longs; comparisons that
+need Java's *signed* semantics (array_min) view the lanes as int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# XXH64 primes as unsigned decimals, taken verbatim from the signed
+# long constants in Spark's compiled XXH64 class (javap -c of
+# spark-catalyst's XXH64.hashLong/hashInt/fmix), i.e. value & 2^64-1 of
+# -7046029288634856825, -4417276706812531889, 1609587929392839161,
+# -8796714831421723037, 2870177450012600261. Parity with the live
+# xxhash64 expression is pinned in tests/test_hashkernel.py.
+_P1 = np.uint64(11400714785074694791)
+_P2 = np.uint64(14029467366897019727)
+_P3 = np.uint64(1609587929392839161)
+_P4 = np.uint64(9650029242287828579)
+_P5 = np.uint64(2870177450012600261)
+SEED = np.uint64(42)  # Spark's default xxhash64 seed
+
+_U8 = np.uint64(8)
+_U4 = np.uint64(4)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    rr = np.uint64(r)
+    inv = np.uint64(64 - r)
+    return (x << rr) | (x >> inv)
+
+
+def _fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def xxh64_long(v: np.ndarray, seed) -> np.ndarray:
+    """XXH64.hashLong(v, seed) — bit-exact, vectorized.
+
+    ``v`` uint64 array; ``seed`` uint64 scalar or same-shape array.
+    Returns uint64 array.
+    """
+    with np.errstate(over="ignore"):
+        h = seed + _P5 + _U8
+        h = h ^ (_rotl(v * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        return _fmix(h)
+
+
+def xxh64_int(i: int, seed: np.ndarray) -> np.ndarray:
+    """XXH64.hashInt(i, seed) — bit-exact, vectorized over ``seed``.
+
+    Matches Spark hashing an IntegerType value (e.g. the ``lit(i)``
+    permutation index in ``xxhash64(shingle, lit(i))``).
+    """
+    with np.errstate(over="ignore"):
+        h = seed + _P5 + _U4
+        h = h ^ (np.uint64(i & 0xFFFFFFFF) * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h)
+
+
+def minhash_sig_matrix(
+    vals: np.ndarray, starts: np.ndarray, num_perm: int
+) -> np.ndarray:
+    """Per-document minhash signatures over flattened shingle hashes.
+
+    ``vals``: int64/uint64 array of ALL docs' shingle hashes
+    concatenated; ``starts``: int64 array of each doc's first index in
+    ``vals`` (every segment non-empty — _hashed_shingle_sets emits >= 1
+    hash per doc). Returns (n_docs, num_perm) int64, where column i is
+    the SIGNED min over ``xxhash64(shingle, lit(i))`` — exactly
+    ``array_min(transform(__shs, s -> xxhash64(s, lit(i))))``.
+
+    The hashLong(s, 42) inner term is shared by every permutation, so
+    it is hoisted and each permutation is one vectorized hashInt pass
+    plus a segmented min.
+    """
+    v = vals.astype(np.uint64, copy=False)
+    base = xxh64_long(v, SEED)
+    out = np.empty((len(starts), num_perm), dtype=np.int64)
+    for i in range(num_perm):
+        hi = xxh64_int(i, base).view(np.int64)
+        out[:, i] = np.minimum.reduceat(hi, starts)
+    return out
+
+
+def simhash_from_hashes(
+    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Per-document 64-bit simhash over flattened shingle hashes.
+
+    Majority vote per bit position: bit i of the output is set iff
+    more than half of the doc's (distinct) shingle hashes have bit i
+    set — identical to the lane-packed aggregate() spelling in
+    ``simhash_signatures`` (votes are exact integer counts, so the
+    values match bit-for-bit). Returns int64 array of len(starts).
+    """
+    v = np.ascontiguousarray(vals.astype(np.int64, copy=False))
+    # (m, 64) bit matrix, column i == bit i of the hash (little-endian
+    # byte order on every platform numpy supports here)
+    bits = np.unpackbits(
+        v.view(np.uint8).reshape(len(v), 8), axis=1, bitorder="little"
+    )
+    csum = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    n = counts.reshape(-1, 1)
+    sel = (csum * 2) > n  # (n_docs, 64) majority bits
+    packed = np.packbits(
+        sel.astype(np.uint8), axis=1, bitorder="little"
+    )
+    return packed.view(np.int64).reshape(-1)
+
+
+def minhash_sig_udf(num_perm: int):
+    """Arrow-native scalar UDF: list<int64> shingle-hash sets ->
+    list<int64> minhash signatures (len ``num_perm``), value-identical
+    to the 64-transform HOF spelling in ``minhash_signatures``.
+
+    Only the ``__shs`` column crosses the Python boundary; rows whose
+    shingle set is NULL or empty (never produced by
+    ``_hashed_shingle_sets``, guarded anyway) get a NULL signature.
+    """
+
+    @F.arrow_udf(T.ArrayType(T.LongType()))
+    def mh_sigs(shs: pa.Array) -> pa.Array:
+        if isinstance(shs, pa.ChunkedArray):
+            shs = shs.combine_chunks()
+        n = len(shs)
+        if n == 0:
+            return pa.array([], type=pa.list_(pa.int64()))
+        vals, starts, counts = list_array_segments(shs)
+        ok = counts > 0
+        if shs.null_count:
+            ok &= ~np.asarray(shs.is_null())
+        if ok.all():
+            sig = minhash_sig_matrix(vals, starts, num_perm)
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int64) * num_perm,
+                type=pa.int64(),
+            )
+            return pa.LargeListArray.from_arrays(
+                offsets, pa.array(sig.reshape(-1), type=pa.int64())
+            ).cast(pa.list_(pa.int64()))
+        out: list[list[int] | None] = [None] * n
+        if ok.any():
+            sig = minhash_sig_matrix(
+                vals, starts[ok], num_perm
+            )
+            for j, row in zip(np.flatnonzero(ok), sig):
+                out[j] = row.tolist()
+        return pa.array(out, type=pa.list_(pa.int64()))
+
+    return mh_sigs
+
+
+def simhash_udf():
+    """Arrow-native scalar UDF: list<int64> shingle-hash sets ->
+    int64 simhash, value-identical to the lane-packed aggregate()
+    spelling in ``simhash_signatures`` (xxhash64 mode, bits=64)."""
+
+    @F.arrow_udf(T.LongType())
+    def sh_sig(hs: pa.Array) -> pa.Array:
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        n = len(hs)
+        if n == 0:
+            return pa.array([], type=pa.int64())
+        vals, starts, counts = list_array_segments(hs)
+        ok = counts > 0
+        if hs.null_count:
+            ok &= ~np.asarray(hs.is_null())
+        if ok.all():
+            return pa.array(
+                simhash_from_hashes(vals, starts, counts),
+                type=pa.int64(),
+            )
+        res = np.zeros(n, dtype=np.int64)
+        if ok.any():
+            res[ok] = simhash_from_hashes(
+                vals, starts[ok], counts[ok]
+            )
+        return pa.array(res, type=pa.int64(), mask=~ok)
+
+    return sh_sig
+
+
+def list_array_segments(arr):
+    """(values int64 ndarray, starts int64 ndarray, counts int64
+    ndarray) for a pyarrow list<int64> array (chunked or not), with
+    slice offsets normalized. Assumes no NULL lists/elements (the
+    producing projections never emit them); callers guard upstream."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.asarray(arr.offsets)
+    vals = np.asarray(arr.values)[off[0] : off[-1]]
+    starts = (off[:-1] - off[0]).astype(np.int64)
+    counts = (off[1:] - off[:-1]).astype(np.int64)
+    return vals, starts, counts

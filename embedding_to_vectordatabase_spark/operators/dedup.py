@@ -421,13 +421,24 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     hash_fn: str = "xxhash64",
+    kernel: bool = True,
 ) -> DataFrame:
     """(doc_id, sig array[num_perm]) — minhash over word n-gram
     shingles. Permutation h_i(s) = hash(s, seed=i); min per doc.
-    All native exprs — no Python. With ``hash_fn='md5'`` the
-    signature is engine-portable hex strings (duckdb-oracle
-    checkable); default xxhash64 pre-hashes shingles to longs and
-    derives the permutations from the 8-byte hash — the fast path.
+    With ``hash_fn='md5'`` the signature is engine-portable hex
+    strings (duckdb-oracle checkable), all native exprs; default
+    xxhash64 pre-hashes shingles to longs and derives the
+    permutations from the 8-byte hash — the fast path.
+
+    r17: in xxhash64 mode the ``num_perm`` permutation-min folds run
+    as ONE vectorized Arrow kernel (``functions.hashkernel``) instead
+    of ``num_perm`` Catalyst higher-order ``transform``/``array_min``
+    traversals — HOFs are interpreted per element with boxing, and
+    the 64-fold stack was the dominant term of every minhash bench
+    section. The kernel reimplements Spark's XXH64 bit-exactly, so
+    signatures (and everything downstream: buckets, est_jaccard,
+    survivors) are value-identical — asserted against the native
+    spelling (``kernel=False``) in tests.
 
     Computed ROW-LOCALLY (r12): the doc's distinct shingle (hash) set
     is an array expression and each permutation is an
@@ -445,6 +456,13 @@ def minhash_signatures(
     df = ensure_parallelism(df)
     if hash_fn == "xxhash64":
         staged = _hashed_shingle_sets(df, text_col, id_col, n)
+        if kernel:
+            from ..functions.hashkernel import minhash_sig_udf
+
+            return staged.select(
+                "doc_id",
+                minhash_sig_udf(num_perm)(F.col("__shs")).alias("sig"),
+            )
     elif hash_fn == "md5":
         staged = df.select(
             F.col(id_col).alias("doc_id"),
@@ -714,22 +732,19 @@ def minhash_lsh_pairs(
         .filter(F.size("ms") >= 2)
     )
 
+    # r17: the pair struct carries BOTH signatures out of the HOF and
+    # the est is computed in the post-explode projection — inside the
+    # nested transform lambdas every expression is interpreted per
+    # element, and the zip_with+aggregate scoring measured 2.0 s of the
+    # pair stage at the 250k bench point vs 0.4 s for the unrolled
+    # codegen'd spelling over the exploded rows (same exact integer
+    # count, values unchanged; tools/profile_r17.py `pairs`).
     def _mk_pair(x, y):
         return F.struct(
             x["doc_id"].alias("doc_a"),
             y["doc_id"].alias("doc_b"),
-            (
-                F.aggregate(
-                    F.zip_with(
-                        x["sig"],
-                        y["sig"],
-                        lambda u, v: F.when(u == v, 1).otherwise(0),
-                    ),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                )
-                / F.lit(num_perm)
-            ).alias("est"),
+            x["sig"].alias("sa"),
+            y["sig"].alias("sb"),
         )
 
     return (
@@ -737,7 +752,12 @@ def minhash_lsh_pairs(
         .select(
             F.col("pr.doc_a").alias("doc_a"),
             F.col("pr.doc_b").alias("doc_b"),
-            F.round(F.col("pr.est"), 6).alias("est_jaccard"),
+            F.round(
+                _minhash_est_expr(
+                    F.col("pr.sa"), F.col("pr.sb"), num_perm
+                ),
+                6,
+            ).alias("est_jaccard"),
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(F.col("est_jaccard") >= threshold)
@@ -1021,10 +1041,16 @@ def simhash_signatures(
     n: int = 2,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    kernel: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash long): per shingle take a 64-bit hash, each bit
     votes +1/-1, sign of the vote sum per bit position. Native exprs:
-    explode → per-bit conditional sums → bit reassembly.
+    explode → per-bit conditional sums → bit reassembly. r17: the
+    xxhash64/bits=64 path runs the vote fold as one vectorized Arrow
+    kernel (``functions.hashkernel.simhash_udf``) — the 32 lane-packed
+    ``aggregate()`` folds are interpreted per element; the kernel
+    computes the identical integer votes (equivalence asserted in
+    tests), ``kernel=False`` keeps the native spelling.
 
     Bit 63 is assembled with shiftleft so it lands in the long's sign
     bit (the fingerprint is an opaque 64-bit pattern — a negative
@@ -1064,6 +1090,13 @@ def simhash_signatures(
         staged = _hashed_shingle_sets(
             df, text_col, id_col, n
         ).withColumnRenamed("__shs", "__hs")
+        if kernel and bits == 64:
+            from ..functions.hashkernel import simhash_udf
+
+            return staged.select(
+                "doc_id",
+                simhash_udf()(F.col("__hs")).alias("simhash"),
+            )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use xxhash64|md5")
     # Per-bit ±1 votes reduce to set-bit counts: vote_i > 0 ⇔ 2c_i > n.
@@ -1166,13 +1199,16 @@ def simhash_pairs(
         .filter(F.size("ms") >= 2)
     )
 
+    # r17: hamming is computed in the post-explode projection (codegen)
+    # instead of inside the interpreted HOF lambdas — same xor +
+    # bit_count on the same longs, values unchanged (see the matching
+    # minhash_lsh_pairs note)
     def _mk_pair(x, y):
         return F.struct(
             x["doc_id"].alias("doc_a"),
             y["doc_id"].alias("doc_b"),
-            F.bit_count(
-                x["simhash"].bitwiseXOR(y["simhash"])
-            ).alias("hamming"),
+            x["simhash"].alias("ha"),
+            y["simhash"].alias("hb"),
         )
 
     return (
@@ -1180,7 +1216,9 @@ def simhash_pairs(
         .select(
             F.col("pr.doc_a").alias("doc_a"),
             F.col("pr.doc_b").alias("doc_b"),
-            F.col("pr.hamming").alias("hamming"),
+            F.bit_count(
+                F.col("pr.ha").bitwiseXOR(F.col("pr.hb"))
+            ).alias("hamming"),
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -1758,17 +1796,25 @@ def semdedup(
 
 def _minhash_est_expr(a_sig, b_sig, num_perm: int):
     """Estimated Jaccard = fraction of matching signature positions —
-    the same expression ``minhash_lsh_pairs`` scores pairs with."""
-    return (
-        F.aggregate(
-            F.zip_with(
-                a_sig, b_sig, lambda u, v: F.when(u == v, 1).otherwise(0)
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(num_perm)
-    )
+    the same expression ``minhash_lsh_pairs`` scores pairs with.
+
+    r17: spelled as ``num_perm`` unrolled ``element_at`` equality
+    terms instead of ``aggregate(zip_with(...))`` — higher-order
+    functions are interpreted per element with boxing, and this
+    expression runs once per candidate pair (898k pre-distinct rows at
+    the 250k bench point: 2.0 s HOF vs 0.4 s unrolled, measured via
+    tools/profile_r17.py). The count is the same exact integer, so
+    est values are bit-identical."""
+    terms = [
+        (
+            F.element_at(a_sig, i + 1) == F.element_at(b_sig, i + 1)
+        ).cast("int")
+        for i in range(num_perm)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total / F.lit(num_perm)
 
 
 def minhash_bands_from_signatures(
