@@ -1636,6 +1636,7 @@ def semdedup(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    strip_rows: int | None = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering of the embedding space plus
@@ -1672,22 +1673,41 @@ def semdedup(
     zero-copy off the Arrow buffers; the pandas route materializes
     |c| x dim Python floats and dominated the kernel) keyed by
     cluster that
-    RETURNS THE SURVIVORS — so the whole operator is one scan, one
-    cluster-keyed exchange, one grouped map, and NO join (a
+    RETURNS THE SURVIVORS — so the whole operator is one scan, a
+    bounded number of exchanges, one grouped map, and NO join (a
     dropped-ids + anti-join spelling was measured and rejected: the
     anti-join's two references to the staged input each recompute
     it — no exchange reuse, same r8 self-join finding — and a union
     input gets the join pushed through it, running the grouped map
-    once PER BRANCH). Each vector crosses the shuffle exactly once —
-    O(n x dim) bytes, never O(pairs x dim) like a pair self-join
-    would ship — and the intra-cluster similarity matrix is a
-    blocked BLAS matmul (1024-row strips: peak task memory is
-    |c| x row_width + 1024 x |c|, never |c|^2). Per-cluster compute
-    is O(|c|^2 x dim) flops — bounded by sizing ``n_clusters`` ~
-    corpus/target_cluster_size exactly as the paper does (50k
-    clusters at LAION scale). Select wide payload columns away
-    before calling if rows carry large text blobs; the cluster's
-    rows are held in one pandas frame per task.
+    once PER BRANCH). Per-cluster compute is O(|c|^2 x dim) flops —
+    bounded by sizing ``n_clusters`` ~ corpus/target_cluster_size
+    exactly as the paper does (50k clusters at LAION scale). Select
+    wide payload columns away before calling if rows carry large
+    text blobs.
+
+    r17 STRIP PARALLELISM (``strip_rows``): the r12-r16 shape keyed
+    the grouped map by cluster alone, so a hot cluster's whole
+    O(|c|^2 x dim) dominance test ran in ONE task — at the bench
+    fixture the two 15k-row clusters were each a ~12 s single-task
+    sgemm straggler while 30 cores idled (the documented r13
+    2-thread-BLAS cap makes this worse). The dominance test is a pure
+    pairwise any() against EARLIER rows, so it decomposes exactly
+    along the block boundaries the monolithic kernel already used:
+    rows are ranked within their cluster by (cent_sim ASC, id ASC)
+    (one window over the cluster exchange), every ``strip_rows`` ranks
+    form a strip, and each row is shipped to its own strip as a member
+    plus every LATER strip of its cluster as context. Each
+    (cluster, strip) task then runs the SAME two BLAS calls the
+    monolithic block loop ran for that strip — identical shapes,
+    identical operands (normalization is per-row), so the float32
+    comparisons and therefore the survivor set are bit-identical;
+    only the task boundaries moved. Cost: clusters <= strip_rows are
+    unchanged (one strip, zero duplication); a cluster of K strips
+    ships ~K/2 extra context copies of itself through the strip
+    exchange — the deliberate trade that turns the |c|^2 straggler
+    into per-strip tasks (wall = the LAST strip's |strip| x |c| GEMM,
+    not the cluster's |c|^2/2). ``strip_rows=None`` keeps the old
+    single-task-per-cluster shape (used by the equivalence tests).
 
     Output: the surviving rows of ``df`` with ``cluster`` (int) and
     ``cent_sim`` (double, cosine to own centroid) appended.
@@ -1711,21 +1731,127 @@ def semdedup(
 
     thr = 1.0 - eps
     vec_name, id_name = vec_col, id_col
-    col_idx = {f.name: j for j, f in enumerate(staged.schema.fields)}
+    n_parts = max(
+        8 * len(cent), df.sparkSession.sparkContext.defaultParallelism
+    )
 
-    def _per_partition(batches):
+    if strip_rows is None:
+        col_idx = {f.name: j for j, f in enumerate(staged.schema.fields)}
+
+        def _per_partition(batches):
+            import pyarrow as pa
+
+            from .search import _pa_matrix
+
+            # one partition holds WHOLE clusters (hash repartition on
+            # the cluster id below), so buffering it bounds task memory
+            # at partition bytes ~ max cluster bytes. mapInArrow is
+            # used instead of groupBy().applyInArrow because
+            # FlatMapGroupsInArrowExec converts array columns per group
+            # at InternalRow granularity: an IDENTITY grouped map over
+            # these 105k x 1024 rows measured ~50 s where the same
+            # bytes through mapInArrow cost 3.2 s.
+            bl = list(batches)
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            n = tbl.num_rows
+            if n == 0:
+                return
+            X = _pa_matrix(tbl.column(col_idx[vec_name]), dtype=np.float32)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Xn = X / norms
+            cl = tbl.column(col_idx["cluster"]).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            cs = tbl.column(col_idx["cent_sim"]).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ids = tbl.column(col_idx[id_name]).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            drop = np.zeros(n, dtype=bool)
+            order = np.argsort(cl, kind="stable")
+            bounds = np.flatnonzero(np.diff(cl[order])) + 1
+            thr32 = np.float32(thr)
+            block = 2048
+            for g in np.split(order, bounds):
+                if len(g) <= 1:
+                    continue
+                # sort the cluster by (cent_sim ASC, id ASC): x is
+                # dominated iff SOME EARLIER row is a near-dup, so the
+                # dominance test collapses to a lower-triangle index
+                # mask and each sgemm strip only needs columns up to
+                # its own end — half the flops of the full square, and
+                # no float comparisons in the inner loop
+                m = len(g)
+                srt = g[np.lexsort((ids[g], cs[g]))]
+                Xg = Xn[srt]
+                dropped_g = np.zeros(m, dtype=bool)
+                for s in range(0, m, block):
+                    b = min(block, m - s)
+                    strip = Xg[s : s + b]
+                    hit = np.zeros(b, dtype=bool)
+                    if s:
+                        # columns < s are earlier than every strip
+                        # row: no mask needed
+                        hit = (strip @ Xg[:s].T >= thr32).any(axis=1)
+                    diag = strip @ strip.T  # (b, b) within-strip block
+                    tri = np.arange(b)
+                    hit |= (
+                        (diag >= thr32) & (tri[None, :] < tri[:, None])
+                    ).any(axis=1)
+                    dropped_g[s : s + b] = hit
+                drop[srt] = dropped_g
+            for rb in tbl.filter(pa.array(~drop)).to_batches():
+                yield rb
+
+        # spread clusters over ~8x more hash buckets than clusters so
+        # two clusters rarely share a task; empty partitions cost
+        # nothing
+        return staged.repartition(n_parts, F.col("cluster")).mapInArrow(
+            _per_partition, staged.schema
+        )
+
+    # r17 strip-parallel path (default): rank rows within their
+    # cluster by the dominance order, replicate each row to its own
+    # strip (member) plus every later strip (context), and run each
+    # strip's two BLAS calls — identical to the monolithic block
+    # loop's calls for that strip — in its own task. See the
+    # docstring's STRIP PARALLELISM note for the value-identity
+    # argument and the duplication trade.
+    if strip_rows < 2:
+        raise ValueError(f"strip_rows must be >= 2, got {strip_rows}")
+    S = int(strip_rows)
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.asc("cent_sim"), F.asc(id_col)
+    )
+    w_all = Window.partitionBy("cluster")
+    ranked = staged.select(
+        "*",
+        (F.row_number().over(w_rank) - 1).alias("__rank"),
+        F.count(F.lit(1)).over(w_all).alias("__csize"),
+    )
+    member_strip = (F.col("__rank") / F.lit(S)).cast("int")
+    n_strips = F.ceil(F.col("__csize") / F.lit(float(S))).cast("int")
+    exploded = ranked.select(
+        *[f.name for f in staged.schema.fields],
+        "__rank",
+        F.explode(
+            F.sequence(member_strip, n_strips - F.lit(1))
+        ).alias("__strip"),
+    )
+    col_idx = {f.name: j for j, f in enumerate(exploded.schema.fields)}
+    out_names = [f.name for f in staged.schema.fields]
+
+    def _per_strip(batches):
         import pyarrow as pa
 
         from .search import _pa_matrix
 
-        # one partition holds WHOLE clusters (hash repartition on the
-        # cluster id below), so buffering it bounds task memory at
-        # partition bytes ~ max cluster bytes. mapInArrow is used
-        # instead of groupBy().applyInArrow because
-        # FlatMapGroupsInArrowExec converts array columns per group at
-        # InternalRow granularity: an IDENTITY grouped map over these
-        # 105k x 1024 rows measured ~50 s where the same bytes through
-        # mapInArrow cost 3.2 s.
         bl = list(batches)
         if not bl:
             return
@@ -1740,58 +1866,46 @@ def semdedup(
         cl = tbl.column(col_idx["cluster"]).combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        cs = tbl.column(col_idx["cent_sim"]).combine_chunks().to_numpy(
+        st = tbl.column(col_idx["__strip"]).combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        ids = tbl.column(col_idx[id_name]).combine_chunks().to_numpy(
+        rk = tbl.column(col_idx["__rank"]).combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        drop = np.zeros(n, dtype=bool)
-        order = np.argsort(cl, kind="stable")
-        bounds = np.flatnonzero(np.diff(cl[order])) + 1
+        keep = np.zeros(n, dtype=bool)
+        order = np.lexsort((rk, st, cl))
+        cls, sts = cl[order], st[order]
+        bounds = (
+            np.flatnonzero((np.diff(cls) != 0) | (np.diff(sts) != 0)) + 1
+        )
         thr32 = np.float32(thr)
-        block = 2048
         for g in np.split(order, bounds):
-            if len(g) <= 1:
+            strip_id = int(st[g[0]])
+            is_member = rk[g] >= strip_id * S
+            mem = g[is_member]
+            b = len(mem)
+            if b == 0:
                 continue
-            # sort the cluster by (cent_sim ASC, id ASC): x is
-            # dominated iff SOME EARLIER row is a near-dup, so the
-            # dominance test collapses to a lower-triangle index mask
-            # and each sgemm strip only needs columns up to its own
-            # end — half the flops of the full square, and no float
-            # comparisons in the inner loop
-            m = len(g)
-            srt = g[np.lexsort((ids[g], cs[g]))]
-            Xg = Xn[srt]
-            dropped_g = np.zeros(m, dtype=bool)
-            for s in range(0, m, block):
-                b = min(block, m - s)
-                strip = Xg[s : s + b]
-                hit = np.zeros(b, dtype=bool)
-                if s:
-                    # columns < s are earlier than every strip row:
-                    # no mask needed
-                    hit = (strip @ Xg[:s].T >= thr32).any(axis=1)
-                diag = strip @ strip.T  # (b, b) within-strip block
-                tri = np.arange(b)
-                hit |= (
-                    (diag >= thr32) & (tri[None, :] < tri[:, None])
-                ).any(axis=1)
-                dropped_g[s : s + b] = hit
-            drop[srt] = dropped_g
-        for rb in tbl.filter(pa.array(~drop)).to_batches():
+            strip = Xn[mem]  # g is rank-sorted, so mem is too
+            hit = np.zeros(b, dtype=bool)
+            ctx = g[~is_member]
+            if len(ctx):
+                # every context row ranks before every member row —
+                # same call as the monolithic strip-vs-prefix sgemm
+                hit = (strip @ Xn[ctx].T >= thr32).any(axis=1)
+            diag = strip @ strip.T  # (b, b) within-strip block
+            tri = np.arange(b)
+            hit |= (
+                (diag >= thr32) & (tri[None, :] < tri[:, None])
+            ).any(axis=1)
+            keep[mem[~hit]] = True
+        out = tbl.filter(pa.array(keep)).select(out_names)
+        for rb in out.to_batches():
             yield rb
 
-    # spread clusters over ~8x more hash buckets than clusters so two
-    # clusters rarely share a task (hash(cluster) % 32 packed 3-4
-    # clusters per task and the straggler WAS the wall: measured 20 s
-    # vs ~3 s of balanced work); empty partitions cost nothing
-    n_parts = max(
-        8 * len(cent), df.sparkSession.sparkContext.defaultParallelism
-    )
-    return staged.repartition(n_parts, F.col("cluster")).mapInArrow(
-        _per_partition, staged.schema
-    )
+    return exploded.repartition(
+        n_parts, F.col("cluster"), F.col("__strip")
+    ).mapInArrow(_per_strip, staged.schema)
 
 
 def _minhash_est_expr(a_sig, b_sig, num_perm: int):

@@ -839,8 +839,16 @@ def _spread_sample(
                 taken += rb.num_rows
 
         base = base.mapInArrow(_heads, base.schema)
-    sample = base.limit(train_cap).collect()
-    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    # r17: Arrow transfer instead of row collect — the pickled-row
+    # path materialized train_cap × dim Python floats (measured ~1 s
+    # extra at 1000 × 1024 on the semdedup bench fixture); same rows in
+    # the same deterministic CollectLimit order, so the trained
+    # centroids are unchanged (asserted in tests).
+    tbl = base.limit(train_cap).toArrow()
+    if tbl.num_rows == 0:
+        X = np.zeros((0, 0), dtype=np.float64)
+    else:
+        X = _pa_matrix(tbl.column(0), dtype=np.float64)
     if len(X) == 0:
         raise ValueError(
             "empty training sample — corpus empty or train_fraction too small"

@@ -710,6 +710,37 @@ def test_semdedup_deterministic(spark):
     assert a == b and len(a) >= 1
 
 
+def test_semdedup_strip_parallel_matches_monolithic(spark):
+    """r17: the strip-parallel dominance path (rank-aligned strips,
+    one task per (cluster, strip)) must keep the exact survivor set of
+    the single-task-per-cluster shape. strip_rows=8 forces multi-strip
+    clusters even on this small fixture."""
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(300)
+    )
+    # plant exact duplicates so the dominance test provably fires
+    dups = base.limit(50).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    df = base.select("vec_id", "embedding").unionByName(dups)
+    mono = sorted(
+        r["vec_id"]
+        for r in semdedup(
+            df, n_clusters=4, eps=0.2, seed=42, strip_rows=None
+        ).collect()
+    )
+    strip = sorted(
+        r["vec_id"]
+        for r in semdedup(
+            df, n_clusters=4, eps=0.2, seed=42, strip_rows=8
+        ).collect()
+    )
+    assert mono == strip and 1 <= len(strip) < 350
+
+
 def test_null_text_joins_empty_string_class_both_hash_modes(spark):
     """NULL-text docs hash like empty-text docs in BOTH hash modes
     (r12 ADVICE): the md5 spelling always had word_ngrams(NULL) ==
