@@ -139,46 +139,78 @@ def simhash_from_hashes(
     return packed.view(np.int64).reshape(-1)
 
 
-def minhash_sig_udf(num_perm: int):
-    """Arrow-native scalar UDF: list<int64> shingle-hash sets ->
-    list<int64> minhash signatures (len ``num_perm``), value-identical
-    to the 64-transform HOF spelling in ``minhash_signatures``.
+def ngram_compose(
+    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray, n: int
+):
+    """Composed n-gram hashes over flattened per-doc word-hash arrays,
+    bit-exact to the staged native spelling in ``_hashed_shingle_sets``
+    (per position p: seed-chain ``hashLong`` over word hashes
+    p..p+n-1, clipped at the doc end — Spark's ``xxhash64(a, b, c)``
+    with NULL tail positions skipped). Returns
+    ``(composed uint64 flat array, npos int64 per-doc counts)`` where
+    ``npos = max(len - (n-1), 1)``."""
+    m = len(vals)
+    v = vals.astype(np.uint64, copy=False)
+    pos = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    cnt = np.repeat(counts, counts)
+    h = xxh64_long(v, SEED)
+    for k in range(1, n):
+        valid = pos + k < cnt
+        shifted = np.empty_like(v)
+        shifted[: m - k] = v[k:]
+        shifted[m - k :] = 0
+        h = np.where(valid, xxh64_long(shifted, h), h)
+    npos = np.maximum(counts - (n - 1), 1)
+    keep = pos < np.maximum(cnt - (n - 1), 1)
+    return h[keep], npos
 
-    Only the ``__shs`` column crosses the Python boundary; rows whose
-    shingle set is NULL or empty (never produced by
-    ``_hashed_shingle_sets``, guarded anyway) get a NULL signature.
-    """
+
+def minhash_sig_from_words_udf(num_perm: int, n: int):
+    """Arrow-native scalar UDF: list<int64> per-doc WORD hashes ->
+    list<int64> minhash signatures. Fuses the n-gram composition
+    (``ngram_compose``) with the permutation mins, skipping the
+    ``array_distinct`` the native spelling needs — a min over the
+    composed multiset equals the min over the distinct set, so the
+    signatures are value-identical to
+    ``array_min(transform(array_distinct(composed), xxhash64(s, i)))``
+    (pinned against the native spelling in tests)."""
 
     @F.arrow_udf(T.ArrayType(T.LongType()))
-    def mh_sigs(shs: pa.Array) -> pa.Array:
-        if isinstance(shs, pa.ChunkedArray):
-            shs = shs.combine_chunks()
-        n = len(shs)
-        if n == 0:
+    def mh_sigs_w(wh: pa.Array) -> pa.Array:
+        if isinstance(wh, pa.ChunkedArray):
+            wh = wh.combine_chunks()
+        nrows = len(wh)
+        if nrows == 0:
             return pa.array([], type=pa.list_(pa.int64()))
-        vals, starts, counts = list_array_segments(shs)
+        vals, starts, counts = list_array_segments(wh)
         ok = counts > 0
-        if shs.null_count:
-            ok &= ~np.asarray(shs.is_null())
+        if wh.null_count:
+            ok &= ~np.asarray(wh.is_null())
         if ok.all():
-            sig = minhash_sig_matrix(vals, starts, num_perm)
+            comp, npos = ngram_compose(vals, starts, counts, n)
+            starts2 = np.zeros(nrows, dtype=np.int64)
+            np.cumsum(npos[:-1], out=starts2[1:])
+            sig = minhash_sig_matrix(comp.view(np.int64), starts2, num_perm)
             offsets = pa.array(
-                np.arange(n + 1, dtype=np.int64) * num_perm,
+                np.arange(nrows + 1, dtype=np.int64) * num_perm,
                 type=pa.int64(),
             )
             return pa.LargeListArray.from_arrays(
                 offsets, pa.array(sig.reshape(-1), type=pa.int64())
             ).cast(pa.list_(pa.int64()))
-        out: list[list[int] | None] = [None] * n
-        if ok.any():
-            sig = minhash_sig_matrix(
-                vals, starts[ok], num_perm
+        # rare defensive path (NULL/empty word lists): per-row
+        out: list[list[int] | None] = [None] * nrows
+        one = np.zeros(1, dtype=np.int64)
+        for j in np.flatnonzero(ok):
+            s, c = int(starts[j]), int(counts[j])
+            comp, _ = ngram_compose(
+                vals[s : s + c], one, np.array([c], dtype=np.int64), n
             )
-            for j, row in zip(np.flatnonzero(ok), sig):
-                out[j] = row.tolist()
+            sig = minhash_sig_matrix(comp.view(np.int64), one, num_perm)
+            out[j] = sig[0].tolist()
         return pa.array(out, type=pa.list_(pa.int64()))
 
-    return mh_sigs
+    return mh_sigs_w
 
 
 def simhash_udf():

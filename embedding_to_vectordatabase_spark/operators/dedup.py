@@ -223,6 +223,19 @@ def shingle_postings(
     )
 
 
+def _word_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, __wh array<long>) — per-doc word xxhash64 array, the
+    shared first stage of ``_hashed_shingle_sets`` and the r17 fused
+    minhash kernel (one definition so NULL/empty-text semantics cannot
+    diverge: NULL text coalesces to "" before hashing, see
+    ``_hashed_shingle_sets``)."""
+    words = F.split(
+        normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+    )
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    return df.select(F.col(id_col).alias("doc_id"), wh.alias("__wh"))
+
+
 def _hashed_shingle_sets(
     df: DataFrame,
     text_col: str,
@@ -260,11 +273,7 @@ def _hashed_shingle_sets(
     NULL docs a duplicate class DISJOINT from empty docs and silently
     divergent from the md5 spelling.
     """
-    words = F.split(
-        normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
-    )
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    pre = df.select(F.col(id_col).alias("doc_id"), wh.alias("__wh"))
+    pre = _word_hashes(df, text_col, id_col)
     comp = F.transform(
         F.sequence(
             F.lit(1),
@@ -455,14 +464,24 @@ def minhash_signatures(
 
     df = ensure_parallelism(df)
     if hash_fn == "xxhash64":
-        staged = _hashed_shingle_sets(df, text_col, id_col, n)
         if kernel:
-            from ..functions.hashkernel import minhash_sig_udf
+            # fused kernel: n-gram composition + permutation mins in
+            # one Arrow pass over the word-hash arrays. The composed
+            # n-gram transform and array_distinct are interpreted HOFs
+            # too, and a min over the composed MULTISET equals the min
+            # over the distinct set — so the distinct is skipped
+            # outright and the signatures stay value-identical to the
+            # native spelling (pinned in tests/test_hashkernel.py).
+            from ..functions.hashkernel import minhash_sig_from_words_udf
 
-            return staged.select(
+            pre = _word_hashes(df, text_col, id_col)
+            return pre.select(
                 "doc_id",
-                minhash_sig_udf(num_perm)(F.col("__shs")).alias("sig"),
+                minhash_sig_from_words_udf(num_perm, n)(
+                    F.col("__wh")
+                ).alias("sig"),
             )
+        staged = _hashed_shingle_sets(df, text_col, id_col, n)
     elif hash_fn == "md5":
         staged = df.select(
             F.col(id_col).alias("doc_id"),
