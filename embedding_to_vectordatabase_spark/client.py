@@ -160,9 +160,13 @@ class VectorCollectionClient:
     ) -> DataFrame:
         """ANN over the code store with exact refine on the collection
         (milvus_connector.py:167-178: query vectors in, top_k hits
-        with output fields out). ``expr`` is the reference's
-        Milvus-style boolean filter (the search-param dict's ``expr``
-        key, milvus_connector.py:167-178 — the P10 expression surface):
+        with output fields out). ``expr`` fills the role of the
+        search-param ``expr`` key in the reference's client surface
+        (milvus_connector.py:167-178) but is evaluated as a SPARK SQL
+        boolean predicate over the collection's columns — NOT the
+        Milvus expression grammar (e.g. write
+        ``file_id IN (1, 2)``, not ``file_id in [1, 2]``; the
+        reference's own search() never actually passes an expr):
         it derives the allowed id set from the COLLECTION before the
         ANN call, so the pre-filter rides the scalar ``allowed_ids``
         plumbing (broadcast left-semi into the code scan BEFORE

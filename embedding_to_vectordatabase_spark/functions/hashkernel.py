@@ -12,7 +12,7 @@ compute the *identical integer values* (Spark's XXH64 variant,
 seed-chained exactly like the ``xxhash64(...)`` expression) so every
 downstream result — band buckets, est_jaccard, survivor sets — is
 bit-for-bit unchanged; equivalence is asserted against the native
-expression spelling in tests/test_dedup.py.
+expression spellings in tests/test_hashkernel.py.
 
 Spark's XXH64 (sql/catalyst XXH64.java) hashes multi-argument calls by
 seed-chaining: ``xxhash64(a, b)`` = ``hash(b, seed=hash(a, seed=42))``,
@@ -140,29 +140,166 @@ def simhash_from_hashes(
 
 
 def ngram_compose(
-    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray, n: int
+    vals: np.ndarray,
+    starts: np.ndarray,
+    counts: np.ndarray,
+    n: int,
+    min_one: bool = True,
 ):
     """Composed n-gram hashes over flattened per-doc word-hash arrays,
     bit-exact to the staged native spelling in ``_hashed_shingle_sets``
     (per position p: seed-chain ``hashLong`` over word hashes
     p..p+n-1, clipped at the doc end — Spark's ``xxhash64(a, b, c)``
     with NULL tail positions skipped). Returns
-    ``(composed uint64 flat array, npos int64 per-doc counts)`` where
-    ``npos = max(len - (n-1), 1)``."""
-    m = len(vals)
+    ``(composed uint64 flat array, npos int64 per-doc counts)``.
+
+    ``min_one=True`` (the minhash/simhash whole-text-shingle rule)
+    floors ``npos`` at 1 so short docs still emit one clipped hash;
+    ``min_one=False`` (the dedup_substrings rule) emits ZERO grams for
+    docs shorter than ``n`` words.
+
+    Gather form: work is O(n × valid positions), not O(n × words) —
+    at n=50 over short documents most word positions start no gram,
+    and the first shift-based spelling paid the full word count per
+    chain step anyway (measured slower than the interpreted native
+    transform on exactly that shape)."""
     v = vals.astype(np.uint64, copy=False)
-    pos = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
-    cnt = np.repeat(counts, counts)
-    h = xxh64_long(v, SEED)
+    floor = 1 if min_one else 0
+    npos = np.maximum(counts - (n - 1), floor)
+    total = int(npos.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), npos
+    doc_of = np.repeat(np.arange(len(starts), dtype=np.int64), npos)
+    pstarts = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(npos[:-1], out=pstarts[1:])
+    # position index within vals: starts[doc] + offset-in-doc
+    pidx = (
+        np.arange(total, dtype=np.int64)
+        - pstarts[doc_of]
+        + starts[doc_of]
+    )
+    ends_rep = (starts + counts)[doc_of]
+    h = xxh64_long(v[pidx], SEED)
     for k in range(1, n):
-        valid = pos + k < cnt
-        shifted = np.empty_like(v)
-        shifted[: m - k] = v[k:]
-        shifted[m - k :] = 0
-        h = np.where(valid, xxh64_long(shifted, h), h)
-    npos = np.maximum(counts - (n - 1), 1)
-    keep = pos < np.maximum(cnt - (n - 1), 1)
-    return h[keep], npos
+        src = pidx + k
+        valid = src < ends_rep
+        if valid.all():
+            h = xxh64_long(v[src], h)
+        else:
+            # clipped short-doc tails (min_one floor): hash only the
+            # in-bounds words, exactly the NULL-skip of the native
+            # chained xxhash64
+            h = np.where(
+                valid, xxh64_long(v[np.where(valid, src, pidx)], h), h
+            )
+    return h, npos
+
+
+def ngram_hashes_udf(n: int):
+    """Arrow-native scalar UDF: list<int64> per-doc word hashes ->
+    list<int64> POSITION-PRESERVING composed n-gram hashes (empty for
+    docs shorter than n words) — the dedup_substrings gram relation,
+    value-identical to the native
+    ``transform(sequence(1, n_grams), xxhash64(wh[i..i+n-1]))``
+    spelling whose per-position chain of ``n`` interpreted hashes was
+    the map-side hot term at n=50."""
+
+    @F.arrow_udf(T.ArrayType(T.LongType()))
+    def gram_hashes(wh: pa.Array) -> pa.Array:
+        if isinstance(wh, pa.ChunkedArray):
+            wh = wh.combine_chunks()
+        nrows = len(wh)
+        if nrows == 0:
+            return pa.array([], type=pa.list_(pa.int64()))
+        vals, starts, counts = list_array_segments(wh)
+        if wh.null_count == 0:
+            comp, npos = ngram_compose(
+                vals, starts, counts, n, min_one=False
+            )
+            offsets = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(npos, out=offsets[1:])
+            return pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()),
+                pa.array(comp.view(np.int64), type=pa.int64()),
+            ).cast(pa.list_(pa.int64()))
+        out: list[list[int] | None] = [None] * nrows
+        null_mask = np.asarray(wh.is_null())
+        one = np.zeros(1, dtype=np.int64)
+        for j in range(nrows):
+            if null_mask[j]:
+                continue
+            s, c = int(starts[j]), int(counts[j])
+            comp, _ = ngram_compose(
+                vals[s : s + c],
+                one,
+                np.array([c], dtype=np.int64),
+                n,
+                min_one=False,
+            )
+            out[j] = comp.view(np.int64).tolist()
+        return pa.array(out, type=pa.list_(pa.int64()))
+
+    return gram_hashes
+
+
+def _segment_unique(vals: np.ndarray, seg_ids: np.ndarray):
+    """(unique values, unique seg_ids) — per-segment distinct of a
+    flattened array, vectorized via one lexsort (set semantics only;
+    order within a segment is NOT preserved)."""
+    order = np.lexsort((vals, seg_ids))
+    sv = vals[order]
+    sg = seg_ids[order]
+    first = np.ones(len(sv), dtype=bool)
+    first[1:] = (sv[1:] != sv[:-1]) | (sg[1:] != sg[:-1])
+    return sv[first], sg[first]
+
+
+def simhash_from_words_udf(n: int):
+    """Arrow-native scalar UDF: list<int64> per-doc word hashes ->
+    int64 simhash. Fuses n-gram composition, the per-doc DISTINCT
+    (simhash votes count distinct shingles — unlike minhash, the
+    distinct matters here) and the 64-bit majority vote into one
+    vectorized pass; value-identical to
+    ``simhash_signatures(kernel=False)`` (pinned in tests)."""
+
+    @F.arrow_udf(T.LongType())
+    def sh_sig_w(wh: pa.Array) -> pa.Array:
+        if isinstance(wh, pa.ChunkedArray):
+            wh = wh.combine_chunks()
+        nrows = len(wh)
+        if nrows == 0:
+            return pa.array([], type=pa.int64())
+        vals, starts, counts = list_array_segments(wh)
+        ok = counts > 0
+        if wh.null_count:
+            ok &= ~np.asarray(wh.is_null())
+        if ok.all():
+            comp, npos = ngram_compose(vals, starts, counts, n)
+            seg_ids = np.repeat(
+                np.arange(nrows, dtype=np.int64), npos
+            )
+            uv, ug = _segment_unique(comp.view(np.int64), seg_ids)
+            ustarts = np.zeros(nrows, dtype=np.int64)
+            ucounts = np.bincount(ug, minlength=nrows).astype(np.int64)
+            np.cumsum(ucounts[:-1], out=ustarts[1:])
+            return pa.array(
+                simhash_from_hashes(uv, ustarts, ucounts),
+                type=pa.int64(),
+            )
+        res = np.zeros(nrows, dtype=np.int64)
+        one = np.zeros(1, dtype=np.int64)
+        for j in np.flatnonzero(ok):
+            s, c = int(starts[j]), int(counts[j])
+            comp, _ = ngram_compose(
+                vals[s : s + c], one, np.array([c], dtype=np.int64), n
+            )
+            u = np.unique(comp.view(np.int64))
+            res[j] = simhash_from_hashes(
+                u, one, np.array([len(u)], dtype=np.int64)
+            )[0]
+        return pa.array(res, type=pa.int64(), mask=~ok)
+
+    return sh_sig_w
 
 
 def minhash_sig_from_words_udf(num_perm: int, n: int):
@@ -211,37 +348,6 @@ def minhash_sig_from_words_udf(num_perm: int, n: int):
         return pa.array(out, type=pa.list_(pa.int64()))
 
     return mh_sigs_w
-
-
-def simhash_udf():
-    """Arrow-native scalar UDF: list<int64> shingle-hash sets ->
-    int64 simhash, value-identical to the lane-packed aggregate()
-    spelling in ``simhash_signatures`` (xxhash64 mode, bits=64)."""
-
-    @F.arrow_udf(T.LongType())
-    def sh_sig(hs: pa.Array) -> pa.Array:
-        if isinstance(hs, pa.ChunkedArray):
-            hs = hs.combine_chunks()
-        n = len(hs)
-        if n == 0:
-            return pa.array([], type=pa.int64())
-        vals, starts, counts = list_array_segments(hs)
-        ok = counts > 0
-        if hs.null_count:
-            ok &= ~np.asarray(hs.is_null())
-        if ok.all():
-            return pa.array(
-                simhash_from_hashes(vals, starts, counts),
-                type=pa.int64(),
-            )
-        res = np.zeros(n, dtype=np.int64)
-        if ok.any():
-            res[ok] = simhash_from_hashes(
-                vals, starts[ok], counts[ok]
-            )
-        return pa.array(res, type=pa.int64(), mask=~ok)
-
-    return sh_sig
 
 
 def list_array_segments(arr):

@@ -1065,11 +1065,13 @@ def simhash_signatures(
     """(doc_id, simhash long): per shingle take a 64-bit hash, each bit
     votes +1/-1, sign of the vote sum per bit position. Native exprs:
     explode → per-bit conditional sums → bit reassembly. r17: the
-    xxhash64/bits=64 path runs the vote fold as one vectorized Arrow
-    kernel (``functions.hashkernel.simhash_udf``) — the 32 lane-packed
-    ``aggregate()`` folds are interpreted per element; the kernel
-    computes the identical integer votes (equivalence asserted in
-    tests), ``kernel=False`` keeps the native spelling.
+    xxhash64/bits=64 path fuses n-gram composition, the per-doc
+    distinct and the vote fold into one vectorized Arrow kernel
+    (``functions.hashkernel.simhash_from_words_udf``) — the 32
+    lane-packed ``aggregate()`` folds and the composed-shingle
+    ``transform`` are interpreted per element; the kernel computes the
+    identical integer votes (equivalence asserted in tests),
+    ``kernel=False`` keeps the native spelling.
 
     Bit 63 is assembled with shiftleft so it lands in the long's sign
     bit (the fingerprint is an opaque 64-bit pattern — a negative
@@ -1106,16 +1108,21 @@ def simhash_signatures(
             ).alias("__hs"),
         )
     elif hash_fn == "xxhash64":
+        if kernel and bits == 64:
+            # fused kernel: n-gram composition + per-doc distinct +
+            # 64-bit majority vote in one Arrow pass over the
+            # word-hash arrays (value-identical; see hashkernel)
+            from ..functions.hashkernel import simhash_from_words_udf
+
+            return _word_hashes(df, text_col, id_col).select(
+                "doc_id",
+                simhash_from_words_udf(n)(F.col("__wh")).alias(
+                    "simhash"
+                ),
+            )
         staged = _hashed_shingle_sets(
             df, text_col, id_col, n
         ).withColumnRenamed("__shs", "__hs")
-        if kernel and bits == 64:
-            from ..functions.hashkernel import simhash_udf
-
-            return staged.select(
-                "doc_id",
-                simhash_udf()(F.col("__hs")).alias("simhash"),
-            )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use xxhash64|md5")
     # Per-bit ±1 votes reduce to set-bit counts: vote_i > 0 ⇔ 2c_i > n.
@@ -1512,21 +1519,27 @@ def dedup_substrings(
         # this spelling on the 100k r12 profile, identical distinct-
         # gram structure). Collision class unchanged: two different
         # grams collide only through 64-bit composition, ~n²/2⁶⁵.
+        # r17: the per-position chain of W interpreted hashLongs moves
+        # into the vectorized Arrow kernel (ngram_hashes_udf) — the
+        # native transform spelling evaluated W=50 seed-chained
+        # xxhash64 children per position in interpreted HOF mode;
+        # gram values and positions are bit-identical (variant
+        # equivalence test + md5-oracle parity unchanged).
+        from ..functions.hashkernel import ngram_hashes_udf
+
         sized = staged.select(
             "doc_id",
             "__toks",
             F.transform(
                 F.col("__toks"), lambda w: F.xxhash64(w)
             ).alias("__wh"),
-            (F.size("__toks") - F.lit(W - 1)).alias("n_grams"),
         )
-
-        def _gram_hash(i):
-            return F.xxhash64(
-                *[F.element_at(F.col("__wh"), i + k) for k in range(W)]
-            )
-
-        empty_t = "array<bigint>"
+        occ = sized.select(
+            "doc_id",
+            F.posexplode(
+                ngram_hashes_udf(W)(F.col("__wh"))
+            ).alias("p0", "h"),
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
     else:
         # md5 keeps the joined-string spelling: DuckDB evaluates
         # md5(concat) identically, so oracle first-occurrence
@@ -1535,14 +1548,15 @@ def dedup_substrings(
         def _gram_hash(i):
             return F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, W)))
 
-        empty_t = "array<string>"
-    grams = F.when(
-        F.col("n_grams") >= 1,
-        F.transform(F.sequence(F.lit(1), F.col("n_grams")), _gram_hash),
-    ).otherwise(F.array().cast(empty_t))
-    occ = sized.select(
-        "doc_id", F.posexplode(grams).alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+        grams = F.when(
+            F.col("n_grams") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_grams")), _gram_hash
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        occ = sized.select(
+            "doc_id", F.posexplode(grams).alias("p0", "h")
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
     dup_starts = (
         occ.withColumn("__rn", F.row_number().over(w))

@@ -216,15 +216,19 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Pixel-plane decode of COMPRESSED images requires PIL/opencv —
-    not in this container. Uncompressed 24-bit BMP has a real
-    in-container path (``decode_bmp_pixels``: raw BGR bytes, no
-    codec); header metadata likewise (``decode_image``)."""
+    """JPEG pixel-plane decode requires PIL/opencv — not in this
+    container. Every OTHER image format in the corpus has a REAL
+    in-container pixel path: ``decode_bmp_pixels`` (uncompressed
+    24-bit BMP), ``decode_png_pixels`` (8-bit PNG incl. Adam7),
+    ``decode_gif_pixels`` (GIF87a/89a incl. interlaced); header
+    metadata via ``decode_image``; WAV sample stats on the audio leg
+    via ``decode_wav_samples``."""
     raise NotImplementedError(
-        "compressed pixel decode needs PIL/opencv on the cluster; "
-        "use decode_bmp_pixels (exact, uncompressed 24-bit BMP), "
-        "decode_image (header parse) or extract_media_features "
-        "(deterministic fake) for plumbing tests"
+        "JPEG pixel decode needs PIL/opencv on the cluster; use "
+        "decode_bmp_pixels / decode_png_pixels / decode_gif_pixels "
+        "(exact in-container decoders), decode_image (header parse) "
+        "or extract_media_features (deterministic fake) for plumbing "
+        "tests"
     )
 
 
@@ -348,8 +352,8 @@ _ADAM7 = (
 
 
 def parse_png_pixels(payload: bytes):
-    """(n_pixels, sum_r, sum_g, sum_b, max_channel) decoded from a
-    non-interlaced 8-bit PNG — a FULL pixel decode with only stdlib
+    """(n_pixels, sum_r, sum_g, sum_b, max_channel) decoded from an
+    8-bit PNG (interlace 0 or Adam7) — a FULL pixel decode with stdlib
     zlib + the spec's filter arithmetic, no codec library (the BMP
     recipe extended to the compressed format every real image corpus
     actually contains):
@@ -371,9 +375,13 @@ def parse_png_pixels(payload: bytes):
       alpha is excluded — brightness stats, not compositing).
 
     Decompression is byte-budgeted: the declared w*h implies the
-    exact raw size h*(1+stride); ``zlib.decompress`` is capped there,
-    so a zip-bomb payload cannot balloon memory past its own header's
-    claim (and the header ints are bounded first)."""
+    exact raw size, and a ``zlib.decompressobj`` with ``max_length``
+    HARD-caps the output there (r17 ADVICE fix: ``zlib.decompress``'s
+    ``bufsize`` is only the initial buffer size, not a cap — a
+    zip-bomb with a small declared w*h could still balloon memory).
+    A stream that produces fewer bytes than the budget OR leaves
+    unconsumed compressed input at the cap (a well-formed PNG's IDAT
+    stream inflates to exactly the budget) returns the NULL row."""
     import zlib
 
     b = bytes(payload)
@@ -410,10 +418,20 @@ def parse_png_pixels(payload: bytes):
                 passes.append((wp, hp))
     want = sum(hp * (1 + wp * nch) for wp, hp in passes)
     try:
-        raw = zlib.decompress(bytes(idat), bufsize=want)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), want)
+        if len(raw) < want:
+            return None, None, None, None, None
+        if not d.eof:
+            # the cap can land exactly on the end-of-stream marker of
+            # a well-formed image — give the trailer one chance to
+            # finish WITHOUT producing more pixels; any extra byte is
+            # an over-budget (zip-bomb) stream, and a stream that
+            # still hasn't ended is truncated/malformed
+            extra = d.decompress(d.unconsumed_tail, 1)
+            if extra or not d.eof:
+                return None, None, None, None, None
     except Exception:  # noqa: BLE001 — corrupt stream => NULL row
-        return None, None, None, None, None
-    if len(raw) < want:
         return None, None, None, None, None
     tot = np.zeros(nch, dtype=np.int64)
     mx = 0
@@ -728,7 +746,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_px: int):
 
 def parse_gif_pixels(payload: bytes):
     """(n_pixels, sum_r, sum_g, sum_b, max_channel) decoded from the
-    FIRST image of a non-interlaced GIF87a/89a — a full pixel decode
+    FIRST image of a GIF87a/89a (interlaced or not) — a full pixel decode
     with the pure spec machinery (LSB-first variable-width LZW +
     palette lookup), no codec library:
 
@@ -825,11 +843,12 @@ def parse_gif_pixels(payload: bytes):
 def decode_gif_pixels(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """Pixel-plane decode for non-interlaced GIF — a FULL in-container
+    """Pixel-plane decode for GIF87a/89a — a FULL in-container
     decode (spec LZW + palette arithmetic, see ``parse_gif_pixels``):
     appends the same (n_pixels, sum_r, sum_g, sum_b, max_channel)
-    columns as the BMP/PNG kernels. Unsupported variants (interlaced,
-    missing palette) and malformed streams get NULLs, rows survive.
+    columns as the BMP/PNG kernels. Interlaced images decode too (the
+    row permutation is stats-invariant); unsupported variants
+    (missing palette) and malformed streams get NULLs, rows survive.
     MAP-ONLY mapInPandas; payload bytes never shuffle."""
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -868,12 +887,12 @@ def decode_gif_pixels(
 def decode_png_pixels(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """Pixel-plane decode for non-interlaced 8-bit PNG — a FULL
-    in-container decode (stdlib zlib + spec filter arithmetic, see
-    ``parse_png_pixels``): appends the same (n_pixels, sum_r, sum_g,
-    sum_b, max_channel) columns as ``decode_bmp_pixels``, so the two
-    formats feed one quality-gate pipeline. Unsupported variants
-    (palette, 16-bit, interlaced) and corrupt streams get NULLs, the
+    """Pixel-plane decode for 8-bit PNG, interlaced (Adam7) or not —
+    a FULL in-container decode (stdlib zlib + spec filter arithmetic,
+    see ``parse_png_pixels``): appends the same (n_pixels, sum_r,
+    sum_g, sum_b, max_channel) columns as ``decode_bmp_pixels``, so
+    the two formats feed one quality-gate pipeline. Unsupported
+    variants (palette, 16-bit) and corrupt streams get NULLs, the
     rows survive. MAP-ONLY mapInPandas; payload bytes never
     shuffle."""
     out_schema = T.StructType(

@@ -233,7 +233,17 @@ def publish(spark, root: str, updates: dict[str, str]) -> None:
 def _gc(spark, root: str, latest_rels: dict[str, str]) -> None:
     """Delete versioned relation dirs no manifest in the grace window
     (latest two generations) references, then trim manifest history.
-    Best-effort: a GC failure never fails the publish."""
+    Best-effort: a GC failure never fails the publish.
+
+    Known gap (documented, r16 ADVICE): only dirs referenced by a
+    RETIRED manifest are swept. A staged ``.v*`` dir whose write
+    completed but whose publish crashed is referenced by NO manifest
+    and is never garbage-collected — each crashed maintenance attempt
+    leaks one relation copy until an operator removes it manually
+    (any ``.v*.parquet`` dir absent from every manifest in
+    ``_manifests/`` is safe to delete once no maintenance job is
+    running). Sweeping unreferenced dirs automatically would race an
+    in-flight stage-then-publish, so it stays manual."""
     try:
         names = _list_manifests(spark, root)
         keep_dirs = set(latest_rels.values())

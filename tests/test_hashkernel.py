@@ -111,6 +111,55 @@ def test_simhash_kernel_identical(corpus):
     assert native == kern
 
 
+def test_ngram_hashes_udf_matches_native_expr(spark, corpus):
+    """The dedup_substrings gram kernel must reproduce the native
+    per-position chained-xxhash64 transform bit-for-bit, including the
+    empty-gram rule for docs shorter than W words."""
+    from embedding_to_vectordatabase_spark.functions.hashkernel import (
+        ngram_hashes_udf,
+    )
+
+    W = 5
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+        ),
+        lambda s: s != "",
+    )
+    staged = corpus.select(
+        F.col("doc_id"),
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("__wh"),
+        (F.size(toks) - F.lit(W - 1)).alias("n_grams"),
+    )
+    native = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_grams") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_grams")),
+                    lambda i: F.xxhash64(
+                        *[
+                            F.element_at(F.col("__wh"), i + k)
+                            for k in range(W)
+                        ]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "h"),
+    )
+    kern = staged.select(
+        "doc_id",
+        F.posexplode(ngram_hashes_udf(W)(F.col("__wh"))).alias(
+            "pos", "h"
+        ),
+    )
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, kern.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_simhash_kernel_respects_md5_and_narrow_bits(corpus):
     # md5 mode and bits<64 must keep the native spelling (the kernel
     # only covers xxhash64/bits=64); smoke-check they still run

@@ -2229,6 +2229,48 @@ def test_parse_png_pixels_roundtrip_and_hostile():
     hostile()
 
 
+def test_parse_png_pixels_zip_bomb_capped():
+    """r17 ADVICE fix: a stream whose declared w*h implies a small raw
+    budget but whose IDAT inflates far past it must return the NULL
+    row WITHOUT materializing the bomb (zlib.decompress's bufsize is
+    only an initial size; the decompressobj max_length path hard-caps
+    output). A well-formed image of the same header still decodes."""
+    import struct
+    import zlib
+
+    from embedding_to_vectordatabase_spark.operators.multimodal import (
+        parse_png_pixels,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    # header claims 2x2 grayscale (want = 2*(1+2) = 6 raw bytes)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb_idat = zlib.compress(b"\x00" * 50_000_000)  # ~48 KB compressed
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_idat)
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png_pixels(bomb) == (None,) * 5
+    good_idat = zlib.compress(bytes([0, 10, 20, 0, 30, 40]))
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", good_idat)
+        + chunk(b"IEND", b"")
+    )
+    n, sr, sg, sb, mx = parse_png_pixels(good)
+    assert (n, sr, sg, sb, mx) == (4, 100, 100, 100, 40)
+
+
 def test_decode_png_pixels_operator(spark):
     from embedding_to_vectordatabase_spark.operators.multimodal import (
         decode_png_pixels,
