@@ -152,6 +152,36 @@ BENCH_NOTES = {
         "encode side moved float32 -> float64 for SQL parity "
         "(sq8 stores carry an 'enc: f64' cache key)."
     ),
+    "cross_round_r17": (
+        "r17 is the first OPTIMIZATION round; four code-path changes "
+        "move timed entries, all value-identical (oracle hash + "
+        "equivalence tests): (1) xxhash64 minhash/simhash/substring "
+        "signature work runs in vectorized Arrow kernels "
+        "(functions/hashkernel.py) instead of interpreted Catalyst "
+        "HOF folds - simhash_pairs ~2.2 -> ~1.0 s, "
+        "minhash_lsh_250k ~5.4 -> ~3.8 s, curate_minhash_250k ~12.0 "
+        "-> ~10.8 s cold-shot / 7.8 -> 6.9 s warm-profile; (2) "
+        "minhash pair scoring moved out of the interpreted bucket- "
+        "expansion lambdas into the post-explode codegen projection; "
+        "(3) semdedup's per-cluster dominance sgemm is strip-parallel "
+        "(the 15k-cluster single-task straggler is gone; on THIS "
+        "box a rigorous interleaved ABAB x3 reads monolithic 13.1 vs "
+        "strip 12.4 s min - concurrent sgemm tasks are aggregate- "
+        "bandwidth-bound locally, so the win here is ~5% and the "
+        "change is kept for the structural scale argument; the "
+        "committed single-shot 15.3 s vs r16's 10.9 is cross-box "
+        "scatter on a known-variable section, NOT a code regression - "
+        "strip_rows=None reproduces the old shape for re-measurement); "
+        "(4) quantizer training "
+        "samples transfer via toArrow (~1 s off every trainer). "
+        "Box-noise context for this round's committed artifact: the "
+        "measurement box's idle CPU probe read 4.5-8.7 ms all "
+        "session against the 1.9-4.0 ms healthy band, and UNTOUCHED "
+        "floor-resident queries (ingest_e2e, chunk_recursive_prod, "
+        "dense_topk_500k) read 1.3x their r16 walls - the r16/r13 "
+        "adjudication pattern; diff touched paths, not the floor "
+        "cohort."
+    ),
     "cross_round_r16": (
         "r16 committed-vs-r15-committed per-query diff (29 common): "
         "five floor-resident queries read 1.28-1.42x (dedup_exact "
