@@ -169,9 +169,11 @@ BENCH_NOTES = {
         "strip 12.4 s min - concurrent sgemm tasks are aggregate- "
         "bandwidth-bound locally, so the win here is ~5% and the "
         "change is kept for the structural scale argument; the "
-        "committed single-shot 15.3 s vs r16's 10.9 is cross-box "
-        "scatter on a known-variable section, NOT a code regression - "
-        "strip_rows=None reproduces the old shape for re-measurement); "
+        "single-shot section read 8.0/13.0/15.3/16.9 s across four "
+        "same-code runs this round - committed artifact carries "
+        "13.0 - so vs r16's 10.9 read box scatter, NOT a code "
+        "regression; strip_rows=None reproduces the old shape for "
+        "re-measurement); "
         "(4) quantizer training "
         "samples transfer via toArrow (~1 s off every trainer). "
         "Box-noise context for this round's committed artifact: the "
