@@ -771,100 +771,120 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass
-        # compact scalars-only line LAST: the driver records a
-        # 2,000-char tail of stdout, which truncates the full line
-        # above mid-JSON — this line is small enough that the tail
-        # always captures it whole
-        print(
-            json.dumps(
-                {
-                    "metric": "total_sec",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "sf": sf,
-                    "n_bench_queries": len(timings),
-                    "bench_vs_baseline": bench_vs_baseline,
-                    "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
-                    "amplified_speedups": {
-                        k: v["spark_speedup_over_duckdb"]
-                        for k, v in scale_amplified.items()
-                        if v.get("spark_speedup_over_duckdb") is not None
-                    },
-                    "floor_amortization_speedups": {
-                        k: v.get("spark_speedup_over_duckdb")
-                        for k, v in floor_amortization.items()
-                    },
-                    "ann_recall_at_5": ann_recall.get("recall_at_5"),
-                    "ann_recall_at_5_boundary": ann_recall.get(
-                        "recall_at_5_boundary"
-                    ),
-                    "ann_mode": ann_recall.get("mode"),
-                    "ann_dim": ann_recall.get("dim"),
-                    "round6_ops_speedups": {
-                        k: v.get("spark_speedup_over_duckdb")
-                        for k, v in round6_ops.items()
-                    },
-                    "quantized_scan": {
-                        "recall_at_5_vs_exact": scale_amplified.get(
-                            "dense_topk_quantized_500k", {}
-                        ).get("recall_at_5_vs_exact"),
-                        "scan_bytes_reduction": scale_amplified.get(
-                            "dense_topk_quantized_500k", {}
-                        ).get("scan_bytes_reduction"),
-                    },
-                    "ingest_chunks_per_s": round(
-                        n_chunks / max(ingest_sec, 1e-9), 1
-                    ),
-                    "stream_ingest_rows_per_s": throughput.get(
-                        "stream_ingest_rows_per_s"
-                    ),
-                    "stream_ingest_chunks_per_s": throughput.get(
-                        "stream_ingest_chunks_per_s"
-                    ),
-                    # x4 amortization + overhead split: full detail in
-                    # stream_ingest_x4 / stream_overhead_decomposition
-                    # of the full line; compact keys kept short so the
-                    # line stays inside the driver's 2,000-char tail
-                    "stream_x2b": throughput.get(
-                        "stream_over_batch_matched_sink"
-                    ),
-                    "stream_x4b": (
-                        throughput.get("stream_ingest_x4") or {}
-                    ).get("stream_over_batch_matched_sink"),
-                    "stream_startup_sec": (
-                        throughput.get("stream_overhead_decomposition")
-                        or {}
-                    ).get("one_time_query_startup_sec"),
-                    "stream_commit_sec": (
-                        throughput.get("stream_overhead_decomposition")
-                        or {}
-                    ).get("per_micro_batch_commit_sec"),
-                    "chunk_prod_250k_docs_per_s": throughput.get(
-                        "chunk_prod_250k_docs_per_s"
-                    ),
-                    "quantized_2m_over_exact": scale_amplified.get(
-                        "dense_topk_quantized_2m", {}
-                    ).get("quant_over_exact"),
-                    # capped: an everything-flagged storm run must not
-                    # push this line past the driver's 2,000-char tail
-                    # and truncate it mid-JSON (full set in the detail
-                    # file / full line above)
-                    "n_steal_flags": len(steal_flags),
-                    "steal_pct_flags": dict(
-                        sorted(
-                            steal_flags.items(),
-                            key=lambda kv: -kv[1],
-                        )[:5]
-                    ),
-                    "n_skipped_sections": len(skipped_sections),
-                    "skipped_sections": dict(
-                        list(skipped_sections.items())[:5]
-                    ),
-                    "calib_outlier": calib.get("outlier"),
-                    "cpu_calibration": calib,
-                }
-            )
-        )
+        # compact line LAST: the driver records a 2,000-char stdout
+        # tail, which truncates the full line above mid-JSON — this
+        # line must always fit the tail whole. r18 (VERDICT r17 item
+        # 2): it now carries the PER-QUERY seconds map — without it
+        # PERF's round-over-round table, regression attribution and
+        # the 8-vs-32-core scaling ratios were all empty (n_common: 0)
+        # — and drops the floor_amortization/round6_ops speedup dicts
+        # plus the raw calibration probes to pay for it (all still in
+        # the full line / BENCH_DETAIL.json). Serialized WITHOUT
+        # spaces and guarded to 1,950 chars by a deterministic
+        # sacrifice order so a skip-storm run can never truncate the
+        # line mid-JSON.
+        compact = {
+            "metric": "total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_bench_queries": len(timings),
+            "queries": {
+                k: round(v, 2) for k, v in timings.items()
+            },
+            "bench_vs_baseline": bench_vs_baseline,
+            "bench_vs_baseline_amplified": bench_vs_baseline_amplified,
+            "amplified_speedups": {
+                k: v["spark_speedup_over_duckdb"]
+                for k, v in scale_amplified.items()
+                if v.get("spark_speedup_over_duckdb") is not None
+            },
+            "ann_recall_at_5": ann_recall.get("recall_at_5"),
+            "ann_recall_at_5_boundary": ann_recall.get(
+                "recall_at_5_boundary"
+            ),
+            "ann_mode": ann_recall.get("mode"),
+            "ann_dim": ann_recall.get("dim"),
+            "quantized_scan": {
+                "recall_at_5_vs_exact": scale_amplified.get(
+                    "dense_topk_quantized_500k", {}
+                ).get("recall_at_5_vs_exact"),
+                "scan_bytes_reduction": scale_amplified.get(
+                    "dense_topk_quantized_500k", {}
+                ).get("scan_bytes_reduction"),
+            },
+            "ingest_chunks_per_s": round(
+                n_chunks / max(ingest_sec, 1e-9), 1
+            ),
+            "stream_ingest_rows_per_s": throughput.get(
+                "stream_ingest_rows_per_s"
+            ),
+            "stream_ingest_chunks_per_s": throughput.get(
+                "stream_ingest_chunks_per_s"
+            ),
+            # x4 amortization + overhead split: full detail in
+            # stream_ingest_x4 / stream_overhead_decomposition of the
+            # full line; compact keys kept short
+            "stream_x2b": throughput.get(
+                "stream_over_batch_matched_sink"
+            ),
+            "stream_x4b": (
+                throughput.get("stream_ingest_x4") or {}
+            ).get("stream_over_batch_matched_sink"),
+            "stream_startup_sec": (
+                throughput.get("stream_overhead_decomposition") or {}
+            ).get("one_time_query_startup_sec"),
+            "stream_commit_sec": (
+                throughput.get("stream_overhead_decomposition") or {}
+            ).get("per_micro_batch_commit_sec"),
+            "chunk_prod_250k_docs_per_s": throughput.get(
+                "chunk_prod_250k_docs_per_s"
+            ),
+            "quantized_2m_over_exact": scale_amplified.get(
+                "dense_topk_quantized_2m", {}
+            ).get("quant_over_exact"),
+            "n_steal_flags": len(steal_flags),
+            "steal_pct_flags": dict(
+                sorted(steal_flags.items(), key=lambda kv: -kv[1])[:3]
+            ),
+            "n_skipped_sections": len(skipped_sections),
+            "skipped_sections": dict(
+                list(skipped_sections.items())[:3]
+            ),
+            "calib_outlier": calib.get("outlier"),
+            # calibration verdicts + the two idle probes only; raw
+            # mid-run probes live in the full line's cpu_calibration
+            "calib_signals": calib.get("signals"),
+            "calib_start_ms": calib.get("start_ms"),
+            "calib_end_ms": calib.get("end_ms"),
+        }
+        # never sacrifice: metric/value/unit/sf/queries (the driver
+        # contract) — everything else yields, least-important first
+        sacrifice = [
+            "steal_pct_flags",
+            "skipped_sections",
+            "amplified_speedups",
+            "calib_signals",
+            "quantized_scan",
+            "stream_startup_sec",
+            "stream_commit_sec",
+            "stream_x2b",
+            "stream_x4b",
+            "chunk_prod_250k_docs_per_s",
+            "stream_ingest_chunks_per_s",
+            "stream_ingest_rows_per_s",
+            "ingest_chunks_per_s",
+            "quantized_2m_over_exact",
+            "ann_mode",
+            "ann_dim",
+            "ann_recall_at_5_boundary",
+            "ann_recall_at_5",
+        ]
+        line = json.dumps(compact, separators=(",", ":"))
+        while len(line) > 1950 and sacrifice:
+            compact.pop(sacrifice.pop(0), None)
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
         sys.stdout.flush()
 
     def _watchdog() -> None:

@@ -88,6 +88,158 @@ def xxh64_int(i: int, seed: np.ndarray) -> np.ndarray:
         return _fmix(h)
 
 
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """XXH64.hashUnsafeBytes(data, seed) — bit-exact scalar Python
+    twin of Spark hashing a StringType value (UTF-8 bytes, 8-byte
+    words read little-endian like Platform.getLong on x86/ARM).
+
+    Used to precompute DRIVER-SIDE hash constants for small word sets
+    (language markers, stopwords) that vectorized kernels then match
+    against ``xxhash64(word)`` columns — parity with the live
+    expression is pinned in tests/test_hashkernel.py. Scalar and
+    slow-ish by design: call it on tiny reference vocabularies, never
+    per row."""
+    M = (1 << 64) - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    p1, p2, p3, p4, p5 = (int(_P1), int(_P2), int(_P3), int(_P4),
+                          int(_P5))
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + p1 + p2) & M
+        v2 = (seed + p2) & M
+        v3 = seed & M
+        v4 = (seed - p1) & M
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(data[i + 8 * j : i + 8 * j + 8],
+                                   "little")
+                v = (v + k * p2) & M
+                v = (rotl(v, 31) * p1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * p2) & M, 31) * p1) & M
+            h = (h * p1 + p4) & M
+    else:
+        h = (seed + p5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (rotl((k * p2) & M, 31) * p1) & M
+        h = (rotl(h, 27) * p1 + p4) & M
+        i += 8
+    if i <= n - 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * p1) & M
+        h = (rotl(h, 23) * p2 + p3) & M
+        i += 4
+    while i < n:
+        h ^= ((data[i] & 0xFF) * p5) & M
+        h = (rotl(h, 11) * p1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * p2) & M
+    h ^= h >> 29
+    h = (h * p3) & M
+    h ^= h >> 32
+    # Spark returns a signed long
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def lang_stop_scores_udf(
+    lang_marker_hashes: "list[np.ndarray]", stop_hashes: "np.ndarray"
+):
+    """Arrow kernel over per-doc word-hash arrays (``__wh``) computing
+    BOTH interpreted scoring folds of clean_corpus/profile_documents
+    in one vectorized pass (guide S4.2):
+
+    - ``scores``: the 16-bit-lane-packed language marker counts,
+      lane i saturating at 65535 — value-identical to
+      ``lang_marker_scores`` (saturating +1 increments == min(count,
+      65535) since increments are monotone);
+    - ``stop_hits``: the stopword count ``quality_score`` folds.
+
+    Word membership is tested on the int64 ``xxhash64(word)`` values
+    against driver-precomputed marker/stopword hashes (``xxh64_bytes``
+    of the same UTF-8 words) — the token STRINGS never cross the
+    Python boundary (the r17 string-array kernel lost to transfer;
+    hashes halve the bytes and skip string decode). Collision class:
+    a non-marker word counts iff its xxhash64 collides with one of
+    ~25 reference hashes (~|vocab| x 25 / 2^64) — the same accepted
+    class as every other xxhash64 path here.
+    """
+    lane_tables = [
+        np.sort(np.asarray(h, dtype=np.int64))
+        for h in lang_marker_hashes
+    ]
+    stop_table = np.sort(np.asarray(stop_hashes, dtype=np.int64))
+    out_t = T.StructType(
+        [
+            T.StructField("scores", T.LongType()),
+            T.StructField("stop_hits", T.IntegerType()),
+        ]
+    )
+
+    @F.arrow_udf(out_t)
+    def lang_stop(wh: pa.Array) -> pa.Array:
+        if len(wh) == 0:
+            return pa.array(
+                [],
+                type=pa.struct(
+                    [("scores", pa.int64()), ("stop_hits", pa.int32())]
+                ),
+            )
+        if isinstance(wh, pa.ChunkedArray):
+            wh = wh.combine_chunks()
+        # NULL word arrays (NULL text upstream of a non-coalescing
+        # caller) must yield a NULL struct: the native folds return
+        # NULL there and quality_score's least() deliberately skips
+        # it — a 0 here would flip the score
+        null_mask = None
+        if wh.null_count:
+            null_mask = wh.is_null()
+            wh = wh.fill_null([])
+        vals, starts, counts = list_array_segments(wh)
+        v = vals.astype(np.int64, copy=False)
+        packed = np.zeros(len(starts), dtype=np.int64)
+        nonempty = counts > 0
+        for i, tbl in enumerate(lane_tables):
+            hits = np.zeros(len(starts), dtype=np.int64)
+            if len(v):
+                isin = np.isin(v, tbl).astype(np.int64)
+                hits[nonempty] = np.add.reduceat(
+                    isin, starts[nonempty]
+                )
+            np.minimum(hits, 0xFFFF, out=hits)
+            packed += hits << np.int64(16 * i)
+        stop = np.zeros(len(starts), dtype=np.int64)
+        if len(v):
+            isin = np.isin(v, stop_table).astype(np.int64)
+            stop[nonempty] = np.add.reduceat(isin, starts[nonempty])
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(packed, type=pa.int64()),
+                pa.array(stop.astype(np.int32), type=pa.int32()),
+            ],
+            names=["scores", "stop_hits"],
+            mask=null_mask,
+        )
+
+    return lang_stop
+
+
 def minhash_sig_matrix(
     vals: np.ndarray, starts: np.ndarray, num_perm: int
 ) -> np.ndarray:

@@ -695,11 +695,39 @@ def minhash_lsh_pairs(
     them defensively.  ``max_bucket_size`` bounds hot-bucket memory —
     see _capped_bucket_pairs for the exact over-cap semantics; None
     disables the cap (small-corpus exact mode).
+
+    r18 SHAPE (guide S8 "decide with small rows, move big rows
+    once"; VERDICT r17 item 4 + the r17 ADVICE hot-bucket memory
+    finding): the signature relation (doc_id, sig) is computed ONCE
+    and persisted for the query's lifetime; everything that decides
+    WHICH pairs to score — banding, the (band, bucket) groupBy, the
+    capped in-bucket pair expansion, the cross-band distinct — runs
+    over doc_id alone. The r8-r17 shape shipped each doc's
+    num_perm-long signature through the bucket exchange once PER BAND
+    (16x duplication, ~2 GB at the 250k bench point) and carried BOTH
+    signatures inside every expanded pair struct, so one capped hot
+    bucket (1024 members -> ~523k pairs) materialized ~0.5 GB in a
+    single array row. Now the bucket exchange and the pair structs
+    carry ids only (a hot bucket's pair array is ~8 MB), each UNIQUE
+    candidate pair is scored exactly once (scoring used to run
+    pre-distinct, once per band that found the pair), and the two
+    signature fetches are narrow joins against the persisted relation
+    — the only corpus-sized rows that move are (doc_id, sig), once.
+    The materialization is a LAZY localCheckpoint: computed from the
+    inputs on first execution (nothing crosses runs, and nothing runs
+    at plan-construction time), shared by the three plan references
+    (DataFrame self-references get no exchange reuse — the r8
+    finding), held in the block manager and released by the context
+    cleaner when the DataFrame is dropped — a persist() here would
+    pin a CacheManager entry for the session lifetime (the r15 ADVICE
+    leak class; tests assert the CacheManager stays empty).
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm, hash_fn)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_perm, hash_fn
+    ).localCheckpoint(eager=False)
 
     def _band_bucket(b: int) -> Column:
         elems = [F.element_at("sig", b * r + j + 1) for j in range(r)]
@@ -709,7 +737,6 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -721,66 +748,53 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     # BUCKET-LOCAL pair generation (r8) instead of the banded
-    # self-join: group each (band, bucket) into a sorted member list
-    # and expand the C(k,2) pairs in-array. The self-join shape
-    # computed the whole shingle+signature pipeline TWICE — DataFrame
-    # self-joins get no exchange reuse in this setup (verified on the
-    # executed 250k plan: reused_count 0; an isolation test shows
-    # even a plain HOF-free self-join does not reuse) — and shuffled
-    # the signature arrays on BOTH join sides. The 64-permutation
-    # signature pipeline is expensive enough that running it once
-    # wins at every measured size (3x cold at 250k, parity-or-better
-    # warm at sf0.1); the cheap-pipeline ngram postings family keeps
-    # its join shape, where codegen'd join probes beat per-pair HOF
-    # struct building (measured 1.7x the other way at the gate SF). This shape runs the pipeline once and moves
-    # the signatures through ONE exchange. Hot buckets are bounded by
-    # max_bucket_size (see _capped_bucket_pairs).
-    # Scoring stays pre-distinct: the same pair found in several
-    # bands computes the same estimate, so the distinct shuffles only
-    # (doc_a, doc_b, est) — three narrow columns.
+    # self-join: group each (band, bucket) into a sorted member-id
+    # list and expand the C(k,2) pairs in-array — hot buckets bounded
+    # by max_bucket_size (see _capped_bucket_pairs).
     members = (
         banded.groupBy("band", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "sig"))
-            ).alias("ms")
-        )
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
 
-    # r17: the pair struct carries BOTH signatures out of the HOF and
-    # the est is computed in the post-explode projection — inside the
-    # nested transform lambdas every expression is interpreted per
-    # element, and the zip_with+aggregate scoring measured 2.0 s of the
-    # pair stage at the 250k bench point vs 0.4 s for the unrolled
-    # codegen'd spelling over the exploded rows (same exact integer
-    # count, values unchanged; tools/profile_r17.py `pairs`).
     def _mk_pair(x, y):
-        return F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["sig"].alias("sa"),
-            y["sig"].alias("sb"),
-        )
+        return F.struct(x.alias("doc_a"), y.alias("doc_b"))
 
-    return (
+    cand = (
         _capped_bucket_pairs(members, _mk_pair, max_bucket_size)
         .select(
             F.col("pr.doc_a").alias("doc_a"),
             F.col("pr.doc_b").alias("doc_b"),
-            F.round(
-                _minhash_est_expr(
-                    F.col("pr.sa"), F.col("pr.sb"), num_perm
-                ),
-                6,
-            ).alias("est_jaccard"),
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # est computed once per unique pair in the post-join projection —
+    # unrolled codegen terms (r17), never inside an interpreted HOF
+    return (
+        cand.join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                _minhash_est_expr(F.col("sa"), F.col("sb"), num_perm), 6
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -1670,6 +1684,7 @@ def semdedup(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     strip_rows: int | None = 2048,
+    max_strips: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering of the embedding space plus
@@ -1731,15 +1746,34 @@ def semdedup(
     form a strip, and each row is shipped to its own strip as a member
     plus every LATER strip of its cluster as context. Each
     (cluster, strip) task then runs the SAME two BLAS calls the
-    monolithic block loop ran for that strip — identical shapes,
-    identical operands (normalization is per-row), so the float32
-    comparisons and therefore the survivor set are bit-identical;
-    only the task boundaries moved. Cost: clusters <= strip_rows are
-    unchanged (one strip, zero duplication); a cluster of K strips
-    ships ~K/2 extra context copies of itself through the strip
-    exchange — the deliberate trade that turns the |c|^2 straggler
-    into per-strip tasks (wall = the LAST strip's |strip| x |c| GEMM,
-    not the cluster's |c|^2/2). ``strip_rows=None`` keeps the old
+    monolithic block loop ran for that strip. Bit-identity claim,
+    precisely (r17 ADVICE): at ``strip_rows=2048`` — the monolithic
+    kernel's block size — the GEMM operand shapes match the
+    monolithic loop call-for-call, so the float32 comparisons and
+    therefore the survivor set are bit-identical; at other strip
+    sizes the same pair dot products are computed with different BLAS
+    blocking, which is mathematically identical but may differ in the
+    last ulp of a borderline >= threshold comparison. Cost: clusters
+    <= strip_rows are unchanged (one strip, zero duplication); a
+    cluster of K strips ships ~K/2 extra context copies of itself
+    through the strip exchange — the deliberate trade that turns the
+    |c|^2 straggler into per-strip tasks (wall = the LAST strip's
+    |strip| x |c| GEMM, not the cluster's |c|^2/2).
+
+    r18 DUPLICATION BOUND (``max_strips``, VERDICT r17 item 3): the
+    context duplication above is O(K^2/2) row copies for a K-strip
+    cluster — unbounded in cluster size, so one adversarial
+    million-row hot cluster at strip_rows=2048 would push ~489
+    strips x ~half the cluster (~500 GB at dim 1024) through a single
+    exchange. Each cluster's effective strip size is therefore
+    ``max(strip_rows, ceil(|c| / max_strips))``: clusters up to
+    strip_rows x max_strips (32.8k rows at the defaults) keep the
+    exact strip_rows blocking (bit-identical per the claim above, and
+    covering every cluster of the bench fixture), and larger clusters
+    widen their strips so total context copies stay <= max_strips/2
+    x cluster bytes — shuffle stays linear in cluster size with a
+    constant duplication factor, while per-task work stays bounded at
+    O(|c|^2 x dim / max_strips). ``strip_rows=None`` keeps the old
     single-task-per-cluster shape (used by the equivalence tests).
 
     Output: the surviving rows of ``df`` with ``cluster`` (int) and
@@ -1856,6 +1890,8 @@ def semdedup(
     # argument and the duplication trade.
     if strip_rows < 2:
         raise ValueError(f"strip_rows must be >= 2, got {strip_rows}")
+    if max_strips < 1:
+        raise ValueError(f"max_strips must be >= 1, got {max_strips}")
     S = int(strip_rows)
     from pyspark.sql import Window
 
@@ -1863,16 +1899,26 @@ def semdedup(
         F.asc("cent_sim"), F.asc(id_col)
     )
     w_all = Window.partitionBy("cluster")
+    # per-cluster effective strip size (the r18 duplication bound):
+    # strip_rows exactly for clusters <= strip_rows * max_strips,
+    # ceil(|c| / max_strips) beyond — K never exceeds max_strips
+    srows = F.greatest(
+        F.lit(S),
+        F.ceil(F.col("__csize") / F.lit(float(max_strips))).cast("int"),
+    )
     ranked = staged.select(
         "*",
         (F.row_number().over(w_rank) - 1).alias("__rank"),
         F.count(F.lit(1)).over(w_all).alias("__csize"),
-    )
-    member_strip = (F.col("__rank") / F.lit(S)).cast("int")
-    n_strips = F.ceil(F.col("__csize") / F.lit(float(S))).cast("int")
+    ).withColumn("__srows", srows)
+    member_strip = (F.col("__rank") / F.col("__srows")).cast("int")
+    n_strips = F.ceil(
+        F.col("__csize") / F.col("__srows").cast("double")
+    ).cast("int")
     exploded = ranked.select(
         *[f.name for f in staged.schema.fields],
         "__rank",
+        "__srows",
         F.explode(
             F.sequence(member_strip, n_strips - F.lit(1))
         ).alias("__strip"),
@@ -1905,6 +1951,9 @@ def semdedup(
         rk = tbl.column(col_idx["__rank"]).combine_chunks().to_numpy(
             zero_copy_only=False
         )
+        sr = tbl.column(col_idx["__srows"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
         keep = np.zeros(n, dtype=bool)
         order = np.lexsort((rk, st, cl))
         cls, sts = cl[order], st[order]
@@ -1914,7 +1963,10 @@ def semdedup(
         thr32 = np.float32(thr)
         for g in np.split(order, bounds):
             strip_id = int(st[g[0]])
-            is_member = rk[g] >= strip_id * S
+            # per-cluster effective strip size (constant within the
+            # cluster, carried on every row)
+            s_g = int(sr[g[0]])
+            is_member = rk[g] >= strip_id * s_g
             mem = g[is_member]
             b = len(mem)
             if b == 0:
@@ -1951,7 +2003,21 @@ def _minhash_est_expr(a_sig, b_sig, num_perm: int):
     expression runs once per candidate pair (898k pre-distinct rows at
     the 250k bench point: 2.0 s HOF vs 0.4 s unrolled, measured via
     tools/profile_r17.py). The count is the same exact integer, so
-    est values are bit-identical."""
+    est values are bit-identical.
+
+    r18 (ADVICE): past ~128 permutations the unrolled chain risks
+    exceeding the JVM's 64KB-per-method codegen limit — Spark would
+    silently fall back to interpreted evaluation of a huge expression
+    tree (slower than the HOF it replaced) and planning itself slows
+    — so larger num_perm keeps the aggregate(zip_with(...)) spelling;
+    both compute the same exact integer count."""
+    if num_perm > 128:
+        matches = F.aggregate(
+            F.zip_with(a_sig, b_sig, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return matches / F.lit(num_perm)
     terms = [
         (
             F.element_at(a_sig, i + 1) == F.element_at(b_sig, i + 1)

@@ -874,11 +874,76 @@ def _lloyd(X: "np.ndarray", k: int, seed: int) -> "np.ndarray":
             x2 + (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T), 0.0
         )
         assign = d2.argmin(axis=1)
-        for c in range(k):
-            m = assign == c
-            if m.any():
-                cent[c] = X[m].mean(axis=0)
+        # centroid update via ONE stable sort instead of k boolean
+        # masks (the masks were O(k x n) per iteration and dominated
+        # the train wall at k=256): a stable argsort groups each
+        # cluster's rows contiguously IN ORIGINAL ROW ORDER, so every
+        # per-segment .mean(axis=0) sees exactly the rows (same order,
+        # same contiguous float64 layout) the boolean-masked copy saw
+        # -> the pairwise summation tree and hence the centroids are
+        # bit-identical; absent clusters keep their previous centroid
+        # exactly as the old `if m.any()` skip did
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        Xs = X[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_assign[1:] != sorted_assign[:-1]]
+        )
+        bounds = np.r_[starts, len(sorted_assign)]
+        for i, s in enumerate(starts):
+            cent[sorted_assign[s]] = Xs[s : bounds[i + 1]].mean(axis=0)
     return cent
+
+
+def _fit_pq_books(
+    X: "np.ndarray",
+    m: int,
+    ksub: int,
+    seed: int,
+    sc=None,
+) -> "np.ndarray":
+    """Fit the m per-subspace Lloyd codebooks off one sample matrix.
+
+    The m fits are independent (subspace j trains on X[:, j*dsub:
+    (j+1)*dsub] at seed+j), so when a SparkContext is passed they run
+    as m parallel tasks over a broadcast of the sample instead of a
+    serial driver loop — the driver-side train wall was the largest
+    term of every PQ/OPQ/IVFADC build (guide S5: the driver should do
+    almost no data work). ``_lloyd`` is deterministic given
+    (X, k, seed), so the distributed books are bit-identical to the
+    serial ones (asserted in tests). Returns (m, ksub, dsub) float64.
+    """
+    import numpy as np
+
+    dim = X.shape[1]
+    dsub = dim // m
+
+    def _fit_one(j: int, Xfull: "np.ndarray") -> "np.ndarray":
+        cb = _lloyd(Xfull[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+        # tiny training sets can yield < ksub centroids; keep the
+        # books rectangular by repeating the last row (harmless:
+        # argmin just never picks duplicates' higher index)
+        if len(cb) < ksub:
+            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - len(cb), 0)])
+        return cb
+
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    if sc is not None and m >= 4:
+        bx = sc.broadcast(np.ascontiguousarray(X))
+        try:
+            fitted = (
+                sc.parallelize(range(m), m)
+                .map(lambda j: (j, _fit_one(j, bx.value)))
+                .collect()
+            )
+        finally:
+            bx.unpersist()
+        for j, cb in fitted:
+            books[j] = cb
+    else:
+        for j in range(m):
+            books[j] = _fit_one(j, X)
+    return books
 
 
 def _train_ivf_centroids(
@@ -1437,16 +1502,23 @@ def _write_sparse_segment(
         out_cols = [F.col("__doc").alias(doc_id), "token", "weight"]
         if store_doc_stats:
             out_cols.append(F.col("dl"))
+        # r18 (guide S6, small files): repartition on the partition
+        # key before each partitioned write — without it every
+        # upstream task writes one file into every bucket dir it
+        # touches (measured 4228 files and ~20 s for the 250k-doc
+        # build vs ~130 files and ~11 s repartitioned), and every
+        # later probe pays the per-file open cost. The extra exchange
+        # moves only the narrow (id, token, weight) rows.
         staged.select(
             *out_cols, "token_bucket"
-        ).write.mode(mode).partitionBy("token_bucket").parquet(
-            _crel(index_path, "postings")
-        )
+        ).repartition("token_bucket").write.mode(mode).partitionBy(
+            "token_bucket"
+        ).parquet(_crel(index_path, "postings"))
         staged.groupBy("token_bucket", "token").agg(
             F.count("*").alias("df")
-        ).select("token", "df", "token_bucket").write.mode(
-            mode
-        ).partitionBy("token_bucket").parquet(
+        ).select("token", "df", "token_bucket").repartition(
+            "token_bucket"
+        ).write.mode(mode).partitionBy("token_bucket").parquet(
             _crel(index_path, "df_stats")
         )
         if store_doc_stats:
@@ -2448,17 +2520,11 @@ def pq_train(
     m = _resolve_pq_m(dim, m)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    books = np.empty((m, ksub, dsub), dtype=np.float64)
-    for j in range(m):
-        cb = _lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
-        # tiny training sets can yield < ksub centroids; keep the
-        # books rectangular by repeating the last row (harmless:
-        # argmin just never picks duplicates' higher index)
-        if len(cb) < ksub:
-            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - len(cb), 0)])
-        books[j] = cb
-    return books
+    # the m sub-fits run as parallel tasks (bit-identical to the old
+    # serial driver loop - see _fit_pq_books)
+    return _fit_pq_books(
+        X, m, ksub, seed, sc=corpus.sparkSession.sparkContext
+    )
 
 
 def _pa_codes(arr, m: int) -> "np.ndarray":
@@ -2724,17 +2790,36 @@ def _write_pq_codebooks(
     """Persist (m, ksub, dsub) codebooks as a tiny parquet —
     (sub, code, centroid) rows, m×ksub of them — the PQ twin of the
     IVF centroids store."""
+    import numpy as np
+
+    # r18: Arrow table instead of m x ksub pickled Python rows — the
+    # row spelling cost 6-8 s per build at m=64 (262k float() calls +
+    # per-row pickling), which was the hidden majority of every
+    # PQ/OPQ/IVFADC build wall after the Lloyd fits were distributed
+    # (guide S6 "Arrow for driver transfers"). Same rows, same order,
+    # same float64 bits land in the parquet.
     mm, ksub, dsub = codebooks.shape
-    rows = [
-        (j, c, [float(x) for x in codebooks[j, c]])
-        for j in range(mm)
-        for c in range(ksub)
-    ]
-    spark.createDataFrame(
-        rows, "sub int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _crel(index_path, "pq_codebooks")
+    n = mm * ksub
+    flat = pa.array(
+        np.ascontiguousarray(codebooks, dtype=np.float64).reshape(-1)
     )
+    offsets = pa.array(
+        np.arange(0, (n + 1) * dsub, dsub, dtype=np.int32)
+    )
+    tbl = pa.table(
+        {
+            "sub": pa.array(
+                np.repeat(np.arange(mm, dtype=np.int32), ksub)
+            ),
+            "code": pa.array(
+                np.tile(np.arange(ksub, dtype=np.int32), mm)
+            ),
+            "centroid": pa.ListArray.from_arrays(offsets, flat),
+        }
+    )
+    spark.createDataFrame(tbl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_crel(index_path, "pq_codebooks"))
 
 
 def load_pq_codebooks(spark, index_path: str) -> "np.ndarray":
@@ -2742,17 +2827,22 @@ def load_pq_codebooks(spark, index_path: str) -> "np.ndarray":
     array (m×ksub rows — driver-side by size, like IVF centroids)."""
     import numpy as np
 
-    rows = (
+    # r18: Arrow transfer (same deterministic orderBy) instead of
+    # collect + per-row list() — this load runs at EVERY index search
+    # call, not just at build
+    tbl = (
         spark.read.parquet(_crel(index_path, "pq_codebooks"))
         .orderBy("sub", "code")
-        .collect()
+        .toArrow()
     )
-    mm = 1 + max(r["sub"] for r in rows)
-    ksub = 1 + max(r["code"] for r in rows)
-    dsub = len(rows[0]["centroid"])
+    sub = tbl.column("sub").to_numpy()
+    code = tbl.column("code").to_numpy()
+    mm = 1 + int(sub.max())
+    ksub = 1 + int(code.max())
+    cent = _pa_matrix(tbl.column("centroid"), dtype=np.float64)
+    dsub = cent.shape[1]
     books = np.empty((mm, ksub, dsub), dtype=np.float64)
-    for r in rows:
-        books[r["sub"], r["code"]] = list(r["centroid"])
+    books[sub, code] = cent
     return books
 
 
@@ -2899,12 +2989,9 @@ def _train_ivfadc(
     cent = _lloyd(X, nlist, seed)
     d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
     R = X - cent[d2.argmin(axis=1)]
-    books = np.empty((m, ksub, dsub), dtype=np.float64)
-    for j in range(m):
-        cb = _lloyd(R[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
-        if len(cb) < ksub:
-            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - len(cb), 0)])
-        books[j] = cb
+    books = _fit_pq_books(
+        R, m, ksub, seed, sc=corpus.sparkSession.sparkContext
+    )
     return cent, books
 
 
@@ -3071,11 +3158,17 @@ def build_ivfadc_index(
     )
     _write_pq_codebooks(spark, index_path, books)
     _write_ivf_meta(spark, index_path, metric)
+    # r18 (guide S6, small files): repartition by the partition key
+    # before the partitioned write — without it every scan task
+    # writes a file into every list dir it touches (measured 1662
+    # files and 5.4 s at the bench fixture vs 64 files and 3.1 s;
+    # probes then open nprobe files instead of nprobe x tasks). The
+    # shuffle moves only (id, list_id, m-byte code) rows.
     _ivfadc_encode(
         corpus, cent, books, vec_col, corpus_id, metric
-    ).write.mode("overwrite").partitionBy("list_id").parquet(
-        _crel(index_path, "codes")
-    )
+    ).repartition(len(cent), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(_crel(index_path, "codes"))
     return len(cent), books.shape[1]
 
 
@@ -3379,16 +3472,10 @@ def opq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
+    _sc = corpus.sparkSession.sparkContext
+
     def _fit_books(Y):
-        books = np.empty((m, ksub, dsub), dtype=np.float64)
-        for j in range(m):
-            cb = _lloyd(Y[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
-            if len(cb) < ksub:
-                cb = np.vstack(
-                    [cb, np.repeat(cb[-1:], ksub - len(cb), 0)]
-                )
-            books[j] = cb
-        return books
+        return _fit_pq_books(Y, m, ksub, seed, sc=_sc)
 
     def _reconstruct(Y, books):
         out = np.empty_like(Y)
@@ -4135,11 +4222,12 @@ def build_ivfsq8_index(
         _crel(index_path, "sq8_params")
     )
     _write_ivf_meta(spark, index_path, metric)
+    # r18: same small-files fix as build_ivfadc_index (guide S6)
     _ivfsq8_encode(
         corpus, cent, vmin, vdiff, vec_col, corpus_id, metric
-    ).write.mode("overwrite").partitionBy("list_id").parquet(
-        _crel(index_path, "codes")
-    )
+    ).repartition(len(cent), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(_crel(index_path, "codes"))
     return len(cent), dim
 
 

@@ -84,6 +84,32 @@ def lang_from_scores(text: Column, packed: Column) -> Column:
     ).otherwise(pred)
 
 
+def lang_stop_kernel_udf():
+    """The fused Arrow kernel computing ``lang_marker_scores`` +
+    ``quality_score``'s stopword fold over per-doc word-HASH arrays
+    (r18, guide S4.2): marker/stopword hashes are precomputed
+    driver-side with the bit-exact ``xxh64_bytes`` so membership on
+    ``xxhash64(word)`` longs matches the string ``isin`` folds
+    value-for-value (equality pinned in tests). See
+    functions.hashkernel.lang_stop_scores_udf for the kernel body."""
+    import numpy as np
+
+    from ..functions.hashkernel import lang_stop_scores_udf, xxh64_bytes
+
+    lang_h = [
+        np.array(
+            [xxh64_bytes(w.encode("utf-8")) for w in LANG_MARKERS[lang]],
+            dtype=np.int64,
+        )
+        for lang in LANG_MARKERS
+    ]
+    stop_h = np.array(
+        [xxh64_bytes(w.encode("utf-8")) for w in STOPWORDS],
+        dtype=np.int64,
+    )
+    return lang_stop_scores_udf(lang_h, stop_h)
+
+
 def lang_id(text: Column) -> Column:
     """Predicted language = argmax of marker-word hits; 'und'
     (undetermined) when nothing matches. CJK short-circuits on the
@@ -92,26 +118,39 @@ def lang_id(text: Column) -> Column:
     return lang_from_scores(text, lang_marker_scores(words))
 
 
-def quality_score(text: Column, words: Column | None = None) -> Column:
+def quality_score(
+    text: Column,
+    words: Column | None = None,
+    stop_hits: Column | None = None,
+    n_words: Column | None = None,
+) -> Column:
     """Heuristic quality in [0,1]: length band + punctuation ratio +
     stopword ratio (the classic C4/Gopher-style cheap filters).
 
     Pass the tokenized ``words`` when the caller already computed it
-    (profile_documents does) to avoid re-tokenizing per metric."""
+    (profile_documents does) to avoid re-tokenizing per metric; pass
+    precomputed ``stop_hits`` (+ ``n_words``) when the stopword count
+    already exists — the r18 kernel path computes it alongside the
+    language scores, and the interpreted fold here is what it
+    replaces."""
     t = F.coalesce(text, F.lit(""))
     n = F.length(t)
-    if words is None:
+    if words is None and (stop_hits is None or n_words is None):
         words = F.split(normalize_text(t), " ")
-    n_words = F.size(words)
+    if n_words is None:
+        n_words = F.size(words)
     # translate beats a regex character-class scan; counts the same set
     punct = n - F.length(F.translate(t, ".,;:!?。，；！？", ""))
     punct_ratio = punct / F.greatest(n, F.lit(1))
-    # single-traversal count (F.filter would allocate a filtered array)
-    stop_hits = F.aggregate(
-        words,
-        F.lit(0),
-        lambda acc, w: acc + F.when(w.isin(*STOPWORDS), 1).otherwise(0),
-    )
+    if stop_hits is None:
+        # single-traversal count (F.filter would allocate a filtered
+        # array)
+        stop_hits = F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(w.isin(*STOPWORDS), 1).otherwise(0),
+        )
     stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
     len_score = F.when(n < 50, n / 50.0).when(
         n > 10000, F.lit(0.5)
@@ -197,10 +236,18 @@ def repetition_score(text: Column, n: int = 3) -> Column:
 
 
 def profile_documents(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: bool = True,
 ) -> DataFrame:
     """One-pass per-document text profile (map-only; under-parallel
-    inputs re-spread so the regex-heavy pass uses every core)."""
+    inputs re-spread so the regex-heavy pass uses every core).
+
+    ``kernel=True`` (r18): the two interpreted scoring folds (language
+    marker lanes + stopword count) run as one Arrow kernel over the
+    word-hash array; values identical to the native folds (pinned in
+    tests), which ``kernel=False`` keeps."""
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -211,12 +258,26 @@ def profile_documents(
     # boundary and each evaluates ONCE per row (inlining them would
     # re-tokenize per consumer, and CASE WHEN branches block codegen
     # subexpression elimination).
-    staged = df.select(
-        F.col(id_col),
-        t.alias("__t"),
-        words.alias("__words"),
-        lang_marker_scores(words).alias("__scores"),
-    )
+    if kernel:
+        staged = df.select(
+            F.col(id_col), t.alias("__t"), words.alias("__words")
+        ).withColumn(
+            "__ls",
+            lang_stop_kernel_udf()(
+                F.transform(F.col("__words"), lambda w: F.xxhash64(w))
+            ),
+        )
+        scores = F.col("__ls.scores")
+        stop_hits = F.col("__ls.stop_hits")
+    else:
+        staged = df.select(
+            F.col(id_col),
+            t.alias("__t"),
+            words.alias("__words"),
+            lang_marker_scores(words).alias("__scores"),
+        )
+        scores = F.col("__scores")
+        stop_hits = None
     tt = F.col("__t")
     ww = F.col("__words")
     return staged.select(
@@ -224,8 +285,10 @@ def profile_documents(
         F.length(tt).alias("n_chars"),
         F.size(ww).alias("n_tokens"),
         F.size(F.array_distinct(ww)).alias("n_distinct_tokens"),
-        lang_from_scores(tt, F.col("__scores")).alias("pred_lang"),
-        quality_score(tt, ww).alias("quality"),
+        lang_from_scores(tt, scores).alias("pred_lang"),
+        quality_score(
+            tt, ww, stop_hits=stop_hits, n_words=F.size(ww)
+        ).alias("quality"),
         doc_fingerprint(tt, ww).alias("fingerprint"),
     )
 

@@ -37,6 +37,7 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     carry_cols: list[str] | None = None,
+    kernel: bool = False,
 ) -> DataFrame:
     """Surviving documents with their diagnostics attached.
 
@@ -56,24 +57,64 @@ def clean_corpus(
     df = ensure_parallelism(df)
     t = F.col(text_col)
     words = F.split(normalize_text(t), " ")
-    staged = df.select(
-        F.col(id_col),
-        t.alias(text_col) if text_col != "text" else t,
-        *carry,
-        words.alias("__words"),
-        lang_marker_scores(words).alias("__scores"),
-        F.md5(normalize_text(t)).alias("__content_key"),
-    )
-    scored = staged.select(
-        F.col(id_col),
-        F.col(text_col),
-        *carry,
-        "__content_key",
-        lang_from_scores(F.col(text_col), F.col("__scores")).alias(
-            "pred_lang"
-        ),
-        quality_score(F.col(text_col), F.col("__words")).alias("quality"),
-    )
+    if kernel:
+        # r18 (guide S4.2): both interpreted scoring folds (language
+        # marker lanes + stopword count) run as ONE Arrow kernel over
+        # the word-HASH array — only int64 hashes cross the Python
+        # boundary (the r17 string-array kernel lost to transfer);
+        # values are identical to the native folds (pinned in tests).
+        # DEFAULT OFF here: interleaved ABAB at the 250k fixture read
+        # the kernel ~10% SLOWER for this plan (native min 2.15 s vs
+        # kernel 2.40 s — the extra per-word xxhash64 + boundary
+        # crossing outweighs the tiny-fold savings when no other
+        # consumer needs the word hashes), while profile_documents —
+        # whose token array already exists for its other metrics —
+        # measured the kernel ~10% faster and defaults ON.
+        from ..operators.textanalysis import lang_stop_kernel_udf
+
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+        staged = df.select(
+            F.col(id_col),
+            t.alias(text_col) if text_col != "text" else t,
+            *carry,
+            wh.alias("__wh"),
+            F.md5(normalize_text(t)).alias("__content_key"),
+        ).withColumn("__ls", lang_stop_kernel_udf()(F.col("__wh")))
+        scored = staged.select(
+            F.col(id_col),
+            F.col(text_col),
+            *carry,
+            "__content_key",
+            lang_from_scores(
+                F.col(text_col), F.col("__ls.scores")
+            ).alias("pred_lang"),
+            quality_score(
+                F.col(text_col),
+                stop_hits=F.col("__ls.stop_hits"),
+                n_words=F.size("__wh"),
+            ).alias("quality"),
+        )
+    else:
+        staged = df.select(
+            F.col(id_col),
+            t.alias(text_col) if text_col != "text" else t,
+            *carry,
+            words.alias("__words"),
+            lang_marker_scores(words).alias("__scores"),
+            F.md5(normalize_text(t)).alias("__content_key"),
+        )
+        scored = staged.select(
+            F.col(id_col),
+            F.col(text_col),
+            *carry,
+            "__content_key",
+            lang_from_scores(F.col(text_col), F.col("__scores")).alias(
+                "pred_lang"
+            ),
+            quality_score(F.col(text_col), F.col("__words")).alias(
+                "quality"
+            ),
+        )
     filtered = scored.filter(F.col("quality") >= min_quality)
     if allowed_langs is not None:
         filtered = filtered.filter(F.col("pred_lang").isin(*allowed_langs))

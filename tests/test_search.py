@@ -2331,3 +2331,21 @@ def test_pq_auto_m_width_aware(spark):
         warnings.simplefilter("always")
         pq_train(emb, m=4, seed=7)  # 4/64 = 1/16: fine, no warning
         assert not any("bytes/dim" in str(x.message) for x in w)
+
+
+def test_fit_pq_books_distributed_matches_serial(spark):
+    """r18: the m per-subspace Lloyd fits moved from a serial driver
+    loop to m parallel tasks over a broadcast sample. _lloyd is
+    deterministic given (X, k, seed), so the distributed books must be
+    bit-identical to the serial spelling (sc=None)."""
+    import numpy as np
+
+    from embedding_to_vectordatabase_spark.operators.search import (
+        _fit_pq_books,
+    )
+
+    X = np.random.default_rng(3).standard_normal((500, 64))
+    serial = _fit_pq_books(X, 8, 256, seed=7, sc=None)
+    dist = _fit_pq_books(X, 8, 256, seed=7, sc=spark.sparkContext)
+    assert serial.shape == dist.shape == (8, 256, 8)
+    assert np.array_equal(serial, dist)
