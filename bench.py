@@ -152,6 +152,36 @@ BENCH_NOTES = {
         "encode side moved float32 -> float64 for SQL parity "
         "(sq8 stores carry an 'enc: f64' cache key)."
     ),
+    "cross_round_r18": (
+        "r18 (second optimization round) moves timed entries via "
+        "five value-identical code changes (oracle hash re-verified "
+        "183/183 at both gate SFs after each): (1) quantizer builds - "
+        "Lloyd centroid update via one stable sort (bit-identical), "
+        "the m per-subspace fits distributed as parallel tasks "
+        "(bit-identical), codebook stores via Arrow both directions, "
+        "and repartition-before-partitioned-write on the ivfadc/"
+        "ivfsq8/sparse stores (m-sweep builds 58/55 s (r17 committed, "
+        "degraded-window walls) -> 6.6/4.5 s here); (2) "
+        "minhash_lsh_pairs ships doc ids only through the banding "
+        "exchange (the sig x16-bands duplication is gone), dedupes "
+        "candidates across bands BEFORE scoring (182k -> 12.8k "
+        "scored rows at 250k) and attaches signatures to unique "
+        "pairs from a lazily-checkpointed signature relation; (3) "
+        "semdedup bounds strip-context duplication (max_strips=16; "
+        "no effect at this fixture's cluster sizes) and dispatches "
+        "heavy strips first via range partitioning (ABAB x4: hash "
+        "min 7.65 s vs range min 6.52 s, lower variance); (4) "
+        "profile_documents' lang/stopword folds run in one Arrow "
+        "kernel over word hashes (~10% measured; the same kernel "
+        "measured ~10% SLOWER for clean_corpus and was left off "
+        "there - recorded negative); (5) HARNESS, measurement-"
+        "affecting for downstream parsers only: the compact final "
+        "JSON line now carries the per-query seconds map and drops "
+        "the floor/round6 speedup dicts + raw calib probes (still in "
+        "BENCH_DETAIL.json/full line) to fit the driver's 2,000-char "
+        "tail; timing methodology and the 29 query names are "
+        "unchanged."
+    ),
     "cross_round_r17": (
         "r17 is the first OPTIMIZATION round; four code-path changes "
         "move timed entries, all value-identical (oracle hash + "
